@@ -1,0 +1,50 @@
+"""SparkSession bootstrap tuned for both local testing and cluster scale.
+
+The reference engine has no session concept — ``frizzle.Init`` wires a
+source+sink bus (reference frizzle.go:53-79).  Our analogue of that global
+wiring is the SparkSession: one per process, AQE on, Arrow on.
+
+Scale notes (100 TB design intent, tested on local[32]):
+* AQE handles runtime coalescing, skew-join splitting and dynamic
+  broadcast decisions — we set the flags here once instead of
+  hand-tuning per query.
+* ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster it should be ~2-3× total executor cores (set via submit
+  conf; AQE coalesces the excess).
+* Arrow execution makes the few pandas-UDF paths (similarity kernels,
+  multimodal decode) batch-vectorized instead of row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _local_cores() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "frizzle_spark", cores: int | None = None) -> SparkSession:
+    """Build (or fetch) the session with scale-appropriate defaults.
+
+    Any already-active session is reused (the driver may hand us one).
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    n = cores or _local_cores()
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

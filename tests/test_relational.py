@@ -1,0 +1,28 @@
+"""Differential tests: every registered query with an oracle hash-matches
+DuckDB on the driver testdata (the t2 contract, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+import frizzle_spark.plans.relational  # noqa: F401 - populate registry
+from frizzle_spark.plans.registry import REGISTRY
+
+from tests.oracle import assert_matches
+
+
+def _oracle_cases():
+    return [(name, spec) for name, spec in sorted(REGISTRY.items()) if spec.oracle]
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _oracle_cases()])
+def test_oracle_match(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert_matches(df, spec.oracle, sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_runs_nonempty_schema(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.columns, f"{name} returned no columns"
