@@ -73,3 +73,370 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+def _revenue():
+    # Column objects need a live SparkContext, so build lazily per call.
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# Q2 — star-join chain: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+# Scale: the two fact tables (lineitem, orders) hash-join on o_orderkey —
+# the single unavoidable big shuffle.  customer/nation/region are
+# broadcast (explicit hint for nation/region; AQE converts customer when
+# its filtered size is below threshold), so no shuffle fans out of the
+# dimension side.  Filter on o_orderdate prunes orders before the join.
+# --------------------------------------------------------------------------
+@query(
+    "q2_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q2_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way inner equi-join with broadcast dims; revenue per nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dims = (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — top-k: highest-revenue orders.  groupBy on o_orderkey shuffles the
+# joined fact rows once; the ORDER BY ... LIMIT 10 is a TakeOrdered
+# physical op — each task keeps a 10-row heap, the driver merges heaps;
+# no global sort is materialized at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "q3_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderdate, c_name
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + deterministic top-k (ties broken on o_orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "c_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — left-semi / left-anti.  Both halves are one shuffle-free pass when
+# orders' key set broadcasts (AQE decides); at 100 TB the semi/anti join
+# shuffles only the distinct o_custkey side, never order payloads.
+# --------------------------------------------------------------------------
+@query(
+    "q4_semi_anti",
+    oracle="""
+    SELECT c_custkey,
+           c_custkey IN (SELECT o_custkey FROM orders) AS has_order
+    FROM customer
+    """,
+)
+def q4_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 order (semi) and with none (anti), tagged."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .withColumn("has_order", F.lit(True))
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .withColumn("has_order", F.lit(False))
+    )
+    return semi.unionByName(anti)
+
+
+# --------------------------------------------------------------------------
+# Q5 — window functions: per-customer ranking + running revenue.
+# Scale: ONE shuffle on o_custkey serves all four window functions (same
+# partition spec); the running sum is frame-sequential so no second pass.
+# Skewed customers are bounded by orders-per-customer, not table size.
+# --------------------------------------------------------------------------
+@query(
+    "q5_customer_order_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           lag(o_totalprice) OVER w AS prev_price,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q5_customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / lag / running sum over one window spec."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            2,
+        ).alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — set operations over two market-segment key sets.  Spark plans
+# intersect/except as aggregate-style joins on the key — each is one
+# shuffle over distinct keys only (narrow: a single int column at scale).
+# --------------------------------------------------------------------------
+@query(
+    "q6_segment_set_ops",
+    oracle="""
+    WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         m AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM b UNION SELECT c_custkey FROM m)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM b INTERSECT SELECT c_custkey FROM m)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM m)
+    """,
+)
+def q6_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union-distinct / intersect / except of two filtered key sets."""
+    cust = _t(spark, sf_dir, "customer")
+    b = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    m = cust.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(b.union(m).distinct(), "union")
+        .unionByName(tag(b.intersect(m), "intersect"))
+        .unionByName(tag(b.exceptAll(m).distinct(), "except"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — grouping sets: ROLLUP and CUBE over the region→nation hierarchy.
+# Catalyst expands grouping sets into a single Expand + one aggregate —
+# one shuffle regardless of how many grouping sets, which is why we use
+# the built-in rather than unioning per-level aggregates.
+# --------------------------------------------------------------------------
+@query(
+    "q7_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(grouping(r_name, n_name) AS BIGINT) AS gid,
+           round(sum(c_acctbal), 2) AS total_bal,
+           count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation) with grouping id + agg."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@query(
+    "q7_cube",
+    oracle="""
+    SELECT r_name, c_mktsegment,
+           CAST(grouping(r_name, c_mktsegment) AS BIGINT) AS gid,
+           round(sum(c_acctbal), 2) AS total_bal,
+           count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, c_mktsegment)
+    """,
+)
+def q7_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, market segment) with grouping id + agg."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.cube("r_name", "c_mktsegment").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — scalar-function battery.  Pure narrow projection: no shuffle at
+# all; every expression is JVM-side inside one WholeStageCodegen span.
+# Two flavors: string/math over part, date/time over orders.
+# --------------------------------------------------------------------------
+@query(
+    "q8_scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, '#', p_type)            AS brand_type,
+           upper(p_name)                           AS name_upper,
+           substring(p_name, 1, 8)                 AS name_prefix,
+           CAST(length(p_name) AS BIGINT)          AS name_len,
+           regexp_extract(p_name, '^([a-z]+)', 1)  AS first_word,
+           contains(p_type, 'ECO')                 AS is_eco,
+           round(p_retailprice * 1.1, 2)           AS bumped_price,
+           CAST(abs(p_size - 25) AS BIGINT)        AS size_dist,
+           round(ln(p_retailprice), 6)             AS log_price
+    FROM part
+    WHERE p_name LIKE '%e%' AND p_size BETWEEN 1 AND 50
+    """,
+)
+def q8_scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex/math scalar functions with LIKE + BETWEEN predicates."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.where(F.col("p_name").like("%e%") & F.col("p_size").between(1, 50))
+        .select(
+            "p_partkey",
+            F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+            F.col("p_type").contains("ECO").alias("is_eco"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("bumped_price"),
+            F.abs(F.col("p_size") - 25).cast("long").alias("size_dist"),
+            F.round(F.log(F.col("p_retailprice")), 6).alias("log_price"),
+        )
+    )
+
+
+@query(
+    "q8_scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate)                          AS order_month,
+           CAST(extract(year FROM o_orderdate) AS BIGINT)            AS order_year,
+           CAST(extract(month FROM o_orderdate) AS BIGINT)           AS order_mon,
+           CAST(extract(day FROM o_orderdate) AS BIGINT)             AS order_day,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                          o_orderdate) AS BIGINT)                    AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP)          AS due_date,
+           substring(o_orderpriority, 1, 1)                          AS priority_code
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def q8_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions: trunc, extract, diff, interval add."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — exact distinct counting.  countDistinct plans as a two-phase
+# aggregate (partial distinct per partition, then merge) — the shuffle
+# carries distinct keys only.  The HLL variant (approx_count_distinct)
+# is registered separately without an oracle because DuckDB's sketch
+# differs; it is tolerance-tested in tests/test_relational.py.
+# --------------------------------------------------------------------------
+@query(
+    "q9_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)      AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(*)                        AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q9_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (multi) per group."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q9_approx_distinct", oracle=None)
+def q9_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — sketch-mergeable, single narrow shuffle.
+
+    No DuckDB oracle (different sketch); tests assert ≤5% relative error
+    vs the exact count.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -35,7 +35,10 @@ def canonical(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
-            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
+            s = pd.to_datetime(pdf[c])
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            pdf[c] = s.astype("datetime64[ns]")
         elif pdf[c].dtype == object:
             # duckdb may hand back Decimal / date objects
             pdf[c] = pdf[c].map(lambda v: float(v) if isinstance(v, float) else v)

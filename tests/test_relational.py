@@ -26,3 +26,16 @@ def test_oracle_match(spark, sf_dir, name):
 def test_runs_nonempty_schema(spark, sf_dir, name):
     df = REGISTRY[name].fn(spark, sf_dir)
     assert df.columns, f"{name} returned no columns"
+
+
+def test_approx_distinct_tolerance(spark, sf_dir):
+    approx = {
+        r["o_orderstatus"]: r["n_customers_approx"]
+        for r in REGISTRY["q9_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n_customers"]
+        for r in REGISTRY["q9_distinct"].fn(spark, sf_dir).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, approx[k], v)
