@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import frizzle_spark.plans.relational  # noqa: F401
+    import frizzle_spark.plans.windows  # noqa: F401
+    import frizzle_spark.plans.text_queries  # noqa: F401
     from frizzle_spark.plans.registry import REGISTRY
     from frizzle_spark.session import get_spark
 

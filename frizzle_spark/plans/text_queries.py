@@ -1,0 +1,135 @@
+"""Text-analysis queries over ``documents`` (north-star extension inventory).
+
+Oracle mirrors are generated from the SAME regex/stopword constants as
+the Spark column functions (frizzle_spark.functions.text), so the two
+sides cannot drift.  Rounding happens at the same intermediate points on
+both sides to keep the value hash bit-stable.
+
+Scale: all three queries are narrow projections — zero shuffles, one
+WholeStageCodegen span over the scan; they stream at parquet-read speed
+regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frizzle_spark.functions import text as T
+from frizzle_spark.plans.registry import query
+from frizzle_spark.sources.tables import load_table
+
+_STATS_ORACLE = f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split_regex(trim(text), '{T.WS_RE}')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{T.TOKEN_RE}')) AS BIGINT)   AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{T.PUNCT_RE}')) AS BIGINT)   AS n_punct,
+           round(len(regexp_extract_all(text, '{T.PUNCT_RE}'))
+                 / length(text), 6)                                        AS punct_ratio,
+           round(len(regexp_extract_all(lower(text), '{T.LANG_STOPWORDS["en"]}'))
+                 / len(string_split_regex(trim(text), '{T.WS_RE}')), 6)    AS stop_ratio,
+           round(list_sum(list_transform(string_split_regex(trim(text), '{T.WS_RE}'),
+                                         w -> length(w)))
+                 / len(string_split_regex(trim(text), '{T.WS_RE}')), 6)    AS avg_word_len
+    FROM documents
+"""
+
+
+@query("q14_text_stats", oracle=_STATS_ORACLE)
+def q14_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/word/punctuation statistics (all JVM built-ins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars_calc"),
+        T.word_count(c).alias("n_words"),
+        T.token_count(c).alias("n_tokens"),
+        T.punct_count(c).alias("n_punct"),
+        T.punct_ratio(c).alias("punct_ratio"),
+        T.stopword_ratio(c).alias("stop_ratio"),
+        T.avg_word_len(c).alias("avg_word_len"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '{T.WS_RE}')) AS BIGINT)      AS wc,
+               CAST(length(text) AS BIGINT)                                          AS len,
+               CAST(len(regexp_extract_all(lower(text), '{T.LANG_STOPWORDS["en"]}')) AS BIGINT) AS sc,
+               CAST(len(regexp_extract_all(text, '{T.PUNCT_RE}')) AS BIGINT)         AS pc,
+               CAST(list_sum(list_transform(string_split_regex(trim(text), '{T.WS_RE}'),
+                                            w -> length(w))) AS BIGINT)              AS aww
+        FROM documents
+    )
+    SELECT doc_id,
+           ((2000000 * least(20 * wc * len,
+                             greatest(0, 10 * wc * len + 40 * sc * len
+                                         - 60 * pc * wc - len * abs(aww - 5 * wc)))
+             + 20 * wc * len)
+            // (2 * 20 * wc * len)) / 1000000.0 AS quality
+    FROM base
+"""
+
+
+@query("q14_quality_score", oracle=_QUALITY_ORACLE)
+def q14_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality heuristic in [0,1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+_LANG_CASES = " ".join(
+    f"len(regexp_extract_all(lower(text), '{pat}')) AS {lang}_hits,"
+    for lang, pat in T.LANG_STOPWORDS.items()
+)
+
+_LANG_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_LANG_CASES.rstrip(',')}
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(en_hits AS BIGINT) AS en_hits,
+           CAST(de_hits AS BIGINT) AS de_hits,
+           CAST(fr_hits AS BIGINT) AS fr_hits,
+           CAST(es_hits AS BIGINT) AS es_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                WHEN fr_hits >= es_hits THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+"""
+
+
+@query("q14_lang_id", oracle=_LANG_ORACLE)
+def q14_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-inventory language heuristic with deterministic argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    s = T.lang_scores(c)
+    return docs.select(
+        "doc_id",
+        "lang",
+        s["en"].alias("en_hits"),
+        s["de"].alias("de_hits"),
+        s["fr"].alias("fr_hits"),
+        s["es"].alias("es_hits"),
+        T.predicted_lang(c).alias("lang_pred"),
+    )
+
+
+_FP_ORACLE = f"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '{T.WS_RE}', ' ', 'g')) AS fp
+    FROM documents
+"""
+
+
+@query("q14_fingerprint", oracle=_FP_ORACLE)
+def q14_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))

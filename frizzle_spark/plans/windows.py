@@ -1,0 +1,149 @@
+"""Event-time windowing over the ``events`` table (SURVEY.md §2.3 Q10).
+
+The reference carries a per-message timestamp but has NO event-time logic
+of any kind (reference msg.go:19 — ``Timestamp()`` is never consumed by
+the engine).  These are the committed windowing semantics, expressed with
+Spark's native ``window`` / ``session_window`` operators so the SAME
+expressions run in batch here and in Structured Streaming
+(frizzle_spark.streaming) with a watermark bolted on.
+
+Oracles: tumbling ≙ date_trunc; sliding ≙ event × k∈[0,4) offset
+expansion (exactly what Spark's sliding window does internally); session
+≙ classic gaps-and-islands with lag + cumulative flag sum.
+
+Scale: all three shuffle once on (window/group keys).  Sliding fan-out
+multiplies rows by window/slide (4×) BEFORE the partial aggregate, but
+map-side combine collapses them within each task, so the shuffle still
+carries ~|groups| rows.  Session windows shuffle by (user, type) then
+sort-merge runs within each key — state is bounded per key, the model
+that also bounds streaming state growth under a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frizzle_spark.plans.registry import query
+from frizzle_spark.sources.tables import load_table
+
+
+@query(
+    "q10_tumbling_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts)                     AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR   AS w_end,
+           event_type,
+           count(*)                                    AS n_events,
+           count(DISTINCT user_id)                     AS n_users,
+           round(sum(value), 2)                        AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q10_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q10_sliding_windows",
+    oracle="""
+    SELECT w_start,
+           w_start + INTERVAL 1 HOUR AS w_end,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - to_minutes(15 * k) AS w_start,
+               event_type, value
+        FROM events, generate_series(0, 3) AS t(k)
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q10_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows, 15-minute slide, per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q10_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, event_type,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL 30 MINUTE     AS session_end,
+           count(*)                         AS n_events,
+           round(sum(value), 2)             AS sum_value
+    FROM numbered
+    GROUP BY user_id, event_type, sess_id
+    """,
+)
+def q10_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user × event_type.
+
+    ``session_window``'s end bound is last-event-time + gap, mirrored in
+    the oracle's ``max(ts) + 30 min``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id", "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

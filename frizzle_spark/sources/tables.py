@@ -37,9 +37,25 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Declarative parquet scan for one star-schema table."""
+    """Declarative parquet scan for one star-schema table.
+
+    ``events.parquet`` stores its timestamp as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects outright — we read it as a
+    raw int64 (``nanosAsLong``) and rebuild a microsecond timestamp with
+    integer division (``div``, never ``/``: nanos since epoch ≈ 1.7e18
+    overflows double's 53-bit mantissa and a float division would drift
+    the microseconds).  DuckDB truncates NANOS→micros the same way, so
+    oracles agree.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
