@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import frizzle_spark.plans.relational  # noqa: F401
 import frizzle_spark.plans.windows  # noqa: F401
 import frizzle_spark.plans.text_queries  # noqa: F401
+import frizzle_spark.operators.dedup  # noqa: F401
+import frizzle_spark.operators.similarity  # noqa: F401
 from frizzle_spark.plans.registry import REGISTRY
 
 

@@ -19,6 +19,8 @@ def main() -> None:
     import frizzle_spark.plans.relational  # noqa: F401
     import frizzle_spark.plans.windows  # noqa: F401
     import frizzle_spark.plans.text_queries  # noqa: F401
+    import frizzle_spark.operators.dedup  # noqa: F401
+    import frizzle_spark.operators.similarity  # noqa: F401
     from frizzle_spark.plans.registry import REGISTRY
     from frizzle_spark.session import get_spark
 

@@ -1,0 +1,253 @@
+"""Deduplication operator family over ``documents`` (north-star extension;
+the reference has no dedup of any kind — its only "distinct" notion is
+the un-acked message set, reference common/unacked.go:10-59).
+
+Five committed flavors:
+
+* exact        — md5-hash groupBy (oracle-checked)
+* n-gram Jaccard — exact pairwise Jaccard on word 3-gram shingles via an
+                 inverted-index join (oracle-checked).  This IS the
+                 distributed-scale algorithm: shuffle by shingle, then by
+                 pair — never an n² cross join.
+* MinHash LSH  — 64-perm signatures, 16 bands × 4 rows; banding join
+                 produces candidates, signature agreement estimates J.
+                 (rows-only: the xxhash64 family isn't reproducible in
+                 DuckDB SQL; pytest gates recall vs the exact Jaccard.)
+* SimHash      — 64-bit sign-aggregated fingerprint, 4×16-bit chunk
+                 banding, Hamming ≤ 3 (rows-only; unit-tested).
+* embedding cosine — see operators/similarity.py (q11_embedding_neardup).
+
+Scale notes: every stage is shuffle-by-key (shingle → pair → doc); hot
+shingles (stop-phrases) are the skew risk — AQE skew-join splits them,
+and ``NGRAM_DF_CAP`` documents the standard mitigation (drop shingles
+with document frequency above a cap, trading exactness for balance;
+default off so the oracle stays exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frizzle_spark.plans.registry import query
+from frizzle_spark.sources.tables import load_table
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_PERMS = 64
+LSH_BANDS = 16
+LSH_ROWS = 4  # MINHASH_PERMS / LSH_BANDS
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 3
+
+
+@query(
+    "q11_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q11_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: hash → keep lowest doc_id per group.
+
+    One shuffle on the 128-bit hash; at 100 TB this is the canonical
+    hash-partitioned dedup (never a sort, never a cross join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.encode("text", "UTF-8")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles per document (docs with ≥3 words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= NGRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q11_ngram_jaccard",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM words WHERE len(ws) >= {NGRAM_N}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(c / CAST(s1.n + s2.n - c AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE c / CAST(s1.n + s2.n - c AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q11_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs: word-3-gram Jaccard ≥ 0.5.
+
+    Inverted-index shape: explode shingles → self-join by shingle →
+    count intersections per pair → Jaccard from per-doc set sizes.
+    """
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jac_raw", jac)
+        .where(F.col("jac_raw") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round("jac_raw", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """64-perm MinHash signature per doc: min over shingles of
+    xxhash64(k, shingle) for each permutation k.  One groupBy — the
+    signature shuffle carries 64 longs per doc regardless of doc size."""
+    mins = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
+        for k in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+@query("q11_minhash_lsh", oracle=None)
+def q11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
+
+    Banding: 16 bands × 4 rows; docs sharing any band bucket become
+    candidates (shuffle by band hash — each doc contributes 16 rows, so
+    the candidate join never sees raw text).  Estimated J = fraction of
+    agreeing signature positions; filtered at the same 0.5 threshold.
+    Rows-only check (hash family not reproducible in DuckDB); pytest
+    gates recall against q11_ngram_jaccard.
+    """
+    sigs = minhash_signatures(_shingles(spark, sf_dir))
+    sig_arr = F.array(*[F.col(f"h{k}") for k in range(MINHASH_PERMS)])
+    with_sig = sigs.select("doc_id", sig_arr.alias("sig"))
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * LSH_ROWS + j}") for j in range(LSH_ROWS)]
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa = with_sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
+    sb = with_sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
+    agree = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("est_raw", agree / F.lit(float(MINHASH_PERMS)))
+        .where(F.col("est_raw") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round("est_raw", 6).alias("est_jaccard"))
+    )
+
+
+def simhash_expr() -> F.Column:
+    """64-bit SimHash from exploded shingle hashes (used under groupBy).
+
+    For each bit i: sum ±1 over shingle hashes' bit i; simhash bit i = 1
+    iff the sum is positive.  Expressed as 64 conditional aggregates +
+    a bit-OR fold — all JVM-side.
+    """
+    h = F.xxhash64(F.col("shingle"))
+    bits = []
+    for i in range(SIMHASH_BITS):
+        vote = F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long") if i < 63 else F.when(vote > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@query("q11_simhash", oracle=None)
+def q11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, Hamming ≤ 3.
+
+    Candidates via 4×16-bit chunk banding (pigeonhole: Hamming ≤ 3 ⇒ at
+    least one identical chunk), verified with bit_count(xor).  Rows-only
+    check; unit-tested on synthetic near-identical docs.
+    """
+    sh = _shingles(spark, sf_dir)
+    fps = sh.groupBy("doc_id").agg(simhash_expr().alias("simhash"))
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF)).alias(f"c{j}")
+            for j in range(4)
+        ]
+    )
+    banded = fps.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["chunk_id", "chunk"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            ham.cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )

@@ -1,0 +1,78 @@
+"""Tests for the dedup family and similarity search beyond the oracle:
+recall gates for the approximate operators and synthetic unit cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import frizzle_spark.operators.dedup as dd
+import frizzle_spark.operators.similarity as sim
+from frizzle_spark.plans.registry import REGISTRY
+
+
+def _pairs(df, c1="d1", c2="d2"):
+    return {(r[c1], r[c2]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    exact = _pairs(REGISTRY["q11_ngram_jaccard"].fn(spark, sf_dir))
+    approx = _pairs(REGISTRY["q11_minhash_lsh"].fn(spark, sf_dir))
+    if not exact:
+        pytest.skip("no near-dup pairs at this SF")
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} ({len(approx)} candidates)"
+
+
+def test_simhash_finds_synthetic_neardup(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest to hide from every single hunter nearby"
+    )
+    variant = base.replace("dark", "cold")
+    other = (
+        "completely different content about spark query engines and shuffle "
+        "partitioning strategies for large scale distributed aggregation jobs"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], ["doc_id", "text"]
+    )
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    sh = (
+        docs.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in sh.groupBy("doc_id").agg(dd.simhash_expr().alias("simhash")).collect()}
+    ham12 = bin(fps[1] ^ fps[2]).count("1")
+    ham13 = bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1")
+    assert ham12 < ham13, (ham12, ham13)
+    assert ham12 <= 10
+
+
+def test_ann_lsh_beats_random_baseline(spark, sf_dir):
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in REGISTRY["q12_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx_df = REGISTRY["q12_ann_lsh"].fn(spark, sf_dir)
+    approx = {(r["probe_id"], r["neighbor_id"]) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    n_corpus = REGISTRY["q12_ann_lsh"].fn.__globals__  # noqa: F841 - doc only
+    # random testdata has no cluster structure; LSH recall is bounded by the
+    # candidate fraction (~(1+bits)/2^bits ≈ 31% at 4 bits).  Gate: above it.
+    assert recall >= 0.35, f"ann recall {recall:.2f}"
+
+
+def test_exact_dedup_total_count(spark, sf_dir):
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    groups = REGISTRY["q11_exact_dedup"].fn(spark, sf_dir)
+    assert groups.agg(F.sum("n_copies")).collect()[0][0] == docs_n
