@@ -1,0 +1,122 @@
+"""Q13 — the frizzle-equivalence pipeline (SURVEY.md §2.3), two ways:
+
+* ``q13_routing``  — the routing semantics as a pure batch DataFrame
+  (what one micro-batch of the bus computes), oracle-checked.
+* ``q13_stream``   — the REAL Structured Streaming pipeline: file-replay
+  source over events.parquet → receive/send transformer → fail routing →
+  memory sink + DLQ, availableNow trigger, checkpointed.  Its collected
+  output is returned as a DataFrame and checked against the SAME oracle —
+  i.e. the streaming path itself is differentially verified.
+
+Routing rule (the integration Example generalized,
+frizzle_integration_test.go:26-45): rows with ``event_type = 'error' OR
+value < 10`` are Fail()ed to the DLQ; everything else is sent to 'main'
+after a send-side suffix transform.  Every input row lands in exactly one
+of {main, dlq} — the invariant the un-acked map enforces in the
+reference (common/unacked.go:10-59).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from frizzle_spark.plans.registry import query
+from frizzle_spark.sources.tables import load_table
+
+SUFFIX = b"|ok"
+
+_ROUTING_ORACLE = """
+    SELECT CASE WHEN event_type = 'error' OR value < 10
+                THEN 'dlq' ELSE 'main' END AS dest,
+           CAST(event_id AS VARCHAR) AS id,
+           CASE WHEN event_type = 'error' OR value < 10
+                THEN props ELSE props || '|ok' END AS payload
+    FROM events
+"""
+
+
+def _fail_cond():
+    return (F.col("event_type") == "error") | (F.col("value") < 10)
+
+
+@query("q13_routing", oracle=_ROUTING_ORACLE)
+def q13_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch expression of one micro-batch's routing + send transform."""
+    ev = load_table(spark, sf_dir, "events")
+    fail = _fail_cond()
+    return ev.select(
+        F.when(fail, "dlq").otherwise("main").alias("dest"),
+        F.col("event_id").cast("string").alias("id"),
+        F.when(fail, F.col("props"))
+        .otherwise(F.concat(F.col("props"), F.lit(SUFFIX.decode())))
+        .alias("payload"),
+    )
+
+
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as raw int64
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@query("q13_stream", oracle=_ROUTING_ORACLE)
+def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real streaming bus run end-to-end (availableNow), then its
+    sink contents returned for the differential check."""
+    from frizzle_spark.streaming.metrics import DictStats
+    from frizzle_spark.streaming.pipeline import FileReplaySource, MemorySink, Pipeline
+    from frizzle_spark.streaming.transforms import sep_transformer
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def to_envelope(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("event_id").cast("string").alias("id"),
+            F.encode("props", "UTF-8").alias("data"),
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            F.lit(None).cast("string").alias("dest"),
+            "event_type",
+            "value",
+        )
+
+    source = FileReplaySource(
+        path=sf_dir,
+        schema=_EVENTS_RAW_SCHEMA,
+        glob_filter="events.parquet",
+        to_envelope=to_envelope,
+    )
+    main_sink, dlq_sink = MemorySink(), MemorySink()
+    pipe = Pipeline(
+        spark,
+        source,
+        main_sink,
+        default_dest="main",
+        fail_sink=(dlq_sink, "dlq"),
+        transformers=[sep_transformer(SUFFIX)],
+        fail_predicate=_fail_cond(),
+        stats=DictStats(),
+    )
+    pipe.start()
+    pipe.stop(flush_timeout=300)
+
+    rows = [
+        (dest, r["id"], bytes(r["data"]).decode())
+        for sink in (main_sink, dlq_sink)
+        for dest, rs in sink.sent.items()
+        for r in rs
+    ]
+    return spark.createDataFrame(rows, "dest string, id string, payload string")

@@ -1,0 +1,320 @@
+"""The streaming bus: frizzle's Source → Transform → process → Sink(+DLQ)
+re-expressed as Structured Streaming.
+
+Reference model (frizzle.go:11-21, 53-209): ``Init(source, sink, opts)``
+starts a consume loop; every Msg is tracked un-acked until exactly one of
+Ack/Fail; Fail optionally forwards to a fail sink (DLQ); Flush-and-close
+drains in-flight work.  Spark mapping (SURVEY.md §3.2):
+
+* consume loop        → micro-batch trigger on a streaming DataFrame
+* per-record Ack      → per-batch checkpoint commit after the batch's
+                        sinks succeed (at-least-once on retry, exactly
+                        like frizzle's redeliver-before-Ack)
+* Fail + fail sink    → row-level routing inside ``foreachBatch``:
+                        every row lands in exactly one of {main sink,
+                        DLQ} — the invariant the reference enforces via
+                        the un-acked map (common/unacked.go:10-59)
+* dest routing        → a ``dest`` column consumed by the sink writer
+                        (frizzle.go:115-123's ``Send(m, dest)``)
+* FlushAndClose       → ``stop(flush_timeout)``: processAllAvailable
+                        bounded by the timeout, then query.stop()
+* HandleShutdown      → ``handle_shutdown()``: SIGINT/SIGTERM →
+                        FlushAndClose → user callback (options.go:105-135)
+
+Scale: the envelope never collects to the driver; routing is a column
+predicate, both sink writes are executor-parallel, and the only
+per-batch driver work is the commit.  Rate limiting (reference's
+buffer-500 backpressure, basic/source.go:13-16) maps to
+``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` on the source.
+"""
+
+from __future__ import annotations
+
+import signal
+import tempfile
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from frizzle_spark.streaming import metrics as M
+from frizzle_spark.streaming.transforms import Transformer, chain
+
+# the frizzle Msg envelope (msg.go:15-20) + dest routing column
+ENVELOPE = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("data", BinaryType()),
+        StructField("ts", TimestampType()),
+        StructField("dest", StringType()),
+    ]
+)
+
+DEFAULT_FLUSH_SECONDS = 30  # options.go:13-15
+
+
+# ---------------------------------------------------------------- sources
+@dataclass(frozen=True)
+class FileReplaySource:
+    """Replay a file directory as a stream (the test/replay source; the
+    frizzle ``basic.Source`` analogue with durable storage instead of an
+    in-memory channel, basic/source.go:34-68)."""
+
+    path: str
+    schema: StructType
+    fmt: str = "parquet"
+    max_files_per_trigger: int | None = None
+    to_envelope: Callable[[DataFrame], DataFrame] | None = None
+    glob_filter: str | None = None  # file streams need a DIRECTORY path
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream.schema(self.schema).format(self.fmt)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        if self.glob_filter:
+            reader = reader.option("pathGlobFilter", self.glob_filter)
+        df = reader.load(self.path)
+        return self.to_envelope(df) if self.to_envelope else df
+
+
+@dataclass(frozen=True)
+class KafkaSource:
+    """Kafka ecosystem source (declared type, frizzle.go:30-32).  Builds
+    the standard Kafka envelope: key→id, value→data, timestamp→ts."""
+
+    brokers: str
+    subscribe: str
+    options: dict[str, str] = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.brokers)
+            .option("subscribe", self.subscribe)
+        )
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        df = reader.load()
+        return df.select(
+            F.col("key").cast("string").alias("id"),
+            F.col("value").alias("data"),
+            F.col("timestamp").alias("ts"),
+            F.lit(None).cast("string").alias("dest"),
+        )
+
+
+@dataclass(frozen=True)
+class RateSource:
+    """Synthetic source for smoke tests (rows/sec)."""
+
+    rows_per_second: int = 100
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        df = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", self.rows_per_second)
+            .load()
+        )
+        return df.select(
+            F.col("value").cast("string").alias("id"),
+            F.encode(F.col("value").cast("string"), "UTF-8").alias("data"),
+            F.col("timestamp").alias("ts"),
+            F.lit(None).cast("string").alias("dest"),
+        )
+
+
+# ------------------------------------------------------------------ sinks
+class MemorySink:
+    """Per-destination in-memory sink (basic/sink.go:28-37's
+    ``map[dest][]Msg``): batches append into a driver-side dict of rows.
+    Test-only by design, like the reference's basic sink."""
+
+    def __init__(self) -> None:
+        self.sent: dict[str, list] = {}
+
+    def write(self, df: DataFrame, default_dest: str) -> None:
+        dest_col = F.coalesce(F.col("dest"), F.lit(default_dest))
+        for row in df.withColumn("dest", dest_col).collect():
+            self.sent.setdefault(row["dest"], []).append(row)
+
+
+class ParquetSink:
+    """Durable sink: one parquet dir per destination (partition-parallel)."""
+
+    def __init__(self, base_path: str) -> None:
+        self.base_path = base_path
+
+    def write(self, df: DataFrame, default_dest: str) -> None:
+        dest_col = F.coalesce(F.col("dest"), F.lit(default_dest))
+        out = df.withColumn("dest", dest_col)
+        # partitionBy(dest) keeps one executor-parallel write for ALL
+        # destinations — never a per-dest loop of jobs
+        out.write.mode("append").partitionBy("dest").parquet(self.base_path)
+
+
+class KafkaSink:
+    """Kafka ecosystem sink (frizzle.go:27-29): dest column → topic."""
+
+    def __init__(self, brokers: str, default_topic: str) -> None:
+        self.brokers = brokers
+        self.default_topic = default_topic
+
+    def write(self, df: DataFrame, default_dest: str) -> None:
+        out = df.select(
+            F.encode(F.col("id"), "UTF-8").alias("key"),
+            F.col("data").alias("value"),
+            F.coalesce(F.col("dest"), F.lit(default_dest or self.default_topic)).alias(
+                "topic"
+            ),
+        )
+        (
+            out.write.format("kafka")
+            .option("kafka.bootstrap.servers", self.brokers)
+            .save()
+        )
+
+
+# --------------------------------------------------------------- pipeline
+class Pipeline:
+    """``Init(source, sink, opts...)`` equivalent (frizzle.go:53-79).
+
+    Usage::
+
+        p = Pipeline(spark, source, sink,
+                     fail_sink=(dlq_sink, "dead-letter"),
+                     transformers=[sep_transformer(b"\\n")],
+                     process=my_df_fn,            # the user loop
+                     fail_predicate=F.col(...),   # rows that Fail()
+                     stats=DictStats())
+        q = p.start()          # begins consume
+        p.stop(flush_timeout)  # FlushAndClose
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: Any,
+        sink: Any,
+        *,
+        default_dest: str = "out",
+        fail_sink: tuple[Any, str] | None = None,
+        transformers: list[Transformer] | None = None,
+        process: Callable[[DataFrame], DataFrame] | None = None,
+        fail_predicate: Any = None,
+        stats: M.StatsIncrementer | None = None,
+        checkpoint_dir: str | None = None,
+        monitor_rate: bool = False,
+        drop_unrouted: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.source = source
+        self.sink = sink
+        self.default_dest = default_dest
+        self.fail_sink = fail_sink
+        self.transformers = transformers or []
+        self.process = process
+        self.fail_predicate = fail_predicate
+        self.stats = stats or M.NoopStats()
+        # reference semantics: a processed Msg may be Acked without ever
+        # being Sent (frizzle_integration_test.go:26-45 acks upper-case
+        # msgs without forwarding).  With drop_unrouted, ok-rows whose
+        # dest is NULL are acked (batch commit) but skipped by the sink.
+        self.drop_unrouted = drop_unrouted
+        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="frizzle-ckpt-")
+        self.query: StreamingQuery | None = None
+        self.listener: M.PipelineListener | None = None
+        if monitor_rate:
+            self.listener = M.PipelineListener(self.stats)
+            spark.streams.addListener(self.listener)
+
+    # ≙ Receive() (frizzle.go:110-112): the post-receive-transform stream
+    def stream(self) -> DataFrame:
+        df = self.source.load(self.spark)
+        return chain([t.receive for t in self.transformers], df)
+
+    def _run_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # One micro-batch ≙ one slice of the consume loop.  Checkpoint
+        # commit after this returns ≙ Ack for every routed row.
+        batch_df = batch_df.persist()
+        try:
+            n_rcv = batch_df.count()
+            self.stats.increment(M.RCV, n_rcv)
+
+            df = self.process(batch_df) if self.process else batch_df
+            if self.fail_predicate is not None:
+                failed = df.filter(self.fail_predicate)
+                ok = df.filter(~self.fail_predicate)
+            else:
+                failed = None
+                ok = df
+
+            n_ok = ok.count()
+            to_send = ok.where(F.col("dest").isNotNull()) if self.drop_unrouted else ok
+            to_send = chain([t.send for t in self.transformers], to_send)
+            n_send = to_send.count()
+            self.sink.write(to_send, self.default_dest)
+            self.stats.increment(M.SEND, n_send)
+            self.stats.increment(M.ACK, n_ok)
+
+            if failed is not None:
+                n_fail = failed.count()
+                if n_fail:
+                    self.stats.increment(M.FAIL, n_fail)
+                    if self.fail_sink is not None:
+                        dlq, dlq_dest = self.fail_sink
+                        dlq.write(
+                            failed.withColumn("dest", F.lit(dlq_dest)), dlq_dest
+                        )
+                        self.stats.increment(M.FAILSEND, n_fail)
+        finally:
+            batch_df.unpersist()
+
+    # ≙ Init's consume goroutine start (frizzle.go:72-74)
+    def start(
+        self,
+        trigger: dict[str, Any] | None = None,
+        query_name: str | None = None,
+    ) -> StreamingQuery:
+        out = chain([t.receive for t in self.transformers], self.source.load(self.spark))
+        writer = (
+            out.writeStream.foreachBatch(self._run_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(query_name or f"frizzle-{uuid.uuid4().hex[:8]}")
+        )
+        trigger = trigger or {"availableNow": True}
+        writer = writer.trigger(**trigger)
+        self.query = writer.start()
+        return self.query
+
+    # ≙ FlushAndClose (frizzle.go:152-179): drain, then stop.
+    def stop(self, flush_timeout: float = DEFAULT_FLUSH_SECONDS) -> None:
+        if self.query is None:
+            return
+        try:
+            self.query.awaitTermination(flush_timeout)
+        finally:
+            if self.query.isActive:
+                self.query.stop()
+            if self.listener is not None:
+                self.spark.streams.removeListener(self.listener)
+
+    # ≙ HandleShutdown (options.go:105-135)
+    def handle_shutdown(self, app_shutdown: Callable[[], None] | None = None) -> None:
+        def _handler(signum, frame):
+            self.stop(DEFAULT_FLUSH_SECONDS)
+            if app_shutdown:
+                app_shutdown()
+
+        signal.signal(signal.SIGINT, _handler)
+        signal.signal(signal.SIGTERM, _handler)

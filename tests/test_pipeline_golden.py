@@ -1,0 +1,162 @@
+"""Golden streaming-pipeline tests — the reference's integration Example
+ported (frizzle_integration_test.go:82-131) plus transformer matrix
+(transform_test.go:14-56) and a checkpointed-restart test.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from frizzle_spark.streaming import metrics as M
+from frizzle_spark.streaming.pipeline import ENVELOPE, FileReplaySource, MemorySink, Pipeline
+from frizzle_spark.streaming.transforms import chain, sep_transformer
+
+MSG_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("data", BinaryType()),
+        StructField("ts", TimestampType()),
+        StructField("dest", StringType()),
+    ]
+)
+
+CORPUS = ["foo", "BAR", "fail", "baSil", "frizzle"]  # integration_test.go:90
+
+
+def _write_corpus(spark, path, msgs):
+    rows = [(m, m.encode(), None, None) for m in msgs]
+    spark.createDataFrame(rows, MSG_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def corpus_dir(spark, tmp_path):
+    d = str(tmp_path / "msgs")
+    _write_corpus(spark, d, CORPUS)
+    return d
+
+
+def _build(spark, corpus_dir, stats):
+    """Example() pipeline: lower-case msgs → 'all-lower' sink; 'fail' → DLQ;
+    others acked but not sent."""
+    source = FileReplaySource(path=corpus_dir, schema=MSG_SCHEMA)
+    main, dlq = MemorySink(), MemorySink()
+
+    def process(df):
+        s = F.decode("data", "UTF-8")
+        return df.withColumn(
+            "dest", F.when(s == F.lower(s), "all-lower").otherwise(F.lit(None))
+        )
+
+    pipe = Pipeline(
+        spark,
+        source,
+        main,
+        default_dest="all-lower",
+        fail_sink=(dlq, "fail"),
+        process=process,
+        fail_predicate=F.decode("data", "UTF-8") == "fail",
+        stats=stats,
+        drop_unrouted=True,
+    )
+    return pipe, main, dlq
+
+
+def test_example_golden(spark, corpus_dir):
+    stats = M.DictStats()
+    pipe, main, dlq = _build(spark, corpus_dir, stats)
+    pipe.start()
+    pipe.stop(flush_timeout=120)
+
+    sent = sorted(r["id"] for r in main.sent.get("all-lower", []))
+    failed = sorted(r["id"] for r in dlq.sent.get("fail", []))
+    assert sent == ["foo", "frizzle"]  # integration_test.go:129
+    assert failed == ["fail"]  # integration_test.go:125
+    # every input row landed in exactly one of {sink, DLQ, acked-unsent}
+    assert stats.counts[M.RCV] == 5
+    assert stats.counts[M.ACK] == 4
+    assert stats.counts[M.FAIL] == 1
+    assert stats.counts[M.SEND] == 2
+    assert stats.counts[M.FAILSEND] == 1
+    # chars processed over non-failed msgs (integration_test.go:121): 18
+    assert sum(len(i) for i in sent + ["BAR", "baSil"]) == 18
+
+
+def test_checkpoint_restart_no_redelivery(spark, tmp_path):
+    """Redelivery only for uncommitted batches: a restarted pipeline with
+    the same checkpoint must process only NEW files (≙ frizzle redelivers
+    only messages not yet Acked)."""
+    d = str(tmp_path / "msgs")
+    ckpt = str(tmp_path / "ckpt")
+    _write_corpus(spark, d, ["one", "two"])
+    stats = M.DictStats()
+
+    def build():
+        source = FileReplaySource(path=d, schema=MSG_SCHEMA)
+        main = MemorySink()
+        return (
+            Pipeline(
+                spark,
+                source,
+                main,
+                default_dest="out",
+                stats=stats,
+                checkpoint_dir=ckpt,
+            ),
+            main,
+        )
+
+    p1, sink1 = build()
+    p1.start()
+    p1.stop(flush_timeout=120)
+    assert sorted(r["id"] for r in sink1.sent["out"]) == ["one", "two"]
+
+    _write_corpus(spark, d, ["three"])
+    p2, sink2 = build()
+    p2.start()
+    p2.stop(flush_timeout=120)
+    assert sorted(r["id"] for r in sink2.sent["out"]) == ["three"]
+    assert stats.counts[M.RCV] == 3  # 2 + 1, never 2 + 3
+
+
+@pytest.mark.parametrize("sep", [b"\n", b"end of file{}#"])  # transform_test.go:14-56
+def test_sep_transformer_matrix(spark, sep):
+    base = b"some test data"
+    t = sep_transformer(sep)
+    df = spark.createDataFrame(
+        [("plain", base, None, None), ("sealed", base + sep, None, None)], MSG_SCHEMA
+    )
+    sent = {r["id"]: bytes(r["data"]) for r in t.send(df).collect()}
+    assert sent["plain"] == base + sep  # append iff absent
+    assert sent["sealed"] == base + sep  # no double-append
+    received = {r["id"]: bytes(r["data"]) for r in t.receive(df).collect()}
+    assert received["plain"] == base  # unchanged
+    assert received["sealed"] == base  # strip iff present
+
+
+def test_sep_transformer_short_payload_guard(spark):
+    """Reference panics on payload shorter than separator
+    (transform.go:36,47); we leave it unchanged — documented divergence."""
+    sep = b"end of file{}#"
+    t = sep_transformer(sep)
+    df = spark.createDataFrame([("short", b"hi", None, None)], MSG_SCHEMA)
+    assert bytes(t.receive(df).collect()[0]["data"]) == b"hi"
+    assert bytes(t.send(df).collect()[0]["data"]) == b"hi" + sep
+
+
+def test_transformer_order(spark):
+    """Transforms apply in registration order (frizzle.go:99-102)."""
+    df = spark.createDataFrame([("x", b"m", None, None)], MSG_SCHEMA)
+    t1, t2 = sep_transformer(b"-a"), sep_transformer(b"-b")
+    out = bytes(chain([t1.send, t2.send], df).collect()[0]["data"])
+    assert out == b"m-a-b"
