@@ -1,0 +1,138 @@
+"""Q15 — multimodal column queries (decode / frame-sample / features).
+
+The media table is derived from ``documents``: payload = UTF-8 bytes of
+the text (an opaque BLOB, exactly the reference's ``Data() []byte``
+payload model), media_type assigned round-robin from the source id.
+The decode kernels are deterministic fakes (no imaging libs in the
+container — see functions/multimodal.py) expressed as md5/length byte
+functions, so DuckDB mirrors the whole Pandas-UDF path and the Arrow
+plumbing is oracle-checked end-to-end.
+
+Scale: ``mapInPandas`` over a binary column is the pattern for 100 TB
+media work — Arrow batches bound worker memory; the decode stage is
+embarrassingly parallel (no shuffle); fan-out stages (frame sampling)
+multiply rows map-side BEFORE any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frizzle_spark.functions.multimodal import (
+    FRAME_SCHEMA,
+    MEDIA_META_SCHEMA,
+    decode_media_batch,
+    extract_features_batch,
+    sample_frames_batch,
+)
+from frizzle_spark.plans.registry import query
+from frizzle_spark.sources.tables import load_table
+
+_MEDIA_TYPE_SQL = """
+    CASE CAST(substr(source, 4, 10) AS BIGINT) % 3
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+"""
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload BINARY, media_type) media table."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("long")
+    media_type = (
+        F.when(src_num % 3 == 0, "image")
+        .when(src_num % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        media_type.alias("media_type"),
+    )
+
+
+@query(
+    "q15_media_decode",
+    oracle=f"""
+    SELECT doc_id,
+           {_MEDIA_TYPE_SQL} AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 64 AS BIGINT) AS width,
+           CAST(16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 64 AS BIGINT) AS height,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+)
+def q15_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage: binary payload → typed metadata via mapInPandas."""
+    return media_table(spark, sf_dir).mapInPandas(
+        decode_media_batch, MEDIA_META_SCHEMA
+    )
+
+
+@query(
+    "q15_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, md5(text) AS fp,
+               octet_length(encode(text)) % 4 AS extra
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, extra)) AS BIGINT) AS frame_idx,
+           md5(fp || ':' || unnest(generate_series(0, extra))) AS frame_fp
+    FROM media
+    """,
+)
+def q15_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage: UDTF-shaped mapInPandas fan-out (1-4 frames
+    per media row, deterministic)."""
+    return media_table(spark, sf_dir).mapInPandas(sample_frames_batch, FRAME_SCHEMA)
+
+
+_FEATURE_COLS = ", ".join(
+    f"CAST(sum(CASE WHEN k = {j} THEN 1 ELSE 0 END) AS DOUBLE)"
+    f" / any_value(n) AS f{j}"
+    for j in range(8)
+)
+
+_FEATURES_ORACLE = f"""
+    WITH chars AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents
+    ),
+    classed AS (
+        SELECT doc_id, n, ascii(substr(text, i, 1)) % 8 AS k FROM chars
+    )
+    SELECT doc_id, {_FEATURE_COLS}
+    FROM classed
+    GROUP BY doc_id
+"""
+
+
+@query("q15_media_features", oracle=_FEATURES_ORACLE)
+def q15_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage: payload → 8-dim byte-histogram features
+    (flat double columns; raw divisions, no re-rounding)."""
+    feature_schema = "doc_id bigint, " + ", ".join(f"f{j} double" for j in range(8))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                hist = [0] * 8
+                for byte in b:
+                    hist[byte % 8] += 1
+                total = max(len(b), 1)
+                rows.append([doc_id] + [h / total for h in hist])
+            yield pd.DataFrame(rows, columns=["doc_id"] + [f"f{j}" for j in range(8)])
+
+    return media_table(spark, sf_dir).mapInPandas(kernel, feature_schema)
+
+
+# keep the array-typed variant importable for pipeline composition
+__all__ = ["media_table", "extract_features_batch"]

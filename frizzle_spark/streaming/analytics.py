@@ -1,0 +1,88 @@
+"""Streaming analytics over the bus: watermarks, event-time windows,
+streaming dedup, and a custom stateful operator.
+
+The reference carries ``Timestamp()`` per message but never consumes it
+(reference msg.go:19) and its only state is the un-acked map
+(common/unacked.go:10-59).  These are committed extensions (SURVEY.md
+§2.2 streaming rows), built on the engine's native state store:
+
+* ``windowed_aggregate``  — watermarked tumbling/sliding window agg; the
+  watermark bounds state so window state is evicted once event time
+  passes window_end + delay (the 100 TB state-growth guard).
+* ``streaming_dedup``     — ``dropDuplicates`` across micro-batches with
+  watermark-bounded key state (exact dedup as a stream).
+* ``running_counts``      — custom per-key stateful operator via
+  ``applyInPandasWithState`` (the escape hatch for semantics the
+  built-ins lack; state round-trips through Arrow).
+
+Each has a batch-equivalent assertion in tests/test_streaming_analytics:
+replayed-stream results must equal the batch computation — the
+streaming/batch consistency Structured Streaming promises and the
+DuckDB oracles check for the batch halves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked event-time window aggregation (count + sum(value))."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exact streaming dedup: first arrival wins; key state is evicted
+    once the watermark passes (bounded state at any scale)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def running_counts(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator: running event count + value sum per key,
+    emitted per micro-batch (update semantics) via applyInPandasWithState."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

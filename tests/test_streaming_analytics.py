@@ -1,0 +1,116 @@
+"""Streaming analytics: replayed-stream results must equal batch results
+(the streaming/batch consistency contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from frizzle_spark.streaming.analytics import (
+    running_counts,
+    streaming_dedup,
+    windowed_aggregate,
+)
+
+EV_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def replay_dir(spark, sf_dir, tmp_path):
+    """Events re-materialized as 3 files so availableNow runs >1 batch."""
+    d = str(tmp_path / "events_replay")
+    from frizzle_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _stream(spark, replay_dir, files_per_trigger=1):
+    return (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(replay_dir)
+    )
+
+
+def _run_to_memory(spark, sdf, name, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_windowed_aggregate_matches_batch(spark, replay_dir):
+    sdf = windowed_aggregate(_stream(spark, replay_dir))
+    got = _run_to_memory(spark, sdf, "win_agg", "complete").collect()
+    batch = (
+        spark.read.parquet(replay_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_streaming_dedup_across_batches(spark, replay_dir):
+    # duplicate every event_id by unioning the replay with itself shifted
+    # into a 4th file: dedup state must span micro-batches
+    extra = spark.read.parquet(replay_dir).limit(50)
+    extra.write.mode("append").parquet(replay_dir)
+    sdf = streaming_dedup(
+        _stream(spark, replay_dir), keys=["event_id"], watermark="30 days"
+    )
+    got = _run_to_memory(spark, sdf, "dedup_out", "append")
+    n_unique = spark.read.parquet(replay_dir).select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count() == n_unique
+
+
+def test_running_counts_matches_batch(spark, replay_dir):
+    sdf = running_counts(_stream(spark, replay_dir))
+    out = _run_to_memory(spark, sdf, "run_counts", "update")
+    # update mode emits one row per key per batch; the LAST emission per
+    # key is the final running total
+    final = (
+        out.withColumn("rn", F.monotonically_increasing_id())
+        .groupBy("key")
+        .agg(F.max_by("n_events", "rn").alias("n_events"))
+    )
+    batch = (
+        spark.read.parquet(replay_dir)
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r["key"]: r["n_events"] for r in final.collect()}
+    want = {r["key"]: r["n_events"] for r in batch.collect()}
+    assert got == want
