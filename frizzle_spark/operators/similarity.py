@@ -36,6 +36,8 @@ N_PROBES = 10
 TOP_K = 5
 DIM = 64
 LSH_BITS = 4
+NEARDUP_BLOCKS = 16  # GEMM grid width; block rows × dim must fit an Arrow batch
+NEARDUP_THRESHOLD = 0.4
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,21 +176,81 @@ def q12_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4 on this corpus).
 
-    Brute-force all-pairs at test scale; the documented scale path is the
-    same LSH bucketing as q12_ann_lsh used as a self-join blocker (bucket
-    equality before scoring) — O(n²/buckets) instead of O(n²).
+    Block-matrix similarity join — the all-pairs scan expressed as a
+    GEMM grid instead of a row-level cross join:
+
+    1. unit-normalize each vector JVM-side (one codegen pass);
+    2. hash vectors into ``NEARDUP_BLOCKS`` blocks and pack each block
+       into one (ids[], row-major matrix[]) row;
+    3. cross-join the upper triangle of block pairs (B·(B+1)/2 rows —
+       the only shuffle, and it carries packed matrices, not pairs);
+    4. score each block pair with a single numpy GEMM in mapInPandas
+       (Arrow batches; ~10-100× the interpreted ``zip_with`` path) and
+       emit only pairs above threshold.
+
+    At 100 TB the same plan holds: block size is a constant (rows ×
+    dim doubles per task), work is B² tasks spread over the cluster,
+    and the emitted-pair volume — not n² — is what shuffles.  An LSH
+    pre-blocker (q12_ann_lsh's buckets as join key) drops the grid to
+    near-diagonal when approximate recall is acceptable.
     """
     corpus = _corpus(spark, sf_dir)
-    a = corpus.select(
-        F.col("vec_id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    unit = corpus.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
     )
-    b = corpus.select(
-        F.col("vec_id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    packed = (
+        unit.groupBy(F.pmod(F.col("vec_id"), F.lit(NEARDUP_BLOCKS)).alias("blk"))
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "u"))).alias("rows"))
+        .select(
+            "blk",
+            F.col("rows.vec_id").alias("ids"),
+            F.flatten(F.col("rows.u")).alias("mat"),
+        )
     )
-    cos = V.cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos_raw", cos)
-        .where(F.col("cos_raw") >= 0.4)
-        .select("id1", "id2", F.round("cos_raw", 6).alias("cos_sim"))
+    a = packed.select(
+        F.col("blk").alias("b1"), F.col("ids").alias("ids1"), F.col("mat").alias("m1")
     )
+    b = packed.select(
+        F.col("blk").alias("b2"), F.col("ids").alias("ids2"), F.col("mat").alias("m2")
+    )
+    n_tasks = min(
+        NEARDUP_BLOCKS * (NEARDUP_BLOCKS + 1) // 2, spark.sparkContext.defaultParallelism
+    )
+    grid = a.join(b, F.col("b1") <= F.col("b2")).repartition(n_tasks)
+
+    out_schema = "id1 long, id2 long, cos_sim double"
+
+    def score(batches):  # pragma: no cover - executed on executors
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            i1s, i2s, cs = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids1 = np.asarray(row.ids1, dtype=np.int64)
+                ids2 = np.asarray(row.ids2, dtype=np.int64)
+                m1 = np.asarray(row.m1, dtype=np.float64).reshape(len(ids1), -1)
+                m2 = np.asarray(row.m2, dtype=np.float64).reshape(len(ids2), -1)
+                sims = m1 @ m2.T
+                if row.b1 == row.b2:
+                    # ids are sorted within a block: upper triangle = id1 < id2
+                    sims = np.triu(sims, k=1)
+                i, j = np.nonzero(sims >= NEARDUP_THRESHOLD)
+                if i.size == 0:
+                    continue
+                lo = np.minimum(ids1[i], ids2[j])
+                hi = np.maximum(ids1[i], ids2[j])
+                i1s.append(lo)
+                i2s.append(hi)
+                cs.append(sims[i, j])
+            if i1s:
+                yield pd.DataFrame(
+                    {
+                        "id1": np.concatenate(i1s),
+                        "id2": np.concatenate(i2s),
+                        "cos_sim": np.round(np.concatenate(cs), 6),
+                    }
+                )
+
+    return grid.mapInPandas(score, schema=out_schema)
