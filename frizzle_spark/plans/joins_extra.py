@@ -1,0 +1,191 @@
+"""Q16 — join shapes beyond plain equi-joins (SURVEY.md §2.2 "joins" row:
+range/theta join and stream–static join are committed inventory; the
+as-of join is the canonical training-data-pipeline primitive the
+reference cannot express at all — its only "join" is user code holding
+two channels, reference frizzle.go:97-123).
+
+Three operators:
+
+* ``q16_range_join``   — temporal range (interval) join: purchases within
+  one hour AFTER a click by the same user.  Equi key (user_id) + range
+  predicate — shuffles by user, never a cross join, so the plan survives
+  100 TB (pairs per user are bounded by per-user activity, the classic
+  sessionized-funnel shape).
+* ``q16_asof_join``    — as-of join via the union + ordered-window scan:
+  each event picks the latest order (by o_orderdate) of the same
+  customer at-or-before its timestamp.  ONE shuffle + sort of
+  events∪orders by (key, time); no join explosion (an equi-join first
+  would materialize every 〈event, earlier-order〉 pair — 95k pairs at
+  sf0.01, quadratic in per-key history at scale).  This is the
+  pattern range-partitioned time-series stores use for MERGE AS OF.
+* ``q16_stream_static``— Structured Streaming stream–static join:
+  replayed events stream ⋈ broadcast static customer dim → streaming
+  aggregation by market segment, availableNow, memory sink; the sink
+  contents are differentially checked against the batch SQL oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from frizzle_spark.plans.registry import query
+from frizzle_spark.sources.tables import load_table
+
+FUNNEL_WINDOW = "1 hour"
+
+_RANGE_ORACLE = """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS secs_to_purchase
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
+@query("q16_range_join", oracle=_RANGE_ORACLE)
+def q16_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel pairs inside a 1 h window (range join)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("b_user_id"))
+        & (F.col("buy_ts") > F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW}"))
+    )
+    secs = (F.unix_timestamp("buy_ts") - F.unix_timestamp("click_ts")).cast("long")
+    return clicks.join(buys, cond).select(
+        "click_id", "purchase_id", "user_id", secs.alias("secs_to_purchase")
+    )
+
+
+_ASOF_ORACLE = """
+    WITH cand AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+           o_orderdate AS asof_orderdate
+    FROM cand WHERE rn = 1
+"""
+
+
+@query("q16_asof_join", oracle=_ASOF_ORACLE)
+def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event, per customer.
+
+    Union both sides tagged ``side`` (orders=0, events=1), sort within
+    each customer by (time, side, orderkey) and carry the running
+    ``last(order, ignorenulls)`` forward — an order dated exactly at the
+    event timestamp is visible (<= semantics), and among same-date
+    orders the max orderkey wins (mirrors the oracle's tie-break).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.col("o_orderdate").alias("ord_date"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("ord_key"),
+        F.lit(None).cast("timestamp").alias("ord_date"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "side", "ord_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o.unionByName(e).select(
+        "key",
+        "side",
+        "event_id",
+        F.last("ord_key", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("ord_date", ignorenulls=True).over(w).alias("asof_orderdate"),
+    )
+    return merged.where(
+        (F.col("side") == 1) & F.col("asof_orderkey").isNotNull()
+    ).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        "asof_orderkey",
+        "asof_orderdate",
+    )
+
+
+_SEGMENT_ORACLE = """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query("q16_stream_static", oracle=_SEGMENT_ORACLE)
+def q16_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: replayed event stream ⋈ broadcast customer dim,
+    streaming aggregation by segment (complete mode, availableNow).
+
+    The static side re-resolves per micro-batch (Spark's stream-static
+    contract), and broadcast keeps the join shuffle-free — at 100 TB the
+    stream side never repartitions for this join.
+    """
+    from frizzle_spark.plans.streaming_queries import _EVENTS_RAW_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .select("user_id", "value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    qname = f"seg_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ss_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)

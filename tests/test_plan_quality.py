@@ -1,0 +1,90 @@
+"""Physical-plan quality gates (the 100 TB contract, SURVEY.md §4.2).
+
+Correctness tests prove WHAT each query computes; these prove HOW —
+that Catalyst produced the plan we designed for scale: dimension joins
+broadcast, filters reach the parquet scan, projections prune columns,
+top-k never does a global sort, and range/as-of joins never degrade to
+a cartesian product.  A regression here is a 100× cost bug at scale
+even when every value still hash-matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import frizzle_spark.plans.joins_extra  # noqa: F401 - populate registry
+import frizzle_spark.plans.relational  # noqa: F401
+import frizzle_spark.operators.similarity  # noqa: F401
+from frizzle_spark.plans.registry import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture()
+def plan_of(spark, sf_dir):
+    def get(name: str) -> str:
+        return _plan(REGISTRY[name].fn(spark, sf_dir))
+
+    return get
+
+
+def test_q1_filter_pushed_to_scan(plan_of):
+    plan = plan_of("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(plan_of):
+    plan = plan_of("q1_pricing_summary")
+    scan = plan[plan.rindex("ReadSchema") :]
+    # 7 of 11 lineitem columns are needed; l_orderkey/partkey/suppkey must not be read
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_q2_dimension_joins_broadcast(plan_of):
+    plan = plan_of("q2_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2, "region/nation must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_topk_is_take_ordered(plan_of):
+    # LIMIT 10 over a sort must compile to per-partition heap + merge,
+    # never a global sort of the full join result
+    assert "TakeOrderedAndProject" in plan_of("q3_top_orders")
+
+
+def test_q4_semi_anti_join_types(plan_of):
+    plan = plan_of("q4_semi_anti")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_range_join_keeps_equi_key(plan_of):
+    # user_id equality must be the join key (hash/sort-merge); the time
+    # bounds ride along as post-join condition — never a nested-loop
+    plan = plan_of("q16_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_window_no_join(plan_of):
+    # the union+window as-of must not contain ANY join operator
+    plan = plan_of("q16_asof_join")
+    phys = plan[plan.index("== Physical Plan ==") :]
+    assert "Join" not in phys
+    assert phys.count("Exchange hashpartitioning(key") == 1
+
+
+def test_cosine_topk_broadcasts_probes(plan_of):
+    plan = plan_of("q12_cosine_topk")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    # agg over the scan must fuse into codegen stages, not interpreted ops
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    codegen = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
