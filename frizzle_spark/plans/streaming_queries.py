@@ -76,9 +76,16 @@ _EVENTS_RAW_SCHEMA = StructType(
 @query("q13_stream", oracle=_ROUTING_ORACLE)
 def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real streaming bus run end-to-end (availableNow), then its
-    sink contents returned for the differential check."""
+    sink contents returned for the differential check.
+
+    Sinks are ParquetSink (executor-parallel, partitioned by dest) —
+    rows never funnel through the driver, so the same pipeline shape
+    holds when the bus carries 100 TB; the golden-output test keeps
+    MemorySink for the reference's basic-sink semantics."""
+    import tempfile
+
     from frizzle_spark.streaming.metrics import DictStats
-    from frizzle_spark.streaming.pipeline import FileReplaySource, MemorySink, Pipeline
+    from frizzle_spark.streaming.pipeline import FileReplaySource, ParquetSink, Pipeline
     from frizzle_spark.streaming.transforms import sep_transformer
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -99,13 +106,14 @@ def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         glob_filter="events.parquet",
         to_envelope=to_envelope,
     )
-    main_sink, dlq_sink = MemorySink(), MemorySink()
+    base = tempfile.mkdtemp(prefix="q13_sink_")
+    sink = ParquetSink(base)
     pipe = Pipeline(
         spark,
         source,
-        main_sink,
+        sink,
         default_dest="main",
-        fail_sink=(dlq_sink, "dlq"),
+        fail_sink=(sink, "dlq"),
         transformers=[sep_transformer(SUFFIX)],
         fail_predicate=_fail_cond(),
         stats=DictStats(),
@@ -113,10 +121,8 @@ def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe.start()
     pipe.stop(flush_timeout=300)
 
-    rows = [
-        (dest, r["id"], bytes(r["data"]).decode())
-        for sink in (main_sink, dlq_sink)
-        for dest, rs in sink.sent.items()
-        for r in rs
-    ]
-    return spark.createDataFrame(rows, "dest string, id string, payload string")
+    return spark.read.parquet(base).select(
+        F.col("dest").cast("string").alias("dest"),
+        "id",
+        F.decode("data", "UTF-8").alias("payload"),
+    )

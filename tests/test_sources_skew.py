@@ -1,0 +1,89 @@
+"""CSV/JSON scan round-trips and skew-mitigation equivalence tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frizzle_spark.operators.skew import salted_join, two_phase_agg
+from frizzle_spark.sources.files import scan_csv, scan_json, scan_parquet
+from frizzle_spark.sources.tables import load_table
+
+ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_csv_scan_round_trip(spark, orders, tmp_path):
+    path = str(tmp_path / "orders_csv")
+    orders.write.option("header", True).csv(path)
+    back = scan_csv(spark, path, ORDERS_SCHEMA)
+    assert _sorted_rows(back, "o_orderkey") == _sorted_rows(orders, "o_orderkey")
+
+
+def test_json_scan_round_trip(spark, orders, tmp_path):
+    path = str(tmp_path / "orders_json")
+    orders.write.json(path)
+    back = scan_json(spark, path, ORDERS_SCHEMA)
+    assert _sorted_rows(back, "o_orderkey") == _sorted_rows(orders, "o_orderkey")
+
+
+def test_parquet_scan_matches_load_table(spark, sf_dir):
+    a = scan_parquet(spark, f"{sf_dir}/orders.parquet")
+    b = load_table(spark, sf_dir, "orders")
+    assert a.count() == b.count() and a.schema == b.schema
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, ["o_custkey"]).select("o_orderkey", "c_name")
+    assert _sorted_rows(salted, "o_orderkey") == _sorted_rows(plain, "o_orderkey")
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    out = salted_join(big, small, ["k"], how="left")
+    rows = {(r["k"], r["w"]) for r in out.collect()}
+    assert rows == {(1, "x"), (2, "y"), (99, None)}
+
+
+def test_two_phase_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    skewsafe = two_phase_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": F.count(F.lit(1)),
+            "qty": F.sum("l_quantity"),
+            "first_ship": F.min("l_shipdate"),
+            "last_ship": F.max("l_shipdate"),
+        },
+    )
+    assert _sorted_rows(skewsafe, "l_returnflag") == _sorted_rows(plain, "l_returnflag")
+
+
+def test_two_phase_agg_rejects_non_decomposable(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        two_phase_agg(li, ["l_returnflag"], {"a": F.avg("l_quantity")}).collect()
