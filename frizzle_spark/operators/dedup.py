@@ -142,13 +142,17 @@ def q11_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """64-perm MinHash signature per doc: min over shingles of
-    xxhash64(k, shingle) for each permutation k.  One groupBy — the
-    signature shuffle carries 64 longs per doc regardless of doc size."""
+    xxhash64(k, xxhash64(shingle)).  The variable-length shingle string
+    is hashed ONCE; each permutation then re-hashes a single fixed
+    8-byte long (wrap-safe under ANSI mode, unlike multiply-shift).
+    One groupBy — the signature shuffle carries 64 longs per doc
+    regardless of doc size."""
+    hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h64"))
     mins = [
-        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"h{k}")
+        F.min(F.xxhash64(F.lit(k), F.col("h64"))).alias(f"h{k}")
         for k in range(MINHASH_PERMS)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
 @query("q11_minhash_lsh", oracle=None)
@@ -199,14 +203,16 @@ def q11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_expr() -> F.Column:
+def simhash_expr(h: F.Column | None = None) -> F.Column:
     """64-bit SimHash from exploded shingle hashes (used under groupBy).
 
     For each bit i: sum ±1 over shingle hashes' bit i; simhash bit i = 1
     iff the sum is positive.  Expressed as 64 conditional aggregates +
-    a bit-OR fold — all JVM-side.
+    a bit-OR fold — all JVM-side.  Pass a pre-hashed column so the
+    shingle string is hashed once, not once per bit.
     """
-    h = F.xxhash64(F.col("shingle"))
+    if h is None:
+        h = F.xxhash64(F.col("shingle"))
     bits = []
     for i in range(SIMHASH_BITS):
         vote = F.sum(
@@ -228,7 +234,8 @@ def q11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; unit-tested on synthetic near-identical docs.
     """
     sh = _shingles(spark, sf_dir)
-    fps = sh.groupBy("doc_id").agg(simhash_expr().alias("simhash"))
+    hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h64"))
+    fps = hashed.groupBy("doc_id").agg(simhash_expr(F.col("h64")).alias("simhash"))
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF)).alias(f"c{j}")

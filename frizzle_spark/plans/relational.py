@@ -440,3 +440,41 @@ def q9_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers_approx"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q8c — JSON scalar functions over events.props (§2.2 scalar row: the
+# payload-at-the-edge pattern of §1.2 — opaque payload upgraded to typed
+# columns exactly once, at the boundary, then everything downstream is
+# columnar).  Both extraction paths are exercised: schema-full from_json
+# and path-only get_json_object; they must agree, and the oracle checks
+# both against DuckDB's JSON extension.
+# --------------------------------------------------------------------------
+@query(
+    "q8_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k_parsed,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k_path,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q8_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` payload and aggregate the extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k long").getField("k").alias("k_parsed"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k_parsed").alias("sum_k_parsed"),
+        F.sum("k_path").alias("sum_k_path"),
+        F.min("k_parsed").alias("min_k"),
+        F.max("k_parsed").alias("max_k"),
+    )
