@@ -55,6 +55,40 @@ def windowed_aggregate(
     )
 
 
+def session_aggregate(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    group_cols: tuple[str, ...] = ("user_id", "event_type"),
+) -> DataFrame:
+    """Watermarked session-window aggregation (inactivity-gap sessions).
+
+    Append-mode contract: a session is emitted only once the watermark
+    passes its end (last event + gap) — sessions still open at the final
+    watermark stay in state.  That is exactly the bounded-state behavior
+    wanted at scale: state per key is one open session, closed sessions
+    leave the store.  The batch equivalent (plans/windows.py
+    q10_session_windows) emits ALL sessions; tests assert the streaming
+    result equals the batch result restricted to closed sessions.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:

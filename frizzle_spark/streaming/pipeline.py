@@ -134,6 +134,48 @@ class RateSource:
         )
 
 
+@dataclass(frozen=True)
+class ChainSource:
+    """Bus composition (O25): a Friz satisfies Source AND Sink so buses
+    chain (reference README.md:41, interfaces at frizzle.go:110-123).
+    Spark-idiomatically, the durable output of an upstream Pipeline's
+    ``ParquetSink`` IS a streaming source — downstream discovers files as
+    the upstream commits them, giving exactly-once handoff through
+    storage (the same role an intermediate Kafka topic plays in the
+    reference's ecosystem).
+
+    ``dest`` narrows to one destination partition (e.g. only 'main');
+    partition-directory pruning keeps unselected dests unread.
+    """
+
+    upstream: "ParquetSink"
+    dest: str | None = None
+    max_files_per_trigger: int | None = None
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        base = self.upstream.base_path
+        # data files hold (id, data, ts); dest lives in the partition dir.
+        # Read the dirs directly (glob when unnarrowed) and rebuild dest
+        # from the file path — sidesteps streaming partition inference.
+        schema = StructType([f for f in ENVELOPE.fields if f.name != "dest"])
+        path = f"{base}/dest={self.dest}" if self.dest else f"{base}/dest=*"
+        reader = spark.readStream.schema(schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        df = reader.parquet(path)
+        # routing is per-Send state, not message state (reference
+        # msg.go:34-36): consumed messages re-enter unrouted, with the
+        # upstream destination preserved as provenance in `src_dest`.
+        src = (
+            F.lit(self.dest)
+            if self.dest
+            else F.regexp_extract(F.input_file_name(), r"dest=([^/]+)/", 1)
+        )
+        return df.withColumn("dest", F.lit(None).cast("string")).withColumn(
+            "src_dest", src
+        )
+
+
 # ------------------------------------------------------------------ sinks
 class MemorySink:
     """Per-destination in-memory sink (basic/sink.go:28-37's

@@ -160,3 +160,41 @@ def test_transformer_order(spark):
     t1, t2 = sep_transformer(b"-a"), sep_transformer(b"-b")
     out = bytes(chain([t1.send, t2.send], df).collect()[0]["data"])
     assert out == b"m-a-b"
+
+
+def test_pipeline_chaining(spark, corpus_dir, tmp_path):
+    """O25: a bus's durable output feeds a second bus (Friz-as-Source/Sink,
+    reference README.md:41) — here through ParquetSink → ChainSource."""
+    from frizzle_spark.streaming.pipeline import ChainSource, ParquetSink
+
+    base = str(tmp_path / "bus_a")
+    sink_a = ParquetSink(base)
+    source = FileReplaySource(path=corpus_dir, schema=MSG_SCHEMA)
+
+    pipe_a = Pipeline(
+        spark,
+        source,
+        sink_a,
+        default_dest="main",
+        fail_sink=(sink_a, "dlq"),
+        fail_predicate=F.decode("data", "UTF-8") == "fail",
+    )
+    pipe_a.start()
+    pipe_a.stop(flush_timeout=120)
+
+    # bus B consumes only bus A's 'main' destination, upper-cases payloads
+    sink_b = MemorySink()
+    pipe_b = Pipeline(
+        spark,
+        ChainSource(sink_a, dest="main"),
+        sink_b,
+        default_dest="stage2",
+        process=lambda df: df.withColumn(
+            "data", F.encode(F.upper(F.decode("data", "UTF-8")), "UTF-8")
+        ),
+    )
+    pipe_b.start()
+    pipe_b.stop(flush_timeout=120)
+
+    got = sorted(bytes(r["data"]).decode() for r in sink_b.sent.get("stage2", []))
+    assert got == sorted(m.upper() for m in CORPUS if m != "fail")

@@ -114,3 +114,39 @@ def test_running_counts_matches_batch(spark, replay_dir):
     got = {r["key"]: r["n_events"] for r in final.collect()}
     want = {r["key"]: r["n_events"] for r in batch.collect()}
     assert got == want
+
+
+def test_session_aggregate_closed_sessions_match_batch(spark, replay_dir):
+    from frizzle_spark.streaming.analytics import session_aggregate
+
+    # single batch (no maxFilesPerTrigger) so every event beats the watermark
+    sdf = spark.readStream.schema(EV_SCHEMA).parquet(replay_dir)
+    got = _run_to_memory(
+        spark, session_aggregate(sdf), "session_agg_stream", "append"
+    )
+
+    batch = spark.read.parquet(replay_dir)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    want = (
+        batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id", "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .where(F.col("session_end") <= F.lit(max_ts))  # closed sessions only
+    )
+    key = ["user_id", "event_type", "session_start"]
+    got_rows = sorted(tuple(r) for r in got.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert len(got_rows) > 0
+    assert got_rows == want_rows
