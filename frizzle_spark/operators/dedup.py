@@ -64,7 +64,15 @@ def q11_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word 3-gram shingles per document (docs with ≥3 words)."""
+    """Distinct word 3-gram shingles per document (docs with ≥3 words).
+
+    Deliberately NOT persisted: measured at sf0.1, a shared
+    ``persist()`` of this prefix made the dedup suite 2-3× SLOWER under
+    one session (cache materialization blocks the first query and the
+    InMemoryRelation defeats AQE's coalescing for the self-joins).  At
+    100 TB the right amortization is a materialized signatures TABLE on
+    storage, not executor cache.
+    """
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.col("text")), r"\s+")
     return (
