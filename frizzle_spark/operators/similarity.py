@@ -254,3 +254,102 @@ def q11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return grid.mapInPandas(score, schema=out_schema)
+
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 4096
+IVF_ITERS = 10
+
+
+def _ivf_centroids(corpus: DataFrame) -> "np.ndarray":
+    """Deterministic Lloyd's k-means on a bounded driver-side sample.
+
+    The sample cap is the scale contract: training cost is O(sample ×
+    iters × K) regardless of corpus size — at 100 TB you still collect
+    only IVF_TRAIN_SAMPLE vectors (here the lowest ids for determinism;
+    production would hash-sample).  Centroids are unit-normalized so
+    cluster affinity is the cosine itself.
+    """
+    rows = (
+        corpus.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).select("v", "nrm").collect()
+    )
+    x = np.asarray([r["v"] for r in rows]) / np.asarray([[r["nrm"]] for r in rows])
+    rng = np.random.RandomState(7)
+    cent = x[rng.choice(len(x), IVF_CLUSTERS, replace=False)]
+    for _ in range(IVF_ITERS):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(IVF_CLUSTERS):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+                cent[c] /= np.linalg.norm(cent[c])
+    return cent
+
+
+def _cluster_expr(unit_vec: F.Column, cent: "np.ndarray") -> F.Column:
+    """argmax over centroid dots, fully JVM-side: array<struct<dot,idx>>
+    compared lexicographically by array_max — no Python per row."""
+    scored = F.array(
+        *[
+            F.struct(
+                V.dot(F.array(*[F.lit(float(v)) for v in c]), unit_vec).alias("dot"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(cent)
+        ]
+    )
+    return F.array_max(scored).getField("idx")
+
+
+@query("q12_ivf", oracle=None)
+def q12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF: k-means coarse quantizer, nprobe=4.
+
+    Corpus vectors partition into IVF_CLUSTERS inverted lists; each
+    probe scans only its nprobe closest lists (~nprobe/K of the data).
+    Candidate generation is a broadcast hash join on cluster id, so the
+    corpus never reshuffles per query — the inverted-list layout is the
+    partitioning.  Rows-only check; pytest gates recall against
+    q12_cosine_topk's exact result.
+    """
+    corpus = _corpus(spark, sf_dir)
+    unit = corpus.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
+    )
+    cent = _ivf_centroids(corpus)
+    clustered = unit.withColumn("cluster", _cluster_expr(F.col("u"), cent))
+
+    probes = clustered.orderBy("vec_id").limit(N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("u").alias("pu")
+    )
+    pu = np.asarray(
+        [r["pu"] for r in probes.select("pu").orderBy("probe_id").collect()]
+    )
+    pid = [r["probe_id"] for r in probes.select("probe_id").orderBy("probe_id").collect()]
+    top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :IVF_NPROBE]
+    probe_buckets = probes.sparkSession.createDataFrame(
+        [
+            (int(p), int(c))
+            for p, row in zip(pid, top_clusters)
+            for c in row
+        ],
+        "probe_id long, cluster int",
+    ).join(probes, "probe_id")
+
+    cand = clustered.join(F.broadcast(probe_buckets), "cluster").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cand.withColumn("cos_sim", V.dot(F.col("pu"), F.col("u")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

@@ -478,3 +478,103 @@ def q8_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k_parsed").alias("min_k"),
         F.max("k_parsed").alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q8d — predicate battery (§2.2 projection/filter row: IN, BETWEEN, LIKE,
+# null-safe equality).  Projected as booleans rather than filters so the
+# oracle checks every predicate's value on every row, not just the
+# surviving subset.
+# --------------------------------------------------------------------------
+@query(
+    "q8_predicates",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority IN ('1-URGENT', '2-HIGH')        AS is_priority,
+           o_totalprice BETWEEN 50000 AND 150000            AS mid_price,
+           o_orderpriority LIKE '%URGENT'                   AS like_urgent,
+           nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F' AS nullsafe_f,
+           nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL AS nullsafe_null
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    """,
+)
+def q8_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / null-safe-eq battery over ``orders``."""
+    orders = _t(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_priority"),
+        F.col("o_totalprice").between(50000, 150000).alias("mid_price"),
+        F.col("o_orderpriority").like("%URGENT").alias("like_urgent"),
+        status_or_null.eqNullSafe(F.lit("F")).alias("nullsafe_f"),
+        status_or_null.eqNullSafe(F.lit(None).cast("string")).alias("nullsafe_null"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8e — array & map function battery (§2.2 scalar row: size, element
+# access, contains, transform+aggregate, distinct; map_keys/element_at
+# over the parsed JSON payload).  Arrays come from tokenizing documents,
+# maps from events.props — both native columnar types end-to-end.
+# --------------------------------------------------------------------------
+@query(
+    "q8_array_map",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT)                         AS n_words,
+           ws[1]                                           AS first_word,
+           list_contains(ws, 'the')                        AS has_the,
+           CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS total_chars,
+           CAST(len(list_distinct(ws)) AS BIGINT)          AS n_unique,
+           array_to_string(ws[1:3], ' ')                   AS first_three
+    FROM t
+    """,
+)
+def q8_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function battery over tokenized documents."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select("doc_id", ws.alias("ws"))
+    total = F.aggregate(
+        F.transform("ws", lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.col("ws").getItem(0).alias("first_word"),
+        F.array_contains("ws", "the").alias("has_the"),
+        total.alias("total_chars"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_unique"),
+        F.concat_ws(" ", F.slice("ws", 1, 3)).alias("first_three"),
+    )
+
+
+@query(
+    "q8_map_props",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(len(json_keys(props)) AS BIGINT)  AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE event_id % 5 = 0
+    """,
+)
+def q8_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions (map_keys / element_at) over the parsed JSON payload."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.where(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )

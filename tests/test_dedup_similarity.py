@@ -76,3 +76,19 @@ def test_exact_dedup_total_count(spark, sf_dir):
     docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     groups = REGISTRY["q11_exact_dedup"].fn(spark, sf_dir)
     assert groups.agg(F.sum("n_copies")).collect()[0][0] == docs_n
+
+
+def test_ivf_beats_candidate_fraction(spark, sf_dir):
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in REGISTRY["q12_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in REGISTRY["q12_ivf"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe/K = 25% of the corpus scanned; on structureless random data
+    # recall ≈ candidate fraction — the gate proves the quantizer is at
+    # least as good as random bucketing, cheaply
+    assert recall >= 0.25, f"ivf recall {recall:.2f}"
