@@ -189,3 +189,58 @@ def q16_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(qname)
+
+
+_OUTER_ORACLE = """
+    WITH ustats AS (
+        SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM events GROUP BY user_id
+    ),
+    small_cust AS (
+        SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey < 100
+    )
+    SELECT coalesce(u.user_id, c.c_custkey) AS key,
+           u.n_events, u.sum_value, c.c_name, c.c_mktsegment,
+           CASE WHEN u.user_id IS NULL THEN 'customer_only'
+                WHEN c.c_custkey IS NULL THEN 'events_only'
+                ELSE 'both' END AS side
+    FROM ustats u FULL OUTER JOIN small_cust c ON u.user_id = c.c_custkey
+"""
+
+
+@query("q17_outer_joins", oracle=_OUTER_ORACLE)
+def q17_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with genuinely unmatched rows on BOTH sides
+    (users 100-149 have events but no small_cust row; customers beyond
+    the event population have no events), expressed through the
+    ``spark.sql`` surface over temp views — the engine's SQL entry path.
+
+    Left/right outer are the same plan with one side's null branch
+    dropped; full-outer is the strict superset so it is the oracle-
+    checked shape.  Catalyst plans it as a sort-merge join (broadcast
+    full-outer is unsupported for the stream side) — both inputs
+    shuffle once on the key.
+    """
+    from frizzle_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH ustats AS (
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM v_events GROUP BY user_id
+        ),
+        small_cust AS (
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM v_customer WHERE c_custkey < 100
+        )
+        SELECT coalesce(u.user_id, c.c_custkey) AS key,
+               u.n_events, u.sum_value, c.c_name, c.c_mktsegment,
+               CASE WHEN u.user_id IS NULL THEN 'customer_only'
+                    WHEN c.c_custkey IS NULL THEN 'events_only'
+                    ELSE 'both' END AS side
+        FROM ustats u FULL OUTER JOIN small_cust c ON u.user_id = c.c_custkey
+        """
+    )
