@@ -290,9 +290,6 @@ class Pipeline:
         # commit after this returns ≙ Ack for every routed row.
         batch_df = batch_df.persist()
         try:
-            n_rcv = batch_df.count()
-            self.stats.increment(M.RCV, n_rcv)
-
             df = self.process(batch_df) if self.process else batch_df
             if self.fail_predicate is not None:
                 failed = df.filter(self.fail_predicate)
@@ -301,24 +298,41 @@ class Pipeline:
                 failed = None
                 ok = df
 
-            n_ok = ok.count()
+            # ONE counting job per batch: rcv/fail/unrouted in a single
+            # aggregate pass over the (persisted) batch, instead of a
+            # separate .count() job per counter — at high trigger rates
+            # the extra jobs, not the counts, were the overhead.
+            ok_pred = (
+                ~self.fail_predicate if self.fail_predicate is not None else F.lit(True)
+            )
+            fail_n = (
+                F.count(F.when(self.fail_predicate, True))
+                if self.fail_predicate is not None
+                else F.lit(0).cast("long")
+            )
+            unrouted_n = F.count(F.when(ok_pred & F.col("dest").isNull(), True))
+            counts = df.agg(
+                F.count(F.lit(1)).alias("rcv"),
+                fail_n.alias("fail"),
+                unrouted_n.alias("unrouted"),
+            ).collect()[0]
+            n_rcv, n_fail = counts["rcv"], counts["fail"]
+            n_ok = n_rcv - n_fail
+            self.stats.increment(M.RCV, n_rcv)
+
             to_send = ok.where(F.col("dest").isNotNull()) if self.drop_unrouted else ok
             to_send = chain([t.send for t in self.transformers], to_send)
-            n_send = to_send.count()
+            n_send = n_ok - counts["unrouted"] if self.drop_unrouted else n_ok
             self.sink.write(to_send, self.default_dest)
             self.stats.increment(M.SEND, n_send)
             self.stats.increment(M.ACK, n_ok)
 
-            if failed is not None:
-                n_fail = failed.count()
-                if n_fail:
-                    self.stats.increment(M.FAIL, n_fail)
-                    if self.fail_sink is not None:
-                        dlq, dlq_dest = self.fail_sink
-                        dlq.write(
-                            failed.withColumn("dest", F.lit(dlq_dest)), dlq_dest
-                        )
-                        self.stats.increment(M.FAILSEND, n_fail)
+            if failed is not None and n_fail:
+                self.stats.increment(M.FAIL, n_fail)
+                if self.fail_sink is not None:
+                    dlq, dlq_dest = self.fail_sink
+                    dlq.write(failed.withColumn("dest", F.lit(dlq_dest)), dlq_dest)
+                    self.stats.increment(M.FAILSEND, n_fail)
         finally:
             batch_df.unpersist()
 
