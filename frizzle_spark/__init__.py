@@ -24,4 +24,39 @@ from frizzle_spark.sources.tables import TABLES, load_table, register_views
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "load_table", "register_views", "TABLES", "__version__"]
+__all__ = [
+    "get_spark",
+    "load_table",
+    "register_views",
+    "TABLES",
+    "__version__",
+    # streaming bus facade (imported lazily below to keep bare imports light)
+    "Pipeline",
+    "FileReplaySource",
+    "KafkaSource",
+    "RateSource",
+    "ChainSource",
+    "MemorySink",
+    "ParquetSink",
+    "KafkaSink",
+    "ENVELOPE",
+    "Transformer",
+    "sep_transformer",
+    "DictStats",
+    "salted_join",
+    "two_phase_agg",
+]
+
+
+def __getattr__(name: str):
+    """Lazy re-exports: ``frizzle_spark.Pipeline`` etc. without paying the
+    streaming-module import on bare ``import frizzle_spark``."""
+    from frizzle_spark.operators import skew as _skew
+    from frizzle_spark.streaming import metrics as _metrics
+    from frizzle_spark.streaming import pipeline as _pipeline
+    from frizzle_spark.streaming import transforms as _transforms
+
+    for mod in (_pipeline, _transforms, _metrics, _skew):
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    raise AttributeError(f"module 'frizzle_spark' has no attribute {name!r}")

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) — what the reference's example-based
+matrix (transform_test.go:14-56) proves for 4 fixed strings, proved here
+for arbitrary payloads; plus algebraic laws for the skew operators.
+
+Each property collects its hypothesis examples into ONE DataFrame and
+runs a single Spark job — example generation is driver-side, so the
+suite stays fast.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from frizzle_spark.streaming.transforms import sep_transformer
+
+SEPS = [b"\n", b"|", b"::"]
+
+
+def _apply(spark, payloads: list[bytes], sep: bytes, which: str) -> list[bytes]:
+    t = sep_transformer(sep)
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(payloads)], "id string, data binary"
+    )
+    out = (t.send if which == "send" else t.receive)(df)
+    rows = out.orderBy(F.col("id").cast("int")).collect()
+    return [bytes(r["data"]) for r in rows]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=30), min_size=1, max_size=20),
+    sep=st.sampled_from(SEPS),
+)
+def test_send_appends_iff_absent_and_is_idempotent(spark, payloads, sep):
+    sent = _apply(spark, payloads, sep, "send")
+    # every sent payload ends with the separator, appended at most once
+    for p, s in zip(payloads, sent):
+        assert s.endswith(sep)
+        assert s == (p if p.endswith(sep) else p + sep)
+    # idempotence: send ∘ send = send (transform_test.go's append-iff-absent)
+    assert _apply(spark, sent, sep, "send") == sent
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=30), min_size=1, max_size=20),
+    sep=st.sampled_from(SEPS),
+)
+def test_receive_inverts_send(spark, payloads, sep):
+    sent = _apply(spark, payloads, sep, "send")
+    received = _apply(spark, sent, sep, "receive")
+    # receive strips exactly the one trailing separator send guarantees
+    for p, r in zip(payloads, received):
+        assert r == (p[: -len(sep)] if p.endswith(sep) else p)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=50,
+    ),
+    buckets=st.sampled_from([2, 5, 16]),
+)
+def test_two_phase_agg_equals_plain_agg(spark, rows, buckets):
+    from frizzle_spark.operators.skew import two_phase_agg
+
+    df = spark.createDataFrame(rows, "k int, v long")
+    plain = {
+        (r["k"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    skewsafe = {
+        (r["k"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in two_phase_agg(
+            df,
+            ["k"],
+            {
+                "n": F.count(F.lit(1)),
+                "s": F.sum("v"),
+                "mn": F.min("v"),
+                "mx": F.max("v"),
+            },
+            buckets=buckets,
+        ).collect()
+    }
+    assert skewsafe == plain
