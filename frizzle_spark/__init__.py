@@ -34,6 +34,7 @@ __all__ = [
     "Pipeline",
     "FileReplaySource",
     "KafkaSource",
+    "KinesisSource",
     "RateSource",
     "ChainSource",
     "MemorySink",

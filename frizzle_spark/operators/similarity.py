@@ -287,31 +287,20 @@ def _ivf_centroids(corpus: DataFrame) -> "np.ndarray":
     return cent
 
 
-def _cluster_expr(unit_vec: F.Column, cent: "np.ndarray") -> F.Column:
-    """argmax over centroid dots, fully JVM-side: array<struct<dot,idx>>
-    compared lexicographically by array_max — no Python per row."""
-    scored = F.array(
-        *[
-            F.struct(
-                V.dot(F.array(*[F.lit(float(v)) for v in c]), unit_vec).alias("dot"),
-                F.lit(i).alias("idx"),
-            )
-            for i, c in enumerate(cent)
-        ]
-    )
-    return F.array_max(scored).getField("idx")
-
-
 @query("q12_ivf", oracle=None)
 def q12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF: k-means coarse quantizer, nprobe=4.
 
     Corpus vectors partition into IVF_CLUSTERS inverted lists; each
     probe scans only its nprobe closest lists (~nprobe/K of the data).
-    Candidate generation is a broadcast hash join on cluster id, so the
-    corpus never reshuffles per query — the inverted-list layout is the
-    partitioning.  Rows-only check; pytest gates recall against
-    q12_cosine_topk's exact result.
+    Cluster assignment is one numpy GEMM per Arrow batch against a
+    BROADCAST centroid matrix (a first cut shipped the centroids as
+    1,024 literal expression nodes — Catalyst analysis alone made the
+    query 10× slower at sf0.1; broadcast variables are the way to ship
+    model constants).  Candidate generation is a broadcast hash join on
+    cluster id, so the corpus never reshuffles per query — the
+    inverted-list layout IS the partitioning.  Rows-only check; pytest
+    gates recall against q12_cosine_topk's exact result.
     """
     corpus = _corpus(spark, sf_dir)
     unit = corpus.select(
@@ -319,24 +308,38 @@ def q12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
     )
     cent = _ivf_centroids(corpus)
-    clustered = unit.withColumn("cluster", _cluster_expr(F.col("u"), cent))
+    bc_cent = spark.sparkContext.broadcast(cent)
 
-    probes = clustered.orderBy("vec_id").limit(N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("u").alias("pu")
-    )
-    pu = np.asarray(
-        [r["pu"] for r in probes.select("pu").orderBy("probe_id").collect()]
-    )
-    pid = [r["probe_id"] for r in probes.select("probe_id").orderBy("probe_id").collect()]
+    def assign(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        c = bc_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["u"].map(np.asarray))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": (u @ c.T).argmax(axis=1).astype(np.int32),
+                    "u": pdf["u"],
+                }
+            )
+
+    clustered = unit.mapInPandas(assign, "vec_id long, cluster int, u array<double>")
+
+    probe_rows = clustered.orderBy("vec_id").limit(N_PROBES).collect()
+    pid = [r["vec_id"] for r in probe_rows]
+    pu = np.asarray([r["u"] for r in probe_rows])
     top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :IVF_NPROBE]
-    probe_buckets = probes.sparkSession.createDataFrame(
+    probe_buckets = spark.createDataFrame(
         [
-            (int(p), int(c))
-            for p, row in zip(pid, top_clusters)
+            (int(p), int(c), [float(x) for x in vec])
+            for p, vec, row in zip(pid, pu, top_clusters)
             for c in row
         ],
-        "probe_id long, cluster int",
-    ).join(probes, "probe_id")
+        "probe_id long, cluster int, pu array<double>",
+    )
 
     cand = clustered.join(F.broadcast(probe_buckets), "cluster").where(
         F.col("vec_id") != F.col("probe_id")

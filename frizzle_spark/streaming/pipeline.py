@@ -115,6 +115,46 @@ class KafkaSource:
 
 
 @dataclass(frozen=True)
+class KinesisSource:
+    """Kinesis ecosystem source (declared type, frizzle.go:33-34; impl in
+    the reference lives in the sibling repo frinesis — ours likewise
+    delegates to an external connector).  Requires the spark-sql-kinesis
+    connector on the classpath (``--packages``); OSS Spark core does not
+    bundle one, so ``load`` raises a clear error when it is absent.
+    Envelope mapping: partitionKey→id, data→data, approximateArrivalTimestamp→ts.
+    """
+
+    stream_name: str
+    region: str
+    endpoint: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.readStream.format("kinesis")
+            .option("streamName", self.stream_name)
+            .option("region", self.region)
+        )
+        if self.endpoint:
+            reader = reader.option("endpointUrl", self.endpoint)
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        try:
+            df = reader.load()
+        except Exception as exc:  # connector not on classpath
+            raise NotImplementedError(
+                "Kinesis needs the spark-sql-kinesis connector on the "
+                "classpath (spark-submit --packages ...); not bundled here"
+            ) from exc
+        return df.select(
+            F.col("partitionKey").cast("string").alias("id"),
+            F.col("data").alias("data"),
+            F.col("approximateArrivalTimestamp").alias("ts"),
+            F.lit(None).cast("string").alias("dest"),
+        )
+
+
+@dataclass(frozen=True)
 class RateSource:
     """Synthetic source for smoke tests (rows/sec)."""
 

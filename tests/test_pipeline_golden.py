@@ -198,3 +198,11 @@ def test_pipeline_chaining(spark, corpus_dir, tmp_path):
 
     got = sorted(bytes(r["data"]).decode() for r in sink_b.sent.get("stage2", []))
     assert got == sorted(m.upper() for m in CORPUS if m != "fail")
+
+
+def test_kinesis_source_clear_error_without_connector(spark):
+    from frizzle_spark.streaming.pipeline import KinesisSource
+
+    src = KinesisSource(stream_name="s", region="us-east-1")
+    with pytest.raises(NotImplementedError, match="spark-sql-kinesis"):
+        src.load(spark)
