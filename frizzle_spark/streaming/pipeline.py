@@ -406,9 +406,13 @@ class Pipeline:
                 self.spark.streams.removeListener(self.listener)
 
     # ≙ HandleShutdown (options.go:105-135)
-    def handle_shutdown(self, app_shutdown: Callable[[], None] | None = None) -> None:
+    def handle_shutdown(
+        self,
+        app_shutdown: Callable[[], None] | None = None,
+        flush_timeout: float = DEFAULT_FLUSH_SECONDS,
+    ) -> None:
         def _handler(signum, frame):
-            self.stop(DEFAULT_FLUSH_SECONDS)
+            self.stop(flush_timeout)
             if app_shutdown:
                 app_shutdown()
 

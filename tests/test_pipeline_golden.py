@@ -206,3 +206,32 @@ def test_kinesis_source_clear_error_without_connector(spark):
     src = KinesisSource(stream_name="s", region="us-east-1")
     with pytest.raises(NotImplementedError, match="spark-sql-kinesis"):
         src.load(spark)
+
+
+def test_handle_shutdown_real_signal(spark, corpus_dir):
+    """O20: a real SIGTERM drains and stops the bus, then invokes the app
+    callback (the reference fires a real signal too, frizzle_test.go:138-155)."""
+    import os
+    import signal as sig
+    import time
+
+    source = FileReplaySource(path=corpus_dir, schema=MSG_SCHEMA)
+    pipe = Pipeline(spark, source, MemorySink(), default_dest="main")
+    state = {"callback": False}
+    prev = sig.getsignal(sig.SIGTERM)
+    try:
+        pipe.handle_shutdown(lambda: state.update(callback=True), flush_timeout=2)
+        pipe.start(trigger={"processingTime": "1 second"})
+        deadline = time.time() + 60
+        while pipe.query.recentProgress == [] and time.time() < deadline:
+            time.sleep(0.2)
+        os.kill(os.getpid(), sig.SIGTERM)
+        deadline = time.time() + 30
+        while not state["callback"] and time.time() < deadline:
+            time.sleep(0.2)
+        assert state["callback"], "shutdown callback not invoked"
+        assert not pipe.query.isActive, "query still active after SIGTERM"
+    finally:
+        sig.signal(sig.SIGTERM, prev)
+        if pipe.query is not None and pipe.query.isActive:
+            pipe.query.stop()
