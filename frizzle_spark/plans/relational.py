@@ -578,3 +578,63 @@ def q8_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
         F.element_at(m, "k").alias("k_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q7c — pivot (conditional aggregation surface).  groupBy().pivot() with an
+# EXPLICIT value list: without it Spark runs an extra distinct job to
+# discover columns, and at 100 TB schema discovery must never scan data.
+# --------------------------------------------------------------------------
+@query(
+    "q7_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           round(coalesce(sum(value) FILTER (event_type = 'click'),    0), 6) AS click,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 6) AS purchase,
+           round(coalesce(sum(value) FILTER (event_type = 'view'),     0), 6) AS view,
+           round(coalesce(sum(value) FILTER (event_type = 'signup'),   0), 6) AS signup,
+           round(coalesce(sum(value) FILTER (event_type = 'error'),    0), 6) AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q7_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-bucket revenue pivoted by event type (explicit value list)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "purchase", "view", "signup", "error"]
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", kinds)
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "user_bucket",
+        *[F.round(F.coalesce(F.col(k), F.lit(0.0)), 6).alias(k) for k in kinds],
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9b — exact percentiles (continuous interpolation, matches DuckDB
+# quantile_cont).  percentile() is an exact sort-based aggregate; the
+# sketch alternative at scale is approx_percentile (same shape as Q9's
+# approx_count_distinct: mergeable partials, rel-error tested).
+# --------------------------------------------------------------------------
+@query(
+    "q9_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

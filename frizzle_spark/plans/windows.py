@@ -147,3 +147,54 @@ def q10_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q10_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT g.hour, coalesce(a.n, 0) AS n_events,
+           coalesce(a.sum_value, 0.0) AS sum_value,
+           a.n IS NULL AS gap_filled
+    FROM grid g LEFT JOIN agg a ON g.hour = a.hour
+    """,
+)
+def q10_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: hourly grid from ``sequence`` +
+    explode, left-joined to the hourly aggregate, missing hours zeroed.
+
+    The grid side is tiny (one row per hour of span) and broadcasts;
+    the aggregate side shuffles once on the truncated hour.  This is the
+    canonical densification shape — at 100 TB the grid stays driver-free
+    (sequence() is generated, not collected).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sv")
+    )
+    grid = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+        )
+    )
+    return grid.join(F.broadcast(agg), "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+        F.col("n").isNull().alias("gap_filled"),
+    )
