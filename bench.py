@@ -29,9 +29,13 @@ def main() -> None:
     from frizzle_spark.session import get_spark
 
     spark = get_spark("frizzle_spark-bench")
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # plan, not first-touch JIT
+    # warm the JVM + parquet footers + the Python worker pool once so
+    # per-query numbers measure the plan, not first-touch JIT / daemon
+    # startup (which otherwise charges whichever query runs first)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):

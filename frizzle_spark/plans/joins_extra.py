@@ -244,3 +244,31 @@ def q17_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ustats u FULL OUTER JOIN small_cust c ON u.user_id = c.c_custkey
         """
     )
+
+
+_SALTED_ORACLE = """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+"""
+
+
+@query("q19_salted_join", oracle=_SALTED_ORACLE)
+def q19_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join as a registry query: same rows as the plain
+    equi-join (the oracle), produced through salt-and-replicate
+    (operators/skew.py).  Exists to keep the skew path differentially
+    verified on real tables — use it when a hot key breaks past AQE's
+    split threshold and the right side can't broadcast.
+    """
+    from frizzle_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 100000
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    return salted_join(orders, cust, ["o_custkey"]).select(
+        "o_orderkey", "c_name", "c_mktsegment"
+    )

@@ -638,3 +638,17 @@ def q9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+@query("q9_approx_percentiles", oracle=None)
+def q9_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles (KLL-style, mergeable partials) — the 100 TB
+    path where exact percentile's per-group sort is unaffordable.  No
+    DuckDB oracle (different sketch); tests bound the error against
+    q9_percentiles.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("p90_approx"),
+    )

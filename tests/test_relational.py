@@ -47,3 +47,19 @@ def test_approx_distinct_tolerance(spark, sf_dir):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, approx[k], v)
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in REGISTRY["q9_percentiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"])
+        for r in REGISTRY["q9_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    for k, (p50, p90) in exact.items():
+        a50, a90 = approx[k]
+        spread = max(abs(p90), 1.0)
+        assert abs(a50 - p50) <= 0.05 * spread, (k, p50, a50)
+        assert abs(a90 - p90) <= 0.05 * spread, (k, p90, a90)
