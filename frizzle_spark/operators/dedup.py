@@ -211,26 +211,53 @@ def q11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_expr(h: F.Column | None = None) -> F.Column:
-    """64-bit SimHash from exploded shingle hashes (used under groupBy).
+_SIMHASH_LANES = 16  # packed longs per signature; 4 × 16-bit lanes each
 
-    For each bit i: sum ±1 over shingle hashes' bit i; simhash bit i = 1
-    iff the sum is positive.  Expressed as 64 conditional aggregates +
-    a bit-OR fold — all JVM-side.  Pass a pre-hashed column so the
-    shingle string is hashed once, not once per bit.
+
+def simhash_fingerprints(hashed: DataFrame, h: str = "h64") -> DataFrame:
+    """doc_id → 64-bit SimHash, via lane-packed vote counting.
+
+    Semantics: simhash bit i = 1 iff Σ over shingles of (±1 on bit i of
+    the shingle hash) is positive — equivalently 2·ones_i > n_shingles.
+
+    Instead of 64 conditional SUM aggregates (measured: codegen + JIT of
+    that plan dominated wall time — ~6 s of a 7.5 s fresh run at sf0.1),
+    pack 4 bit-counters into 16-bit lanes of 16 longs: per shingle,
+    lane k of packed_j holds bit 4j+k; SUM the 16 packed longs plus one
+    COUNT, then unpack ones_i = (S_{i/4} >> 16·(i%4)) & 0xFFFF in a flat
+    projection.  17 aggregate buffers instead of 64, no branches in the
+    agg loop.  Lane width bounds shingles/doc at 65 535 — far above the
+    testdata max (98) and any sane shingle set; for 100 TB documents
+    beyond that, pre-split docs into ≤64 k-shingle segments and merge
+    (vote counts add associatively), or widen to 32-bit lanes
+    (32 sums — still 2× fewer than per-bit).
     """
-    if h is None:
-        h = F.xxhash64(F.col("shingle"))
-    bits = []
+    hcol = F.col(h)
+    packed = []
+    for j in range(_SIMHASH_LANES):
+        lane = None
+        for k in range(4):
+            term = (
+                F.shiftrightunsigned(hcol, 4 * j + k)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+                * F.lit(1 << (16 * k)).cast("long")
+            )
+            lane = term if lane is None else lane + term
+        packed.append(F.sum(lane).alias(f"s{j}"))
+    agg = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *packed)
+
+    fp = None
     for i in range(SIMHASH_BITS):
-        vote = F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ones = (
+            F.shiftrightunsigned(F.col(f"s{i // 4}"), 16 * (i % 4))
+            .bitwiseAND(F.lit(0xFFFF))
         )
-        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i).cast("long") if i < 63 else F.when(vote > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        is_set = (ones * 2) > F.col("n")
+        weight = F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        term = F.when(is_set, weight).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
 
 
 @query("q11_simhash", oracle=None)
@@ -243,7 +270,7 @@ def q11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingles(spark, sf_dir)
     hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h64"))
-    fps = hashed.groupBy("doc_id").agg(simhash_expr(F.col("h64")).alias("simhash"))
+    fps = simhash_fingerprints(hashed)
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF)).alias(f"c{j}")

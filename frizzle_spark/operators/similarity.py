@@ -262,19 +262,14 @@ IVF_TRAIN_SAMPLE = 4096
 IVF_ITERS = 10
 
 
-def _ivf_centroids(corpus: DataFrame) -> "np.ndarray":
-    """Deterministic Lloyd's k-means on a bounded driver-side sample.
+def _kmeans_unit(x: "np.ndarray") -> "np.ndarray":
+    """Deterministic Lloyd's k-means over unit vectors (cosine affinity).
 
-    The sample cap is the scale contract: training cost is O(sample ×
-    iters × K) regardless of corpus size — at 100 TB you still collect
-    only IVF_TRAIN_SAMPLE vectors (here the lowest ids for determinism;
-    production would hash-sample).  Centroids are unit-normalized so
-    cluster affinity is the cosine itself.
+    Runs on a bounded driver-side sample — the scale contract: training
+    cost is O(sample × iters × K) regardless of corpus size; at 100 TB
+    you still collect only IVF_TRAIN_SAMPLE vectors.  Centroids are
+    re-unit-normalized each iteration so affinity stays the cosine.
     """
-    rows = (
-        corpus.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).select("v", "nrm").collect()
-    )
-    x = np.asarray([r["v"] for r in rows]) / np.asarray([[r["nrm"]] for r in rows])
     rng = np.random.RandomState(7)
     cent = x[rng.choice(len(x), IVF_CLUSTERS, replace=False)]
     for _ in range(IVF_ITERS):
@@ -307,7 +302,20 @@ def q12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
     )
-    cent = _ivf_centroids(corpus)
+    # ONE bounded collect feeds both the quantizer sample and the probe
+    # set (probes are the N_PROBES lowest vec_ids, a prefix of the
+    # lowest-IVF_TRAIN_SAMPLE sample) — a first cut ran the full-corpus
+    # mapInPandas assignment a second time just to read 10 probe rows.
+    sample = (
+        corpus.orderBy("vec_id")
+        .limit(max(IVF_TRAIN_SAMPLE, N_PROBES))
+        .select("vec_id", "v", "nrm")
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in sample]) / np.asarray(
+        [[r["nrm"]] for r in sample]
+    )
+    cent = _kmeans_unit(x)
     bc_cent = spark.sparkContext.broadcast(cent)
 
     def assign(batches):  # pragma: no cover - executed on executors
@@ -328,9 +336,8 @@ def q12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clustered = unit.mapInPandas(assign, "vec_id long, cluster int, u array<double>")
 
-    probe_rows = clustered.orderBy("vec_id").limit(N_PROBES).collect()
-    pid = [r["vec_id"] for r in probe_rows]
-    pu = np.asarray([r["u"] for r in probe_rows])
+    pid = [r["vec_id"] for r in sample[:N_PROBES]]
+    pu = x[:N_PROBES]
     top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :IVF_NPROBE]
     probe_buckets = spark.createDataFrame(
         [

@@ -51,7 +51,8 @@ def test_simhash_finds_synthetic_neardup(spark):
         )
         .distinct()
     )
-    fps = {r["doc_id"]: r["simhash"] for r in sh.groupBy("doc_id").agg(dd.simhash_expr().alias("simhash")).collect()}
+    hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h64"))
+    fps = {r["doc_id"]: r["simhash"] for r in dd.simhash_fingerprints(hashed).collect()}
     ham12 = bin(fps[1] ^ fps[2]).count("1")
     ham13 = bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1")
     assert ham12 < ham13, (ham12, ham13)
