@@ -1,0 +1,157 @@
+"""Q20/Q21 — the remaining declarative-SQL surface: subqueries (Catalyst
+decorrelation), value-range window frames, and the Python UDTF API.
+
+The reference has no query language at all — its entire "plan" is
+compiled Go user code over channels (reference frizzle.go:97-123) — so
+these queries exist to round out THIS engine's committed inventory
+(SURVEY.md §2.2 rows "projection/filter/predicates", "window functions",
+"UDF/UDAF/UDTF"):
+
+* ``q20_subqueries``  — EXISTS / NOT EXISTS / IN-subquery predicates plus
+  correlated and uncorrelated scalar subqueries in the projection.
+  Catalyst decorrelates every one into joins (left-semi, left-anti,
+  left-outer + aggregate) — no per-row re-execution, so the shape
+  scales: each subquery costs one shuffled (or broadcast) join, not
+  O(rows) probes.
+* ``q20_range_frame`` — RANGE frame over a numeric ORDER BY (peers by
+  value distance, not row position; the complement of Q5's ROWS frame).
+  Value-based frames are deterministic under ties by construction —
+  every peer row gets the same frame — so the result is oracle-stable
+  even though sort order among ties is not.
+* ``q21_udtf``        — a real Python UDTF (table function) applied via
+  LATERAL correlation: one input row fans out to N output rows, then
+  re-aggregates.  This is the row-at-a-time slow path and exists to
+  complete the API surface; the Arrow-batched fan-out for hot paths is
+  mapInPandas (q15_frame_sample, functions/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+from pyspark.sql.window import Window
+
+from frizzle_spark.plans.registry import query
+from frizzle_spark.sources.tables import load_table
+
+_SUBQ_SQL = """
+    SELECT c.c_custkey,
+           c.c_name,
+           (SELECT count(*) FROM {orders} o
+             WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           round(c.c_acctbal - (SELECT avg(c_acctbal) FROM {customer}),
+                 6) AS bal_vs_avg
+    FROM {customer} c
+    WHERE c.c_custkey IN (SELECT o_custkey FROM {orders}
+                          WHERE o_totalprice > 150000)
+      AND EXISTS (SELECT 1 FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM {orders} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice < 2000)
+"""
+
+
+@query(
+    "q20_subqueries",
+    oracle=_SUBQ_SQL.format(orders="orders", customer="customer"),
+)
+def q20_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery battery: IN + EXISTS + NOT EXISTS predicates, correlated
+    COUNT scalar subquery, uncorrelated AVG scalar subquery.
+
+    Catalyst rewrites: IN → left-semi join, EXISTS → left-semi,
+    NOT EXISTS → left-anti, correlated scalar → aggregate + left-outer
+    join, uncorrelated scalar → one-row broadcast.  At 100 TB each is a
+    single hash join on o_custkey (AQE picks broadcast for the one-row
+    side); nothing degenerates to nested-loop re-execution.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(_SUBQ_SQL.format(orders="v_orders", customer="v_customer"))
+
+
+@query(
+    "q20_range_frame",
+    oracle="""
+    SELECT event_id, event_type, round(value, 6) AS value,
+           round(sum(value) OVER (
+               PARTITION BY event_type ORDER BY value
+               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS range_sum,
+           count(*) OVER (
+               PARTITION BY event_type ORDER BY value
+               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS range_n
+    FROM events
+    """,
+)
+def q20_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame: per event_type ordered by value, each
+    row aggregates its peers within value − 10 … value.
+
+    One shuffle on the partition key + one sort — the frame itself is a
+    linear scan with a sliding lower bound (no re-scan per row).  The
+    ROWS-frame complement lives in Q5 (relational.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(-10, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(F.sum("value").over(w), 6).alias("range_sum"),
+        F.count(F.lit(1)).over(w).alias("range_n"),
+    )
+
+
+@udtf(returnType="pos int, token string")
+class _TokenizeUDTF:  # pragma: no cover - executed in Python workers
+    """Whitespace tokenizer with ordinal position — the minimal honest
+    table function: 1 input row → N output rows."""
+
+    def eval(self, text: str | None):
+        for i, tok in enumerate((text or "").split()):
+            yield i, tok
+
+
+@query(
+    "q21_udtf",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           min(token) AS min_token, max(token) AS max_token
+    FROM toks GROUP BY doc_id
+    """,
+)
+def q21_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through LATERAL correlation: tokenize each document
+    (row → token rows), then re-aggregate per doc so the oracle check
+    covers both the fan-out and its positions.
+
+    Row-at-a-time UDTF = slow path (one Python call per input row);
+    committed for API completeness.  The 100 TB fan-out path is
+    mapInPandas with Arrow batches (q15) — same logical shape, ~10-100×
+    the throughput.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.trim(F.col("text")) != ""
+    )
+    docs.createOrReplaceTempView("v_documents_udtf")
+    spark.udtf.register("frizzle_tokenize", _TokenizeUDTF)
+    return spark.sql(
+        """
+        SELECT d.doc_id, count(*) AS n_tokens,
+               min(t.token) AS min_token, max(t.token) AS max_token
+        FROM v_documents_udtf d, LATERAL frizzle_tokenize(d.text) t
+        GROUP BY d.doc_id
+        """
+    )
