@@ -1,0 +1,55 @@
+"""Bucketed co-located join: the write-once-shuffle-never layout.
+
+The gate: a fact-fact equi-join between two tables bucketed on the join
+key must contain NO Exchange in its physical plan — the bucket layout
+replaces the runtime shuffle.  Values are still differentially checked
+against the plain (shuffling) join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frizzle_spark.sources.bucketed import read_bucketed, write_bucketed
+from frizzle_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    write_bucketed(orders, "b_orders", str(tmp_path / "b_orders"), ["o_custkey"], 8)
+    write_bucketed(cust, "b_cust", str(tmp_path / "b_cust"), ["c_custkey"], 8)
+
+    joined = read_bucketed(spark, "b_orders").join(
+        read_bucketed(spark, "b_cust"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+    # same rows as the plain shuffling join
+    plain = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    assert joined.count() == plain.count()
+    a = joined.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    b = plain.agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+    assert a == b
+
+    # groupBy on the bucket key also rides the layout: no exchange
+    agg = read_bucketed(spark, "b_orders").groupBy("o_custkey").count()
+    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in agg_plan, agg_plan
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")

@@ -15,6 +15,7 @@ import pytest
 import frizzle_spark.plans.joins_extra  # noqa: F401 - populate registry
 import frizzle_spark.plans.relational  # noqa: F401
 import frizzle_spark.operators.similarity  # noqa: F401
+import frizzle_spark.plans.sql_surface  # noqa: F401
 from frizzle_spark.plans.registry import REGISTRY
 
 
@@ -79,6 +80,24 @@ def test_cosine_topk_broadcasts_probes(plan_of):
     plan = plan_of("q12_cosine_topk")
     assert "BroadcastNestedLoopJoin BuildRight" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_subqueries_decorrelate_to_joins(plan_of):
+    # every subquery must rewrite to a join — IN/EXISTS → left-semi,
+    # NOT EXISTS → left-anti, correlated scalar → aggregate+outer join;
+    # a CartesianProduct or per-row re-execution would be the 100× bug
+    plan = plan_of("q20_subqueries")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_frame_single_exchange(plan_of):
+    # one hash partition on event_type, one sort, a linear frame scan —
+    # no second shuffle, no join
+    plan = plan_of("q20_range_frame")
+    phys = plan[plan.index("== Physical Plan ==") :]
+    assert phys.count("Exchange") == 1
+    assert "RangeFrame" in phys and "Join" not in phys
 
 
 def test_q1_whole_stage_codegen(spark, sf_dir):
