@@ -87,3 +87,18 @@ def test_two_phase_agg_rejects_non_decomposable(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     with pytest.raises(ValueError, match="non-decomposable"):
         two_phase_agg(li, ["l_returnflag"], {"a": F.avg("l_quantity")}).collect()
+
+
+def test_partitioned_write_prunes_directories(spark, orders, tmp_path):
+    # hive-style partitioned layout: a filter on the partition column
+    # must prune directories at planning time (PartitionFilters on the
+    # scan), never read-then-filter — at 100 TB this is the difference
+    # between scanning one status directory and scanning everything
+    path = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+    df = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.index("PartitionFilters: [") :]
+    pf = pf[: pf.index("]")]
+    assert "o_orderstatus" in pf, plan
+    assert df.count() == orders.where(F.col("o_orderstatus") == "F").count()
