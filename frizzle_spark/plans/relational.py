@@ -263,6 +263,34 @@ def q6_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q6_multiset_ops",
+    oracle="""
+    WITH o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'except_all' AS op, o_custkey
+    FROM (SELECT o_custkey FROM o EXCEPT ALL SELECT o_custkey FROM f)
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey
+    FROM (SELECT o_custkey FROM o INTERSECT ALL SELECT o_custkey FROM f)
+    """,
+)
+def q6_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) over key
+    multisets that genuinely contain duplicates (customers place many
+    orders).  Completes the §2.2 set-ops row beside q6's distinct
+    variants; Catalyst plans both as a single hash aggregate counting
+    per-key multiplicities — one shuffle, no join explosion.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    fch = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "o_custkey")  # noqa: E731
+    return tag(o.exceptAll(fch), "except_all").unionByName(
+        tag(o.intersectAll(fch), "intersect_all")
+    )
+
+
 # --------------------------------------------------------------------------
 # Q7 — grouping sets: ROLLUP and CUBE over the region→nation hierarchy.
 # Catalyst expands grouping sets into a single Expand + one aggregate —

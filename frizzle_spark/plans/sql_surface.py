@@ -155,3 +155,25 @@ def q21_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
         """
     )
+
+
+SAMPLE_FRACTIONS = {"click": 0.5, "view": 0.1, "purchase": 1.0}
+SAMPLE_SEED = 42
+
+
+@query("q22_stratified_sample", oracle=None)
+def q22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``) — the training-data rebalancing
+    primitive: downsample over-represented event types, keep rare ones
+    whole.  Per-row Bernoulli draw seeded per partition → no shuffle, no
+    driver coordination, scales linearly; the aggregate below returns
+    per-stratum kept-counts.  Rows-only check (RNG streams differ across
+    engines by construction); pytest bounds each stratum's kept fraction
+    around its target.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    kept = ev.sampleBy("event_type", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

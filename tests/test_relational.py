@@ -64,3 +64,28 @@ def test_approx_percentile_tolerance(spark, sf_dir):
         spread = max(abs(p90), 1.0)
         assert abs(a50 - p50) <= 0.05 * spread, (k, p50, a50)
         assert abs(a90 - p90) <= 0.05 * spread, (k, p90, a90)
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.plans.sql_surface import SAMPLE_FRACTIONS
+
+    totals = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["event_type"] in SAMPLE_FRACTIONS
+    }
+    kept = {
+        r["event_type"]: r["n_kept"]
+        for r in REGISTRY["q22_stratified_sample"].fn(spark, sf_dir).collect()
+    }
+    for etype, frac in SAMPLE_FRACTIONS.items():
+        got = kept.get(etype, 0) / totals[etype]
+        if frac == 1.0:
+            assert got == 1.0, (etype, got)
+        else:
+            assert abs(got - frac) <= 0.06, (etype, got, frac)
