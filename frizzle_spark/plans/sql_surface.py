@@ -177,3 +177,59 @@ def q22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+@query(
+    "q23_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n_rows, count(o_orderkey) AS n_nonnull,
+           round(min(o_orderkey), 6) AS min_v, round(max(o_orderkey), 6) AS max_v,
+           round(avg(o_orderkey), 6) AS avg_v, round(stddev_samp(o_orderkey), 6) AS sd_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey),
+           round(min(o_custkey), 6), round(max(o_custkey), 6),
+           round(avg(o_custkey), 6), round(stddev_samp(o_custkey), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           round(min(o_totalprice), 6), round(max(o_totalprice), 6),
+           round(avg(o_totalprice), 6), round(stddev_samp(o_totalprice), 6)
+    FROM orders
+    """,
+)
+def q23_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pass every ingest runs):
+    count / null-count / min / max / mean / stddev per column.
+
+    ONE aggregate pass computes every column's stats together (a single
+    partial+final agg, no shuffle per column — at 100 TB, profiling N
+    columns must not cost N scans), then ``stack`` pivots the one wide
+    row into per-column rows.  The oracle's UNION ALL of per-column
+    scans is the semantic spec, not the plan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.count(d).alias(f"nn_{c}"),
+            F.round(F.min(d), 6).alias(f"mn_{c}"),
+            F.round(F.max(d), 6).alias(f"mx_{c}"),
+            F.round(F.avg(d), 6).alias(f"av_{c}"),
+            F.round(F.stddev_samp(d), 6).alias(f"sd_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, mn_{c}, mx_{c}, av_{c}, sd_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " as (col, n_nonnull, min_v, max_v, avg_v, sd_v)"
+        ),
+        "n_rows",
+    ).select("col", "n_rows", "n_nonnull", "min_v", "max_v", "avg_v", "sd_v")
