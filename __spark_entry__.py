@@ -35,7 +35,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Naming contract: rows-only (no-oracle) queries carry a ``qz`` prefix
+    so they sort AFTER every oracle-backed name.  Round-1's correctness
+    harvest recorded exactly the first 50 sorted entries, silently
+    dropping the two oracle-backed queries that sorted last; with this
+    ordering, any harvest truncation can only drop approximate-tier
+    queries whose guarantees are pytest-gated anyway (recall/error
+    bounds), never an oracle-backed hash check.  Renames vs round 1 are
+    a pure prefix swap: q9_approx_* → qz9_approx_*, q11_minhash_lsh →
+    qz11_minhash_lsh, q11_simhash → qz11_simhash, q12_ann_lsh →
+    qz12_ann_lsh, q12_ivf → qz12_ivf, q22_stratified_sample →
+    qz22_stratified_sample.
+    """
     return {name: spec.fn for name, spec in sorted(REGISTRY.items())}
 
 

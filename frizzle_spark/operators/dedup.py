@@ -163,8 +163,8 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*mins)
 
 
-@query("q11_minhash_lsh", oracle=None)
-def q11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qz11_minhash_lsh", oracle=None)
+def qz11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
 
     Banding: 16 bands × 4 rows; docs sharing any band bucket become
@@ -260,8 +260,8 @@ def simhash_fingerprints(hashed: DataFrame, h: str = "h64") -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-@query("q11_simhash", oracle=None)
-def q11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qz11_simhash", oracle=None)
+def qz11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, Hamming ≤ 3.
 
     Candidates via 4×16-bit chunk banding (pigeonhole: Hamming ≤ 3 ⇒ at

@@ -10,7 +10,7 @@ Two tiers, as a 100 TB design demands:
   only shuffle carries |probes|×k-ish candidate rows (window on probe_id
   after a per-partition prune would make it fully heap-like; at our
   probe counts the window is already tiny).
-* ``q12_ann_lsh`` — approximate: random-hyperplane (SimHash) bucketing
+* ``qz12_ann_lsh`` — approximate: random-hyperplane (SimHash) bucketing
   with multiprobe (Hamming-1) search.  Buckets partition the corpus, so
   each probe touches ~(1+nbits)/2^nbits of the data instead of all of
   it.  Recall on *random* vectors is modest by construction (no real
@@ -36,7 +36,7 @@ N_PROBES = 10
 TOP_K = 5
 DIM = 64
 LSH_BITS = 4
-NEARDUP_BLOCKS = 16  # GEMM grid width; block rows × dim must fit an Arrow batch
+NEARDUP_CHUNK_ROWS = 1024  # target rows per packed GEMM block (size bound)
 NEARDUP_THRESHOLD = 0.4
 
 
@@ -116,8 +116,8 @@ def _bucket_expr(vec: F.Column) -> F.Column:
     return bucket
 
 
-@query("q12_ann_lsh", oracle=None)
-def q12_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qz12_ann_lsh", oracle=None)
+def qz12_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with Hamming-1 multiprobe.
 
     No SQL oracle (bucketing is not expressible without replicating the
@@ -158,6 +158,31 @@ def q12_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _n_blocks(n_rows: int, chunk_rows: int) -> int:
+    """Block count for the GEMM grid: grows with the corpus so the
+    per-block packed row stays ~chunk_rows × dim doubles."""
+    return max(1, -(-n_rows // chunk_rows))
+
+
+def _pack_blocks(unit: DataFrame, n_rows: int, chunk_rows: int) -> DataFrame:
+    """Pack unit vectors into ≈chunk_rows-sized (blk, ids[], mat[]) rows.
+
+    Block id is ``xxhash64(vec_id) mod B`` — uniform, shuffle-friendly,
+    and independent of any global ordering.  ids are sorted within a
+    block so the diagonal grid cell can take the strict upper triangle.
+    """
+    b = _n_blocks(n_rows, chunk_rows)
+    return (
+        unit.groupBy(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(b)).alias("blk"))
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "u"))).alias("rows"))
+        .select(
+            "blk",
+            F.col("rows.vec_id").alias("ids"),
+            F.flatten(F.col("rows.u")).alias("mat"),
+        )
+    )
+
+
 @query(
     "q11_embedding_neardup",
     oracle="""
@@ -180,18 +205,26 @@ def q11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GEMM grid instead of a row-level cross join:
 
     1. unit-normalize each vector JVM-side (one codegen pass);
-    2. hash vectors into ``NEARDUP_BLOCKS`` blocks and pack each block
-       into one (ids[], row-major matrix[]) row;
+    2. hash vectors into ``B = ceil(n / NEARDUP_CHUNK_ROWS)`` blocks and
+       pack each block into one (ids[], row-major matrix[]) row — the
+       block COUNT grows with the corpus while the packed-row SIZE stays
+       ~NEARDUP_CHUNK_ROWS × dim doubles (hash-uniform assignment, so
+       the max block concentrates near the mean; a FIXED block count
+       would make packed rows grow O(n) and breach Spark's ~2 GB
+       column limit long before 100× — round-1's shape, fixed in r2).
+       Hash assignment, not row_number: a global ordering window would
+       serialize the corpus through one partition, its own scale-killer;
     3. cross-join the upper triangle of block pairs (B·(B+1)/2 rows —
-       the only shuffle, and it carries packed matrices, not pairs);
+       the only shuffle, and it carries packed matrices, not pairs;
+       the quadratic grid is inherent to EXACT all-pairs);
     4. score each block pair with a single numpy GEMM in mapInPandas
        (Arrow batches; ~10-100× the interpreted ``zip_with`` path) and
        emit only pairs above threshold.
 
-    At 100 TB the same plan holds: block size is a constant (rows ×
-    dim doubles per task), work is B² tasks spread over the cluster,
-    and the emitted-pair volume — not n² — is what shuffles.  An LSH
-    pre-blocker (q12_ann_lsh's buckets as join key) drops the grid to
+    At 100 TB per-task memory is the binding constraint and it is
+    bounded: two ~CHUNK×dim matrices per grid cell; the emitted-pair
+    volume — not n² — is what shuffles out.  An LSH pre-blocker
+    (qz12_ann_lsh's buckets as join key) drops the grid to
     near-diagonal when approximate recall is acceptable.
     """
     corpus = _corpus(spark, sf_dir)
@@ -199,23 +232,17 @@ def q11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
     )
-    packed = (
-        unit.groupBy(F.pmod(F.col("vec_id"), F.lit(NEARDUP_BLOCKS)).alias("blk"))
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "u"))).alias("rows"))
-        .select(
-            "blk",
-            F.col("rows.vec_id").alias("ids"),
-            F.flatten(F.col("rows.u")).alias("mat"),
-        )
-    )
+    n = unit.count()  # parquet-metadata count; one cheap job
+    packed = _pack_blocks(unit, n, NEARDUP_CHUNK_ROWS)
     a = packed.select(
         F.col("blk").alias("b1"), F.col("ids").alias("ids1"), F.col("mat").alias("m1")
     )
     b = packed.select(
         F.col("blk").alias("b2"), F.col("ids").alias("ids2"), F.col("mat").alias("m2")
     )
+    n_blocks = _n_blocks(n, NEARDUP_CHUNK_ROWS)
     n_tasks = min(
-        NEARDUP_BLOCKS * (NEARDUP_BLOCKS + 1) // 2, spark.sparkContext.defaultParallelism
+        n_blocks * (n_blocks + 1) // 2, spark.sparkContext.defaultParallelism
     )
     grid = a.join(b, F.col("b1") <= F.col("b2")).repartition(n_tasks)
 
@@ -282,8 +309,8 @@ def _kmeans_unit(x: "np.ndarray") -> "np.ndarray":
     return cent
 
 
-@query("q12_ivf", oracle=None)
-def q12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qz12_ivf", oracle=None)
+def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF: k-means coarse quantizer, nprobe=4.
 
     Corpus vectors partition into IVF_CLUSTERS inverted lists; each

@@ -456,8 +456,8 @@ def q9_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q9_approx_distinct", oracle=None)
-def q9_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qz9_approx_distinct", oracle=None)
+def qz9_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct — sketch-mergeable, single narrow shuffle.
 
     No DuckDB oracle (different sketch); tests assert ≤5% relative error
@@ -483,8 +483,8 @@ def q9_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k_parsed,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k_path,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_parsed,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_path,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -668,8 +668,8 @@ def q9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q9_approx_percentiles", oracle=None)
-def q9_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qz9_approx_percentiles", oracle=None)
+def qz9_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch percentiles (KLL-style, mergeable partials) — the 100 TB
     path where exact percentile's per-group sort is unaffordable.  No
     DuckDB oracle (different sketch); tests bound the error against

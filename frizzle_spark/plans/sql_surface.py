@@ -161,8 +161,8 @@ SAMPLE_FRACTIONS = {"click": 0.5, "view": 0.1, "purchase": 1.0}
 SAMPLE_SEED = 42
 
 
-@query("q22_stratified_sample", oracle=None)
-def q22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qz22_stratified_sample", oracle=None)
+def qz22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (``sampleBy``) — the training-data rebalancing
     primitive: downsample over-represented event types, keep rare ones
     whole.  Per-row Bernoulli draw seeded per partition → no shuffle, no

@@ -37,7 +37,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
@@ -331,39 +331,46 @@ class Pipeline:
         batch_df = batch_df.persist()
         try:
             df = self.process(batch_df) if self.process else batch_df
-            if self.fail_predicate is not None:
-                failed = df.filter(self.fail_predicate)
-                ok = df.filter(~self.fail_predicate)
-            else:
-                failed = None
-                ok = df
+            # NULL-normalize the fail predicate ONCE: a predicate over a
+            # nullable column evaluates NULL on some rows, and both
+            # filter(p) and filter(~p) drop NULL — the row would silently
+            # land in neither the sink nor the DLQ.  NULL ≙ not failed,
+            # so the {sink, DLQ} partition invariant (common/unacked.go
+            # contract) holds for every row.
+            has_fail = self.fail_predicate is not None
+            pred = (
+                F.coalesce(self.fail_predicate.cast("boolean"), F.lit(False))
+                if has_fail
+                else F.lit(False)
+            )
 
-            # ONE counting job per batch: rcv/fail/unrouted in a single
-            # aggregate pass over the (persisted) batch, instead of a
-            # separate .count() job per counter — at high trigger rates
-            # the extra jobs, not the counts, were the overhead.
-            ok_pred = (
-                ~self.fail_predicate if self.fail_predicate is not None else F.lit(True)
-            )
-            fail_n = (
-                F.count(F.when(self.fail_predicate, True))
-                if self.fail_predicate is not None
-                else F.lit(0).cast("long")
-            )
-            unrouted_n = F.count(F.when(ok_pred & F.col("dest").isNull(), True))
-            counts = df.agg(
+            # Zero extra jobs per batch: rcv/fail/unrouted counters ride
+            # the sink write via a CollectMetrics (observe) node placed
+            # BELOW the routing filters, so the full batch flows through
+            # it during the main sink's action (SURVEY §2.1/O19's
+            # df.observe mapping; round 1 ran a separate aggregate job
+            # per trigger instead).
+            obs = Observation(f"frizzle-batch-{batch_id}")
+            df = df.observe(
+                obs,
                 F.count(F.lit(1)).alias("rcv"),
-                fail_n.alias("fail"),
-                unrouted_n.alias("unrouted"),
-            ).collect()[0]
-            n_rcv, n_fail = counts["rcv"], counts["fail"]
-            n_ok = n_rcv - n_fail
-            self.stats.increment(M.RCV, n_rcv)
+                F.count(F.when(pred, True)).alias("fail"),
+                F.count(F.when(~pred & F.col("dest").isNull(), True)).alias(
+                    "unrouted"
+                ),
+            )
+            failed = df.filter(pred) if has_fail else None
+            ok = df.filter(~pred) if has_fail else df
 
             to_send = ok.where(F.col("dest").isNotNull()) if self.drop_unrouted else ok
             to_send = chain([t.send for t in self.transformers], to_send)
-            n_send = n_ok - counts["unrouted"] if self.drop_unrouted else n_ok
             self.sink.write(to_send, self.default_dest)
+
+            counts = obs.get  # resolved by the sink job just finished
+            n_rcv, n_fail = counts["rcv"], counts["fail"]
+            n_ok = n_rcv - n_fail
+            n_send = n_ok - counts["unrouted"] if self.drop_unrouted else n_ok
+            self.stats.increment(M.RCV, n_rcv)
             self.stats.increment(M.SEND, n_send)
             self.stats.increment(M.ACK, n_ok)
 

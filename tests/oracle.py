@@ -10,6 +10,7 @@ boundary shows up as a warning-grade assert message.
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
@@ -41,7 +42,9 @@ def canonical(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = s.astype("datetime64[ns]")
         elif pdf[c].dtype == object:
             # duckdb may hand back Decimal / date objects
-            pdf[c] = pdf[c].map(lambda v: float(v) if isinstance(v, float) else v)
+            pdf[c] = pdf[c].map(
+                lambda v: float(v) if isinstance(v, decimal.Decimal) else v
+            )
     if len(pdf):
         pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
     return pdf

@@ -17,7 +17,7 @@ def _pairs(df, c1="d1", c2="d2"):
 
 def test_minhash_recall_vs_exact(spark, sf_dir):
     exact = _pairs(REGISTRY["q11_ngram_jaccard"].fn(spark, sf_dir))
-    approx = _pairs(REGISTRY["q11_minhash_lsh"].fn(spark, sf_dir))
+    approx = _pairs(REGISTRY["qz11_minhash_lsh"].fn(spark, sf_dir))
     if not exact:
         pytest.skip("no near-dup pairs at this SF")
     recall = len(exact & approx) / len(exact)
@@ -64,10 +64,10 @@ def test_ann_lsh_beats_random_baseline(spark, sf_dir):
         (r["probe_id"], r["neighbor_id"])
         for r in REGISTRY["q12_cosine_topk"].fn(spark, sf_dir).collect()
     }
-    approx_df = REGISTRY["q12_ann_lsh"].fn(spark, sf_dir)
+    approx_df = REGISTRY["qz12_ann_lsh"].fn(spark, sf_dir)
     approx = {(r["probe_id"], r["neighbor_id"]) for r in approx_df.collect()}
     recall = len(exact & approx) / len(exact)
-    n_corpus = REGISTRY["q12_ann_lsh"].fn.__globals__  # noqa: F841 - doc only
+    n_corpus = REGISTRY["qz12_ann_lsh"].fn.__globals__  # noqa: F841 - doc only
     # random testdata has no cluster structure; LSH recall is bounded by the
     # candidate fraction (~(1+bits)/2^bits ≈ 31% at 4 bits).  Gate: above it.
     assert recall >= 0.35, f"ann recall {recall:.2f}"
@@ -86,10 +86,35 @@ def test_ivf_beats_candidate_fraction(spark, sf_dir):
     }
     approx = {
         (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["q12_ivf"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["qz12_ivf"].fn(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
     # nprobe/K = 25% of the corpus scanned; on structureless random data
     # recall ≈ candidate fraction — the gate proves the quantizer is at
     # least as good as random bucketing, cheaply
     assert recall >= 0.25, f"ivf recall {recall:.2f}"
+
+
+def test_neardup_block_packing_bounded(spark, sf_dir):
+    """The GEMM grid's packed-row size must stay bounded as the corpus
+    grows: block count scales as ceil(n/chunk) and no hash block packs
+    more than a small factor over the target chunk size (round-1 used a
+    FIXED block count, so packed rows grew O(n) — the r2 fix)."""
+    from frizzle_spark.functions import vectors as V
+
+    emb = sim.load_table(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("u"),  # normalization irrelevant here
+    )
+    n = unit.count()
+    chunk = 64
+    packed = sim._pack_blocks(unit, n, chunk)
+    sizes = [r["sz"] for r in packed.select(F.size("ids").alias("sz")).collect()]
+    assert len(sizes) == sim._n_blocks(n, chunk) == -(-n // chunk)
+    assert sum(sizes) == n
+    assert max(sizes) <= 4 * chunk, f"hash skew: max block {max(sizes)} rows"
+    # ids sorted within each block (the diagonal-cell triu contract)
+    ids = packed.select("ids").collect()
+    for r in ids:
+        assert r["ids"] == sorted(r["ids"])

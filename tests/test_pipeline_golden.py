@@ -235,3 +235,59 @@ def test_handle_shutdown_real_signal(spark, corpus_dir):
         sig.signal(sig.SIGTERM, prev)
         if pipe.query is not None and pipe.query.isActive:
             pipe.query.stop()
+
+
+def test_null_fail_predicate_rows_route_to_sink(spark):
+    """A fail predicate that evaluates NULL (nullable column) must NOT
+    drop the row from both sides: NULL ≙ not-failed, so the row lands in
+    the main sink and the {sink, DLQ} partition invariant holds."""
+    stats = M.DictStats()
+    main, dlq = MemorySink(), MemorySink()
+    df = spark.createDataFrame(
+        [("a", b"x", None, "out"), (None, b"y", None, "out"), ("fail", b"z", None, "out")],
+        MSG_SCHEMA,
+    )
+    pipe = Pipeline(
+        spark,
+        source=None,
+        sink=main,
+        default_dest="out",
+        fail_sink=(dlq, "dead"),
+        fail_predicate=F.col("id") == "fail",  # NULL for the id=None row
+        stats=stats,
+    )
+    pipe._run_batch(df, 0)
+    assert len(main.sent.get("out", [])) == 2  # 'a' AND the NULL-id row
+    assert len(dlq.sent.get("dead", [])) == 1
+    assert stats.counts[M.RCV] == 3
+    assert stats.counts[M.ACK] == 2
+    assert stats.counts[M.FAIL] == 1
+
+
+def test_counters_ride_sink_job(spark):
+    """O19 via observe(): one batch with failures runs exactly two jobs
+    (main sink + DLQ) — the rcv/fail/unrouted counters ride the sink job
+    through a CollectMetrics node instead of a separate aggregate job."""
+    sc = spark.sparkContext
+    stats = M.DictStats()
+    main, dlq = MemorySink(), MemorySink()
+    df = spark.createDataFrame(
+        [("a", b"x", None, "out"), ("fail", b"z", None, "out")], MSG_SCHEMA
+    )
+    pipe = Pipeline(
+        spark,
+        source=None,
+        sink=main,
+        default_dest="out",
+        fail_sink=(dlq, "dead"),
+        fail_predicate=F.col("id") == "fail",
+        stats=stats,
+    )
+    sc.setJobGroup("probe-batch-jobs", "job-count gate")
+    try:
+        pipe._run_batch(df, 0)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("probe-batch-jobs")
+    assert len(jobs) == 2, f"expected sink+DLQ jobs only, got {len(jobs)}"
+    assert stats.counts[M.RCV] == 2 and stats.counts[M.FAIL] == 1

@@ -40,7 +40,7 @@ def test_runs_nonempty_schema(spark, sf_dir, name):
 def test_approx_distinct_tolerance(spark, sf_dir):
     approx = {
         r["o_orderstatus"]: r["n_customers_approx"]
-        for r in REGISTRY["q9_approx_distinct"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["qz9_approx_distinct"].fn(spark, sf_dir).collect()
     }
     exact = {
         r["o_orderstatus"]: r["n_customers"]
@@ -57,7 +57,7 @@ def test_approx_percentile_tolerance(spark, sf_dir):
     }
     approx = {
         r["event_type"]: (r["p50_approx"], r["p90_approx"])
-        for r in REGISTRY["q9_approx_percentiles"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["qz9_approx_percentiles"].fn(spark, sf_dir).collect()
     }
     for k, (p50, p90) in exact.items():
         a50, a90 = approx[k]
@@ -81,7 +81,7 @@ def test_stratified_sample_fractions(spark, sf_dir):
     }
     kept = {
         r["event_type"]: r["n_kept"]
-        for r in REGISTRY["q22_stratified_sample"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["qz22_stratified_sample"].fn(spark, sf_dir).collect()
     }
     for etype, frac in SAMPLE_FRACTIONS.items():
         got = kept.get(etype, 0) / totals[etype]
