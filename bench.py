@@ -38,13 +38,41 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # n>1 runs per query, report the MIN: sf0.1 timings swing up to ~3×
+    # run-to-run and Catalyst/codegen compile cost dominates sub-second
+    # queries — the min isolates the plan from compile jitter, so
+    # round-over-round comparisons measure plans, not JIT warmup.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, spec in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count() if "limit" not in name else len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            n = df.count() if "limit" not in name else len(df.collect())
+            runs.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
+        print(f"# {name}: min {timings[name]:.3f}s of {runs} ({n} rows)", file=sys.stderr)
+
+    # approximate-tier quality, tracked round-over-round alongside speed:
+    # recall of each ANN/LSH operator against its exact counterpart.
+    recall: dict[str, float] = {}
+    try:
+        pair = lambda df, a, b: {(r[a], r[b]) for r in df.collect()}  # noqa: E731
+        exact_pairs = pair(REGISTRY["q11_ngram_jaccard"].fn(spark, sf_dir), "d1", "d2")
+        if exact_pairs:
+            mh = pair(REGISTRY["qz11_minhash_lsh"].fn(spark, sf_dir), "d1", "d2")
+            recall["qz11_minhash_lsh"] = round(len(exact_pairs & mh) / len(exact_pairs), 4)
+        exact_nn = pair(
+            REGISTRY["q12_cosine_topk"].fn(spark, sf_dir), "probe_id", "neighbor_id"
+        )
+        for q in ("qz12_ann_lsh", "qz12_ivf"):
+            approx = pair(REGISTRY[q].fn(spark, sf_dir), "probe_id", "neighbor_id")
+            recall[q] = round(len(exact_nn & approx) / len(exact_nn), 4)
+    except Exception as ex:  # recall is diagnostics — never fail the bench
+        print(f"# recall computation failed: {ex}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -54,6 +82,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": n_runs,
+                "runs": all_runs,
+                "recall": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

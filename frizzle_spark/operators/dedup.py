@@ -293,3 +293,74 @@ def qz11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+@query(
+    "q11_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, round(value, 6) AS value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q11_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction dedup: keep each user's LATEST event (row_number = 1).
+
+    The upsert/CDC-compaction operator every training-data snapshot
+    needs ("latest record per key").  One hash shuffle on user_id; the
+    per-key sort is local to each partition (window, not a global
+    orderBy) and the tiebreak on event_id makes the survivor
+    deterministic.  At 100 TB this is the standard log→snapshot shape;
+    AQE splits any hot user key.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+@query(
+    "q11_blocklist_dedup",
+    oracle="""
+    WITH blocklist AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    LEFT JOIN blocklist b ON md5(d.text) = b.fp
+    WHERE b.fp IS NULL
+    """,
+)
+def q11_blocklist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup: drop documents whose content hash appears in a
+    blocklist corpus (here: sources src0-src3) — the "decontaminate
+    training data against an eval set / earlier crawl" operator.
+
+    Left-ANTI join on the 128-bit hash: the blocklist side is the small
+    one and broadcasts (eval sets and prior-crawl Bloom/HLL digests are
+    MBs even when the corpus is TBs); no shuffle touches the big side.
+    At larger blocklists the same plan degrades gracefully to a
+    hash-shuffle anti join on fp — still one shuffle, never pairwise.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode("text", "UTF-8"))
+    blocklist = (
+        docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
+        .select(fp.alias("fp"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", "source", fp.alias("fp"))
+        .join(F.broadcast(blocklist), "fp", "left_anti")
+        .select("doc_id", "source")
+    )

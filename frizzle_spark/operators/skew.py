@@ -18,7 +18,7 @@ preference order:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -55,44 +55,72 @@ def salted_join(
     join keys that AQE's split threshold misses.  Cost model: small side
     is shuffled ``buckets``× — worth it when the hot key's partition
     exceeds buckets × the median partition.
+
+    Only ``inner`` and ``left`` are supported: the replication is on the
+    SMALL side, so unmatched big-side rows surface once (their salt
+    matches nothing), but under ``right``/``full`` every unmatched
+    small-side row would surface once PER SALT BUCKET (``buckets``
+    duplicate null-padded rows).  For a right/full skewed join, swap the
+    sides or salt the other way.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left'}}, got {how!r}: "
+            "replicating the small side duplicates its unmatched rows "
+            "once per salt bucket under right/full joins"
+        )
     b = with_salt(big, buckets)
     s = replicate_for_salt(small, buckets)
     out = b.join(s, [*on, "_salt"], how)
     return out.drop("_salt")
 
 
+COMBINERS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def two_phase_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, "str | Callable[[str], Column]"]],
     buckets: int = DEFAULT_SALT,
 ) -> DataFrame:
     """Skew-safe aggregation: partial agg on (keys, salt), final on keys.
 
-    ``aggs`` maps output name → decomposable partial aggregate over the
-    input (count/sum/min/max); the final phase re-combines partials
-    (count → sum of counts, sum → sum, min → min, max → max).
+    ``aggs`` maps output name → ``(partial, combiner)`` where ``partial``
+    is the per-(key, salt) aggregate Column and ``combiner`` names how the
+    partials merge in the final phase — ``'sum'``/``'min'``/``'max'`` or
+    any callable ``column_name -> Column`` (count partials combine with
+    ``'sum'``; avg decomposes as a sum partial and a count partial
+    divided after the final phase).
+
+    The combiner is EXPLICIT by design: inferring it from the partial
+    expression's string form misclassifies wrapped expressions (e.g.
+    ``round(sum(x))``) and depends on JVM internals that do not exist
+    under Spark Connect.
     """
     salted = with_salt(df, buckets)
+
+    def resolve(name: str, spec) -> tuple[Column, Callable[[str], Column]]:
+        if not (isinstance(spec, tuple) and len(spec) == 2):
+            raise ValueError(
+                f"non-decomposable aggregate spec for {name!r}: pass "
+                "(partial_column, combiner) — e.g. avg = a sum partial "
+                "and a count partial combined as sum, divided afterwards"
+            )
+        partial, comb = spec
+        if isinstance(comb, str):
+            if comb not in COMBINERS:
+                raise ValueError(
+                    f"unknown combiner {comb!r} for {name!r}; "
+                    f"one of {sorted(COMBINERS)} or a callable"
+                )
+            comb = COMBINERS[comb]
+        return partial, comb
+
+    resolved = {name: resolve(name, spec) for name, spec in aggs.items()}
     partial = salted.groupBy(*keys, "_salt").agg(
-        *[c.alias(f"_p_{name}") for name, c in aggs.items()]
+        *[c.alias(f"_p_{name}") for name, (c, _) in resolved.items()]
     )
-    recombine = {
-        "count": F.sum,
-        "sum": F.sum,
-        "min": F.min,
-        "max": F.max,
-    }
-
-    def final_col(name: str, c: Column) -> Column:
-        # infer combiner from the partial expression's function name
-        expr = c._jc.toString().lower()
-        for fn, comb in recombine.items():
-            if expr.startswith(fn):
-                return comb(f"_p_{name}").alias(name)
-        raise ValueError(f"non-decomposable aggregate for {name!r}: use avg=sum/count")
-
     return partial.groupBy(*keys).agg(
-        *[final_col(name, c) for name, c in aggs.items()]
+        *[comb(f"_p_{name}").alias(name) for name, (_, comb) in resolved.items()]
     )

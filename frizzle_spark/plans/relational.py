@@ -680,3 +680,76 @@ def qz9_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
         F.expr("approx_percentile(value, 0.9, 10000)").alias("p90_approx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q24 — GROUPING SETS (the third grouping-lattice shape beside Q7's
+# rollup/cube): explicit set list + grouping() indicators.  Same engine
+# machinery as rollup (Expand node → one shuffle); the set list keeps the
+# expansion factor at |sets|, not 2^k.
+# --------------------------------------------------------------------------
+@query(
+    "q24_grouping_sets",
+    oracle="""
+    SELECT n_name, o_orderstatus,
+           CAST(grouping(n_name) AS BIGINT)       AS g_nation,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+    """,
+)
+def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by explicit grouping sets with grouping() indicators."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    joined.createOrReplaceTempView("q24_joined")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               CAST(grouping(n_name) AS BIGINT)        AS g_nation,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM q24_joined
+        GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5b — distribution-rank window battery: ntile / percent_rank /
+# cume_dist complete the §2.2 window row beyond Q5's row_number/lag.
+# Deterministic under ties because the window orders by a UNIQUE
+# (o_totalprice, o_orderkey) pair — ntile in particular assigns by row
+# position, so a non-unique ordering would be nondeterministic.
+# --------------------------------------------------------------------------
+@query(
+    "q5_rank_stats",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4)       OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q5_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing + distribution ranks per order-status partition."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -198,3 +198,53 @@ def q10_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
         F.col("n").isNull().alias("gap_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q10c — cohort retention: users grouped by first-activity week, activity
+# counted per week offset.  The product-analytics staple that combines a
+# per-user min() with a self-join back onto the fact stream.
+# Scale: two key shuffles (user_id for the firsts agg, then the cohort
+# grid agg); the firsts side is |users| rows — orders of magnitude
+# smaller than events — and joins back on the SAME user_id hash
+# partitioning Catalyst just produced, so the join adds no extra
+# exchange on the firsts side.  Week arithmetic stays on day-diffs of
+# week-truncated timestamps (multiples of 7), so Spark and DuckDB agree
+# exactly with no week-boundary-counting semantics in play.
+# --------------------------------------------------------------------------
+@query(
+    "q10_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+                AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS active_users,
+           count(*) AS n_events
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q10_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid over events."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    week = F.date_trunc("week", F.col("ts"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(week, F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

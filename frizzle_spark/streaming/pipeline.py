@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -88,30 +90,58 @@ class FileReplaySource:
         return self.to_envelope(df) if self.to_envelope else df
 
 
+# the Kafka connector's fixed wire schema (what reader.load() yields)
+KAFKA_WIRE_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+
 @dataclass(frozen=True)
 class KafkaSource:
     """Kafka ecosystem source (declared type, frizzle.go:30-32).  Builds
-    the standard Kafka envelope: key→id, value→data, timestamp→ts."""
+    the standard Kafka envelope: key→id, value→data, timestamp→ts.
+
+    ``reader_options`` and ``to_envelope`` are exposed separately so the
+    option set and the envelope projection are unit-testable without a
+    broker (the sandbox has none): tests apply ``to_envelope`` to a
+    static DataFrame with ``KAFKA_WIRE_SCHEMA``.
+    """
 
     brokers: str
     subscribe: str
     options: dict[str, str] = field(default_factory=dict)
 
-    def load(self, spark: SparkSession) -> DataFrame:
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", self.brokers)
-            .option("subscribe", self.subscribe)
-        )
-        for k, v in self.options.items():
-            reader = reader.option(k, v)
-        df = reader.load()
+    def reader_options(self) -> dict[str, str]:
+        """The exact option set handed to the kafka DataStreamReader."""
+        return {
+            "kafka.bootstrap.servers": self.brokers,
+            "subscribe": self.subscribe,
+            **self.options,
+        }
+
+    @staticmethod
+    def to_envelope(df: DataFrame) -> DataFrame:
+        """Kafka wire record → frizzle ENVELOPE (msg.go:15-20 mapping)."""
         return df.select(
             F.col("key").cast("string").alias("id"),
             F.col("value").alias("data"),
             F.col("timestamp").alias("ts"),
             F.lit(None).cast("string").alias("dest"),
         )
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream.format("kafka")
+        for k, v in self.reader_options().items():
+            reader = reader.option(k, v)
+        return self.to_envelope(reader.load())
 
 
 @dataclass(frozen=True)
@@ -246,22 +276,32 @@ class ParquetSink:
 
 
 class KafkaSink:
-    """Kafka ecosystem sink (frizzle.go:27-29): dest column → topic."""
+    """Kafka ecosystem sink (frizzle.go:27-29): dest column → topic.
+
+    ``to_wire`` is the broker-free unit-testable half: envelope →
+    (key, value, topic) exactly as the kafka writer expects them.
+    """
 
     def __init__(self, brokers: str, default_topic: str) -> None:
         self.brokers = brokers
         self.default_topic = default_topic
 
-    def write(self, df: DataFrame, default_dest: str) -> None:
-        out = df.select(
+    def to_wire(self, df: DataFrame, default_dest: str) -> DataFrame:
+        """ENVELOPE → Kafka writer columns; dest routes the topic
+        (frizzle.go:115-123's Send(m, dest)), falling back to the
+        pipeline default then the sink's default topic."""
+        return df.select(
             F.encode(F.col("id"), "UTF-8").alias("key"),
             F.col("data").alias("value"),
             F.coalesce(F.col("dest"), F.lit(default_dest or self.default_topic)).alias(
                 "topic"
             ),
         )
+
+    def write(self, df: DataFrame, default_dest: str) -> None:
         (
-            out.write.format("kafka")
+            self.to_wire(df, default_dest)
+            .write.format("kafka")
             .option("kafka.bootstrap.servers", self.brokers)
             .save()
         )
@@ -401,6 +441,14 @@ class Pipeline:
         return self.query
 
     # ≙ FlushAndClose (frizzle.go:152-179): drain, then stop.
+    #
+    # Straggler divergence (documented, SURVEY §2.1/O14): the reference
+    # Fails → DLQ messages still un-acked when the timeout fires
+    # (frizzle.go:160-175).  Here a micro-batch is atomic — if the
+    # timeout interrupts an uncommitted batch, ALL its rows are
+    # redelivered on restart (at-least-once) rather than Failed; routing
+    # them to the DLQ at timeout would deliver them twice (DLQ now +
+    # main sink after checkpoint replay).
     def stop(self, flush_timeout: float = DEFAULT_FLUSH_SECONDS) -> None:
         if self.query is None:
             return

@@ -291,3 +291,56 @@ def test_counters_ride_sink_job(spark):
     jobs = sc.statusTracker().getJobIdsForGroup("probe-batch-jobs")
     assert len(jobs) == 2, f"expected sink+DLQ jobs only, got {len(jobs)}"
     assert stats.counts[M.RCV] == 2 and stats.counts[M.FAIL] == 1
+
+
+def test_kafka_source_envelope_and_options(spark):
+    """O3 without a broker: the assembled reader option set and the
+    wire→envelope projection are asserted directly, so an option or
+    column typo cannot survive to a real cluster (reference bar:
+    frizzle_integration_test.go:82-131 exercises its bus end-to-end)."""
+    import datetime as dt
+
+    from frizzle_spark.streaming.pipeline import (
+        ENVELOPE,
+        KAFKA_WIRE_SCHEMA,
+        KafkaSource,
+    )
+
+    src = KafkaSource(
+        brokers="b1:9092,b2:9092",
+        subscribe="events",
+        options={"startingOffsets": "earliest", "maxOffsetsPerTrigger": "500"},
+    )
+    assert src.reader_options() == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "500",
+    }
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    wire = spark.createDataFrame(
+        [(b"k1", b"payload", "events", 0, 42, ts, 0)], KAFKA_WIRE_SCHEMA
+    )
+    env = KafkaSource.to_envelope(wire)
+    assert env.schema == ENVELOPE
+    row = env.collect()[0]
+    assert row["id"] == "k1" and bytes(row["data"]) == b"payload"
+    assert row["ts"] == ts and row["dest"] is None
+
+
+def test_kafka_sink_wire_mapping(spark):
+    """O8 without a broker: envelope → (key, value, topic) projection,
+    including the dest → default_dest → default_topic fallback chain."""
+    from frizzle_spark.streaming.pipeline import KafkaSink
+
+    sink = KafkaSink(brokers="b1:9092", default_topic="fallback")
+    df = spark.createDataFrame(
+        [("a", b"x", None, "routed"), ("b", b"y", None, None)], MSG_SCHEMA
+    )
+    wire = sink.to_wire(df, default_dest="batch-default")
+    assert [f.name for f in wire.schema.fields] == ["key", "value", "topic"]
+    rows = {bytes(r["key"]).decode(): r["topic"] for r in wire.collect()}
+    assert rows == {"a": "routed", "b": "batch-default"}
+    # with no pipeline default, the sink's own default topic wins
+    wire2 = sink.to_wire(df.where(F.col("id") == "b"), default_dest=None)
+    assert wire2.collect()[0]["topic"] == "fallback"

@@ -85,10 +85,10 @@ def test_two_phase_agg_equals_plain_agg(spark, rows, buckets):
             df,
             ["k"],
             {
-                "n": F.count(F.lit(1)),
-                "s": F.sum("v"),
-                "mn": F.min("v"),
-                "mx": F.max("v"),
+                "n": (F.count(F.lit(1)), "sum"),
+                "s": (F.sum("v"), "sum"),
+                "mn": (F.min("v"), "min"),
+                "mx": (F.max("v"), "max"),
             },
             buckets=buckets,
         ).collect()

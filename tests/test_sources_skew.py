@@ -74,10 +74,10 @@ def test_two_phase_agg_matches_plain(spark, sf_dir):
         li,
         ["l_returnflag"],
         {
-            "n": F.count(F.lit(1)),
-            "qty": F.sum("l_quantity"),
-            "first_ship": F.min("l_shipdate"),
-            "last_ship": F.max("l_shipdate"),
+            "n": (F.count(F.lit(1)), "sum"),
+            "qty": (F.sum("l_quantity"), "sum"),
+            "first_ship": (F.min("l_shipdate"), "min"),
+            "last_ship": (F.max("l_shipdate"), "max"),
         },
     )
     assert _sorted_rows(skewsafe, "l_returnflag") == _sorted_rows(plain, "l_returnflag")
@@ -87,6 +87,24 @@ def test_two_phase_agg_rejects_non_decomposable(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     with pytest.raises(ValueError, match="non-decomposable"):
         two_phase_agg(li, ["l_returnflag"], {"a": F.avg("l_quantity")}).collect()
+
+
+def test_two_phase_agg_rejects_unknown_combiner(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="unknown combiner"):
+        two_phase_agg(
+            li, ["l_returnflag"], {"a": (F.avg("l_quantity"), "avg")}
+        ).collect()
+
+
+def test_salted_join_rejects_right_full(spark, sf_dir):
+    big = load_table(spark, sf_dir, "orders")
+    small = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, ["o_custkey"], how=how)
 
 
 def test_partitioned_write_prunes_directories(spark, orders, tmp_path):
