@@ -43,3 +43,30 @@ def scan_json(
 def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Columnar scan: predicate pushdown + column pruning + row-group skip."""
     return spark.read.parquet(path)
+
+
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan (bundled in OSS Spark): predicate pushdown +
+    column pruning + stripe skipping, same contract as parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def scan_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — requires the external ``spark-avro`` module
+    (``spark-submit --packages org.apache.spark:spark-avro_2.13:<ver>``);
+    OSS Spark does not bundle the datasource (only the avro runtime
+    jars), so this raises a clear error when it is absent — the same
+    connector-absent posture as KinesisSource (streaming/pipeline.py).
+    """
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:
+        raise NotImplementedError(
+            "Avro needs the spark-avro datasource on the classpath "
+            "(spark-submit --packages org.apache.spark:spark-avro_2.13:...); "
+            "not bundled in OSS Spark"
+        ) from exc

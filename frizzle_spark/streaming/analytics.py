@@ -120,3 +120,34 @@ def running_counts(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right events within (left_ts, left_ts +
+    ``upper``] for the same key — the streaming twin of the batch range
+    join (plans/joins_extra.q16_range_join's click→purchase funnel).
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions; that pair is what lets the state store evict a
+    buffered row once the other side's watermark passes its join window
+    — without the time bound, stream-stream join state grows forever
+    (the 100 TB kill switch).  Shuffle shape: both streams hash-shuffle
+    on the equi-key once; per-key state is bounded by the interval
+    length × per-key rate.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] > l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner")

@@ -120,3 +120,25 @@ def test_partitioned_write_prunes_directories(spark, orders, tmp_path):
     pf = pf[: pf.index("]")]
     assert "o_orderstatus" in pf, plan
     assert df.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_orc_scan_round_trip(spark, orders, tmp_path):
+    from frizzle_spark.sources.files import scan_orc, write_orc
+
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = scan_orc(spark, path)
+    assert _sorted_rows(back, "o_orderkey") == _sorted_rows(orders, "o_orderkey")
+    # columnar contract: filters reach the ORC scan as pushed filters
+    plan = (
+        back.where(F.col("o_orderkey") == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_avro_clear_error_without_module(spark, tmp_path):
+    from frizzle_spark.sources.files import scan_avro
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        scan_avro(spark, str(tmp_path / "nope.avro"))

@@ -150,3 +150,36 @@ def test_session_aggregate_closed_sessions_match_batch(spark, replay_dir):
     want_rows = sorted(tuple(r) for r in want.collect())
     assert len(got_rows) > 0
     assert got_rows == want_rows
+
+
+def test_interval_join_matches_batch(spark, replay_dir):
+    """Stream-stream interval join (click→purchase within 1h per user)
+    equals the same join computed in batch."""
+    from frizzle_spark.streaming.analytics import interval_join
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("l_ts")
+        )
+        buys = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"), F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        return clicks, buys.withColumnRenamed("b_user", "user_id")
+
+    # streaming halves read the SAME replay dir as two independent streams
+    lc, lb = split(spark.readStream.schema(EV_SCHEMA).parquet(replay_dir))
+    sdf = interval_join(lc, lb).select("click_id", "buy_id")
+    got = _run_to_memory(spark, sdf, "ij_out", "append")
+
+    bc, bb = split(spark.read.parquet(replay_dir))
+    cond = (
+        (bc["user_id"] == bb["user_id"])
+        & (bb["r_ts"] > bc["l_ts"])
+        & (bb["r_ts"] <= bc["l_ts"] + F.expr("INTERVAL 1 hour"))
+    )
+    want = bc.join(bb, cond, "inner").select("click_id", "buy_id")
+    got_rows = sorted(tuple(r) for r in got.collect())
+    want_rows = sorted(tuple(r) for r in want.collect())
+    assert len(want_rows) > 0
+    assert got_rows == want_rows
