@@ -46,18 +46,29 @@ __all__ = [
     "DictStats",
     "salted_join",
     "two_phase_agg",
+    "interval_join",
+    "scan_csv",
+    "scan_json",
+    "scan_parquet",
+    "scan_orc",
+    "scan_avro",
+    "write_orc",
+    "redact_pii",
 ]
 
 
 def __getattr__(name: str):
     """Lazy re-exports: ``frizzle_spark.Pipeline`` etc. without paying the
     streaming-module import on bare ``import frizzle_spark``."""
+    from frizzle_spark.functions import text as _text
     from frizzle_spark.operators import skew as _skew
+    from frizzle_spark.sources import files as _files
+    from frizzle_spark.streaming import analytics as _analytics
     from frizzle_spark.streaming import metrics as _metrics
     from frizzle_spark.streaming import pipeline as _pipeline
     from frizzle_spark.streaming import transforms as _transforms
 
-    for mod in (_pipeline, _transforms, _metrics, _skew):
+    for mod in (_pipeline, _transforms, _metrics, _skew, _analytics, _files, _text):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise AttributeError(f"module 'frizzle_spark' has no attribute {name!r}")

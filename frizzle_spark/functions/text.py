@@ -131,3 +131,23 @@ def normalized(c: Column) -> Column:
 def fingerprint(c: Column) -> Column:
     """Content fingerprint: md5 of the normalized text (hex string)."""
     return F.md5(F.encode(normalized(c), "UTF-8"))
+
+
+# PII-redaction patterns — kept to syntax valid in BOTH Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repeats, \b; no
+# backreferences or lookaround, so the DuckDB differential test can run
+# the identical pattern.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace emails, phone-shaped numbers and IPv4 literals with typed
+    placeholder tags — the curation scrub step before training-data
+    emission.  Pure JVM ``regexp_replace`` chain (global replace), runs
+    in WholeStageCodegen; order matters (emails first so their digits
+    never half-match the phone pattern)."""
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")

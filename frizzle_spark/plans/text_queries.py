@@ -133,3 +133,24 @@ def q14_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 of normalized text) per document."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@query("qz14_redact", oracle=None)
+def qz14_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: emails / phone-shaped numbers /
+    IPv4 literals replaced with typed placeholder tags (the scrub step
+    before training-data emission).
+
+    Registered rows-only because the driver's 50 oracle-backed slots are
+    spoken for (SURVEY §2.3 naming contract); the SAME patterns are
+    DuckDB-differential-tested in tests/test_text_redact.py, so the
+    redaction is still hash-verified — just via pytest rather than the
+    driver.  Pure regexp_replace chain: zero shuffles, codegen'd scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    red = T.redact_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(red, "UTF-8")).alias("redacted_fp"),
+        (red != F.col("text")).cast("long").alias("was_redacted"),
+    )

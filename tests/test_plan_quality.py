@@ -107,3 +107,38 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
         df._jdf.queryExecution(), "codegen"
     )
     assert "WholeStageCodegen" in codegen
+
+
+def test_blocklist_dedup_is_broadcast_anti_join(plan_of):
+    import frizzle_spark.operators.dedup  # noqa: F401 - populate registry
+
+    plan = plan_of("q11_blocklist_dedup")
+    assert "LeftAnti" in plan, "blocklist exclusion must be an anti join"
+    assert "BroadcastHashJoin" in plan, "small blocklist side must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_keep_latest_single_exchange_no_global_sort(plan_of):
+    import frizzle_spark.operators.dedup  # noqa: F401
+
+    plan = plan_of("q11_keep_latest")
+    phys = plan[plan.index("== Physical Plan ==") :]
+    # one hash partition on user_id; the per-key sort is partition-local
+    assert phys.count("Exchange hashpartitioning(user_id") == 1
+    assert "Exchange rangepartitioning" not in phys, "no global sort"
+
+
+def test_grouping_sets_single_expand_single_shuffle(plan_of):
+    plan = plan_of("q24_grouping_sets")
+    phys = plan[plan.index("== Physical Plan ==") :]
+    assert phys.count("Expand") == 1, "grouping sets = one Expand node"
+    # dims broadcast; the only hash exchange is the grouping aggregate's
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+
+
+def test_rank_stats_single_exchange(plan_of):
+    plan = plan_of("q5_rank_stats")
+    phys = plan[plan.index("== Physical Plan ==") :]
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert "Join" not in phys

@@ -1,0 +1,48 @@
+"""PII redaction: synthetic golden cases + a DuckDB differential over the
+corpus built from the SAME regex constants (the qz14_redact registry
+entry is rows-only for the driver, so the hash check lives here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import frizzle_spark.plans.text_queries  # noqa: F401 - populates REGISTRY
+from frizzle_spark.functions import text as T
+from frizzle_spark.plans.registry import REGISTRY
+from tests.oracle import assert_matches
+
+
+def test_redact_golden_cases(spark):
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk for details"),
+        (2, "call +1-555-123-4567 or 555 123 4567 today"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "nothing sensitive here at all"),
+        (5, "mixed: bob@x.io / 10.0.0.255 / +44-555-987-6543"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r["id"]: r["red"]
+        for r in df.select("id", T.redact_pii(F.col("t")).alias("red")).collect()
+    }
+    assert got[1] == "contact me at <EMAIL> for details"
+    assert got[2] == "call <PHONE> or <PHONE> today"
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == "nothing sensitive here at all"
+    assert got[5] == "mixed: <EMAIL> / <IP> / <PHONE>"
+
+
+def test_redact_corpus_matches_duckdb(spark, sf_dir):
+    oracle = f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{T.PHONE_RE}', '<PHONE>', 'g'),
+               '{T.IPV4_RE}', '<IP>', 'g')) AS redacted_fp,
+           CAST(regexp_replace(regexp_replace(regexp_replace(text,
+               '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{T.PHONE_RE}', '<PHONE>', 'g'),
+               '{T.IPV4_RE}', '<IP>', 'g') <> text AS BIGINT) AS was_redacted
+    FROM documents
+    """
+    assert_matches(REGISTRY["qz14_redact"].fn(spark, sf_dir), oracle, sf_dir)
