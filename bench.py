@@ -74,6 +74,16 @@ def main() -> None:
     except Exception as ex:  # recall is diagnostics — never fail the bench
         print(f"# recall computation failed: {ex}", file=sys.stderr)
 
+    # bus throughput: q13_stream is the REAL pipeline (file-replay source →
+    # transformer → fail routing → parquet sinks, checkpointed), so
+    # events/sec through it is the engine's measured single-node bus rate
+    # (the reference publishes no throughput numbers — BASELINE.md — so
+    # this is the round-over-round record).
+    stream_rps = None
+    if timings.get("q13_stream"):
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        stream_rps = round(n_events / timings["q13_stream"], 1)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -85,6 +95,7 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "runs": all_runs,
                 "recall": recall,
+                "stream_rows_per_sec": stream_rps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

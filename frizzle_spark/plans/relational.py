@@ -743,7 +743,18 @@ def q24_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing + distribution ranks per order-status partition."""
+    """Quartile bucketing + distribution ranks per order-status partition.
+
+    Scale honesty: ntile/percent_rank/cume_dist need a TOTAL order per
+    window partition, and o_orderstatus has only 3 values — at 100 TB a
+    third of the table sorts through one task.  That cost is inherent to
+    the exact-rank semantics (any engine pays it), not to this plan; the
+    scalable approximation when per-row exactness isn't required is
+    bucketing by approx_percentile thresholds (the qz9 sketch tier):
+    compute K quantile cut points (mergeable partials, one narrow
+    shuffle) and assign buckets with a codegen'd CASE — no per-partition
+    total order anywhere.
+    """
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     return orders.select(
