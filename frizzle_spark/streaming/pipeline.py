@@ -210,9 +210,11 @@ class ChainSource:
     chain (reference README.md:41, interfaces at frizzle.go:110-123).
     Spark-idiomatically, the durable output of an upstream Pipeline's
     ``ParquetSink`` IS a streaming source — downstream discovers files as
-    the upstream commits them, giving exactly-once handoff through
-    storage (the same role an intermediate Kafka topic plays in the
-    reference's ecosystem).
+    the upstream commits them (the same role an intermediate Kafka topic
+    plays in the reference's ecosystem).  Handoff is effectively-once:
+    the upstream's batch-id dynamic-overwrite layout keeps retried
+    batches from duplicating rows, and the downstream file source tracks
+    seen files in its own checkpoint.
 
     ``dest`` narrows to one destination partition (e.g. only 'main');
     partition-directory pruning keeps unselected dests unread.
@@ -229,7 +231,10 @@ class ChainSource:
         # from the file path — sidesteps streaming partition inference.
         schema = StructType([f for f in ENVELOPE.fields if f.name != "dest"])
         path = f"{base}/dest={self.dest}" if self.dest else f"{base}/dest=*"
-        reader = spark.readStream.schema(schema)
+        # recursiveFileLookup: data files sit under dest=<d>/_batch=<id>/
+        # (ParquetSink's idempotent layout); partition-dir inference is
+        # disabled and dest is rebuilt from the file path below.
+        reader = spark.readStream.schema(schema).option("recursiveFileLookup", "true")
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         df = reader.parquet(path)
@@ -250,29 +255,52 @@ class ChainSource:
 class MemorySink:
     """Per-destination in-memory sink (basic/sink.go:28-37's
     ``map[dest][]Msg``): batches append into a driver-side dict of rows.
-    Test-only by design, like the reference's basic sink."""
+    Test-only by design, like the reference's basic sink (a retried
+    batch appends again — at-least-once, as in the reference)."""
 
     def __init__(self) -> None:
         self.sent: dict[str, list] = {}
 
-    def write(self, df: DataFrame, default_dest: str) -> None:
+    def write(
+        self, df: DataFrame, default_dest: str, batch_id: int | None = None
+    ) -> None:
         dest_col = F.coalesce(F.col("dest"), F.lit(default_dest))
         for row in df.withColumn("dest", dest_col).collect():
             self.sent.setdefault(row["dest"], []).append(row)
 
 
 class ParquetSink:
-    """Durable sink: one parquet dir per destination (partition-parallel)."""
+    """Durable sink: one parquet dir per destination (partition-parallel).
+
+    Idempotent under micro-batch retries: when the pipeline passes a
+    ``batch_id``, rows land under ``dest=<d>/_batch=<id>/`` via DYNAMIC
+    partition overwrite — a replayed batch (checkpoint uncommitted →
+    foreachBatch re-invoked with the SAME batch_id) rewrites exactly its
+    own partitions instead of appending duplicates.  That upgrades the
+    file output from at-least-once to effectively-once CONTENTS while
+    keeping the write one executor-parallel job for all destinations
+    (never a per-dest loop).  Without a batch_id (plain batch use) it
+    appends, as before.
+    """
 
     def __init__(self, base_path: str) -> None:
         self.base_path = base_path
 
-    def write(self, df: DataFrame, default_dest: str) -> None:
+    def write(
+        self, df: DataFrame, default_dest: str, batch_id: int | None = None
+    ) -> None:
         dest_col = F.coalesce(F.col("dest"), F.lit(default_dest))
         out = df.withColumn("dest", dest_col)
-        # partitionBy(dest) keeps one executor-parallel write for ALL
-        # destinations — never a per-dest loop of jobs
-        out.write.mode("append").partitionBy("dest").parquet(self.base_path)
+        if batch_id is None:
+            out.write.mode("append").partitionBy("dest").parquet(self.base_path)
+            return
+        (
+            out.withColumn("_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dest", "_batch")
+            .parquet(self.base_path)
+        )
 
 
 class KafkaSink:
@@ -298,7 +326,9 @@ class KafkaSink:
             ),
         )
 
-    def write(self, df: DataFrame, default_dest: str) -> None:
+    def write(
+        self, df: DataFrame, default_dest: str, batch_id: int | None = None
+    ) -> None:
         (
             self.to_wire(df, default_dest)
             .write.format("kafka")
@@ -404,7 +434,7 @@ class Pipeline:
 
             to_send = ok.where(F.col("dest").isNotNull()) if self.drop_unrouted else ok
             to_send = chain([t.send for t in self.transformers], to_send)
-            self.sink.write(to_send, self.default_dest)
+            self.sink.write(to_send, self.default_dest, batch_id=batch_id)
 
             counts = obs.get  # resolved by the sink job just finished
             n_rcv, n_fail = counts["rcv"], counts["fail"]
@@ -418,7 +448,11 @@ class Pipeline:
                 self.stats.increment(M.FAIL, n_fail)
                 if self.fail_sink is not None:
                     dlq, dlq_dest = self.fail_sink
-                    dlq.write(failed.withColumn("dest", F.lit(dlq_dest)), dlq_dest)
+                    dlq.write(
+                        failed.withColumn("dest", F.lit(dlq_dest)),
+                        dlq_dest,
+                        batch_id=batch_id,
+                    )
                     self.stats.increment(M.FAILSEND, n_fail)
         finally:
             batch_df.unpersist()

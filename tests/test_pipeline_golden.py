@@ -344,3 +344,35 @@ def test_kafka_sink_wire_mapping(spark):
     # with no pipeline default, the sink's own default topic wins
     wire2 = sink.to_wire(df.where(F.col("id") == "b"), default_dest=None)
     assert wire2.collect()[0]["topic"] == "fallback"
+
+
+def test_parquet_sink_idempotent_on_batch_retry(spark, tmp_path):
+    """A replayed micro-batch (same batch_id — checkpoint uncommitted,
+    foreachBatch re-invoked) must NOT duplicate sink rows: ParquetSink's
+    dynamic partition overwrite rewrites its own dest/_batch partitions.
+    A NEW batch id still appends."""
+    from frizzle_spark.streaming.pipeline import ParquetSink
+
+    base = str(tmp_path / "sink")
+    sink = ParquetSink(base)
+    pipe = Pipeline(
+        spark,
+        source=None,
+        sink=sink,
+        default_dest="main",
+        fail_sink=(sink, "dead"),
+        fail_predicate=F.col("id") == "fail",
+    )
+    df = spark.createDataFrame(
+        [("a", b"x", None, None), ("b", b"y", None, None), ("fail", b"z", None, None)],
+        MSG_SCHEMA,
+    )
+    pipe._run_batch(df, 7)
+    pipe._run_batch(df, 7)  # simulated redelivery of the SAME batch
+    got = spark.read.parquet(base)
+    assert got.count() == 3, "retried batch must overwrite, not append"
+    assert got.where(F.col("dest") == "dead").count() == 1
+
+    df2 = spark.createDataFrame([("c", b"w", None, None)], MSG_SCHEMA)
+    pipe._run_batch(df2, 8)  # a NEW batch appends
+    assert spark.read.parquet(base).count() == 4
