@@ -30,6 +30,7 @@ buffer-500 backpressure, basic/source.go:13-16) maps to
 
 from __future__ import annotations
 
+import os
 import signal
 import tempfile
 import uuid
@@ -301,6 +302,46 @@ class ParquetSink:
             .partitionBy("dest", "_batch")
             .parquet(self.base_path)
         )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int = 1_000_000,
+        compacted_batch: int = -1,
+    ) -> None:
+        """Maintenance: fold accumulated per-batch directories into few
+        large files (the OPTIMIZE step every per-trigger file sink needs
+        at scale — a day of 1-minute triggers is 1,440 batch dirs per
+        dest, and small files destroy downstream scan throughput).
+
+        Rewrites ALL current rows into the reserved ``_batch=-1``
+        partition sized by ``target_rows_per_file``, into a sibling temp
+        directory (Spark refuses to overwrite a path it is reading),
+        then atomically swaps directories.  The rename is atomic on a
+        real filesystem/HDFS; on an object store swap via a manifest or
+        table format instead.  Run from maintenance windows, not inside
+        the trigger path.
+        """
+        import shutil
+
+        cur = spark.read.parquet(self.base_path)
+        n = cur.count()
+        if n == 0:
+            return
+        files = max(1, -(-n // target_rows_per_file))
+        tmp = self.base_path.rstrip("/") + "__compact_tmp"
+        (
+            cur.drop("_batch")
+            .withColumn("_batch", F.lit(int(compacted_batch)))
+            .repartition(files)
+            .write.mode("overwrite")
+            .partitionBy("dest", "_batch")
+            .parquet(tmp)
+        )
+        old = self.base_path.rstrip("/") + "__compact_old"
+        os.rename(self.base_path, old)
+        os.rename(tmp, self.base_path)
+        shutil.rmtree(old)
 
 
 class KafkaSink:

@@ -376,3 +376,69 @@ def test_parquet_sink_idempotent_on_batch_retry(spark, tmp_path):
     df2 = spark.createDataFrame([("c", b"w", None, None)], MSG_SCHEMA)
     pipe._run_batch(df2, 8)  # a NEW batch appends
     assert spark.read.parquet(base).count() == 4
+
+
+def test_parquet_sink_compaction_preserves_contents(spark, tmp_path):
+    """compact() folds many per-batch dirs into few files with identical
+    contents and dest partitioning (the small-files maintenance op)."""
+    import glob
+
+    from frizzle_spark.streaming.pipeline import ParquetSink
+
+    base = str(tmp_path / "sink")
+    sink = ParquetSink(base)
+    pipe = Pipeline(
+        spark,
+        source=None,
+        sink=sink,
+        default_dest="main",
+        fail_sink=(sink, "dead"),
+        fail_predicate=F.col("id") == "fail",
+    )
+    for b in range(5):
+        df = spark.createDataFrame(
+            [(f"a{b}", b"x", None, None), ("fail", b"z", None, None)], MSG_SCHEMA
+        )
+        pipe._run_batch(df, b)
+    before = spark.read.parquet(base)
+    rows_before = sorted((r["id"], r["dest"]) for r in before.collect())
+    files_before = len(glob.glob(f"{base}/dest=*/_batch=*/part-*.parquet"))
+
+    sink.compact(spark)
+
+    after = spark.read.parquet(base)
+    rows_after = sorted((r["id"], r["dest"]) for r in after.collect())
+    files_after = len(glob.glob(f"{base}/dest=*/_batch=*/part-*.parquet"))
+    assert rows_after == rows_before
+    assert files_after < files_before
+    batches = {r["_batch"] for r in after.select("_batch").distinct().collect()}
+    assert batches == {-1}, "all rows must land in the compacted partition"
+
+
+def test_query_error_increments_error_counter(spark, corpus_dir):
+    """O17 ReportAsyncErrors: a query that dies with an exception must
+    bump ctr.error through the listener (options.go:72-103 semantics)."""
+    import time
+
+    stats = M.DictStats()
+    source = FileReplaySource(path=corpus_dir, schema=MSG_SCHEMA)
+    pipe = Pipeline(
+        spark,
+        source,
+        MemorySink(),
+        default_dest="m",
+        process=lambda df: df.select("no_such_column"),
+        stats=stats,
+        monitor_rate=True,
+    )
+    q = pipe.start()
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    deadline = time.time() + 30  # listener events deliver asynchronously
+    while stats.counts.get(M.ERROR, 0) == 0 and time.time() < deadline:
+        time.sleep(0.2)
+    assert stats.counts.get(M.ERROR, 0) >= 1
+    # stop() on a crashed query surfaces the error (FlushAndClose returns
+    # the error in the reference, frizzle.go:152-179) AFTER cleanup runs
+    with pytest.raises(Exception):
+        pipe.stop(1)

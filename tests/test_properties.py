@@ -94,3 +94,59 @@ def test_two_phase_agg_equals_plain_agg(spark, rows, buckets):
         ).collect()
     }
     assert skewsafe == plain
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_redact_pii_is_idempotent_and_tag_free_of_pii(spark, texts):
+    """redact ∘ redact = redact, and a redacted text never still matches
+    the email pattern (the placeholder tags are PII-shape-free)."""
+    from frizzle_spark.functions.text import EMAIL_RE, redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    once = df.select("id", redact_pii(F.col("t")).alias("r"))
+    twice = once.select("id", redact_pii(F.col("r")).alias("r2"), "r")
+    rows = twice.orderBy("id").collect()
+    assert all(r["r"] == r["r2"] for r in rows), "redaction must be idempotent"
+    leftover = once.where(F.regexp_count("r", F.lit(EMAIL_RE)) > 0).count()
+    assert leftover == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(0, 1_000_000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_keep_latest_survivor_is_max_ts_per_key(spark, rows):
+    """The keep-latest compaction shape: the surviving row per key carries
+    that key's maximal (ts, id) — for arbitrary duplicate patterns."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "k int, v int, ts long")
+    w = Window.partitionBy("k").orderBy(F.desc("ts"), F.desc("v"))
+    latest = {
+        r["k"]: (r["ts"], r["v"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    want = {}
+    for k, v, ts in rows:
+        if k not in want or (ts, v) > want[k]:
+            want[k] = (ts, v)
+    assert latest == want
