@@ -47,6 +47,8 @@ __all__ = [
     "salted_join",
     "two_phase_agg",
     "interval_join",
+    "materialize_minhash_index",
+    "incremental_neardup",
     "scan_csv",
     "scan_json",
     "scan_parquet",
@@ -61,6 +63,7 @@ def __getattr__(name: str):
     """Lazy re-exports: ``frizzle_spark.Pipeline`` etc. without paying the
     streaming-module import on bare ``import frizzle_spark``."""
     from frizzle_spark.functions import text as _text
+    from frizzle_spark.operators import dedup as _dedup
     from frizzle_spark.operators import skew as _skew
     from frizzle_spark.sources import files as _files
     from frizzle_spark.streaming import analytics as _analytics
@@ -68,7 +71,7 @@ def __getattr__(name: str):
     from frizzle_spark.streaming import pipeline as _pipeline
     from frizzle_spark.streaming import transforms as _transforms
 
-    for mod in (_pipeline, _transforms, _metrics, _skew, _analytics, _files, _text):
+    for mod in (_pipeline, _transforms, _metrics, _skew, _analytics, _files, _text, _dedup):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise AttributeError(f"module 'frizzle_spark' has no attribute {name!r}")

@@ -17,6 +17,12 @@ Five committed flavors:
                  banding, Hamming ≤ 3 (rows-only; unit-tested).
 * embedding cosine — see operators/similarity.py (q11_embedding_neardup).
 
+Plus the cross-corpus tier: ``q11_blocklist_dedup`` (broadcast anti-join
+decontamination), ``q11_keep_latest`` (CDC compaction), and the
+incremental pair ``materialize_minhash_index`` / ``incremental_neardup``
+— signatures computed once per corpus snapshot, new slices deduped
+against the stored index without re-reading corpus text.
+
 Scale notes: every stage is shuffle-by-key (shingle → pair → doc); hot
 shingles (stop-phrases) are the skew risk — AQE skew-join splits them,
 and ``NGRAM_DF_CAP`` documents the standard mitigation (drop shingles
@@ -63,17 +69,8 @@ def q11_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word 3-gram shingles per document (docs with ≥3 words).
-
-    Deliberately NOT persisted: measured at sf0.1, a shared
-    ``persist()`` of this prefix made the dedup suite 2-3× SLOWER under
-    one session (cache materialization blocks the first query and the
-    InMemoryRelation defeats AQE's coalescing for the self-joins).  At
-    100 TB the right amortization is a materialized signatures TABLE on
-    storage, not executor cache.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct word 3-gram shingles per (doc_id, text) frame."""
     ws = F.split(F.trim(F.col("text")), r"\s+")
     return (
         docs.select("doc_id", ws.alias("ws"))
@@ -89,6 +86,19 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles per document (docs with ≥3 words).
+
+    Deliberately NOT persisted: measured at sf0.1, a shared
+    ``persist()`` of this prefix made the dedup suite 2-3× SLOWER under
+    one session (cache materialization blocks the first query and the
+    InMemoryRelation defeats AQE's coalescing for the self-joins).  At
+    100 TB the right amortization is a materialized signatures TABLE on
+    storage, not executor cache (see ``materialize_minhash_index``).
+    """
+    return shingles_of(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -163,6 +173,28 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*mins)
 
 
+def sig_array(sigs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h63) → (doc_id, sig array<long>)."""
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"h{k}") for k in range(MINHASH_PERMS)]).alias("sig")
+    )
+
+
+def band_buckets(sigs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h63) → (doc_id, band_id, band_hash): LSH banding,
+    16 bands × 4 rows — docs sharing any (band_id, band_hash) bucket
+    become candidates."""
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * LSH_ROWS + j}") for j in range(LSH_ROWS)]
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash"))
+
+
 @query("qz11_minhash_lsh", oracle=None)
 def qz11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
@@ -175,19 +207,8 @@ def qz11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates recall against q11_ngram_jaccard.
     """
     sigs = minhash_signatures(_shingles(spark, sf_dir))
-    sig_arr = F.array(*[F.col(f"h{k}") for k in range(MINHASH_PERMS)])
-    with_sig = sigs.select("doc_id", sig_arr.alias("sig"))
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"h{b * LSH_ROWS + j}") for j in range(LSH_ROWS)]
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash")
-    )
+    with_sig = sig_array(sigs)
+    banded = band_buckets(sigs)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_hash"])
@@ -363,4 +384,63 @@ def q11_blocklist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", fp.alias("fp"))
         .join(F.broadcast(blocklist), "fp", "left_anti")
         .select("doc_id", "source")
+    )
+
+
+def materialize_minhash_index(docs: DataFrame, base_path: str) -> None:
+    """Persist the MinHash dedup index for a corpus: ``signatures/``
+    (doc_id, sig array<long>) and ``bands/`` (doc_id, band_id,
+    band_hash), the amortization point the _shingles docstring names —
+    at 100 TB you compute signatures ONCE per corpus snapshot and every
+    later dedup pass (new crawl, eval decontamination) joins against
+    this table instead of re-reading text.  bands/ is written
+    partitioned by band_id so an incremental probe prunes to the
+    partitions it hashes into."""
+    sigs = minhash_signatures(shingles_of(docs))
+    sig_array(sigs).write.mode("overwrite").parquet(f"{base_path}/signatures")
+    (
+        band_buckets(sigs)
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(f"{base_path}/bands")
+    )
+
+
+def incremental_neardup(
+    spark: SparkSession, new_docs: DataFrame, index_base: str
+) -> DataFrame:
+    """Near-dup pairs (new_doc_id, indexed_doc_id, est_jaccard) of NEW
+    documents against a ``materialize_minhash_index`` output — the
+    incremental path: signatures/bands are computed only for the new
+    slice, the stored corpus is touched only through the band-bucket
+    join (shuffle carries bucket rows, never text), and signature
+    agreement estimates Jaccard exactly as the batch operator does.
+    """
+    nsigs = minhash_signatures(shingles_of(new_docs))
+    nband = band_buckets(nsigs).withColumnRenamed("doc_id", "new_id")
+    oband = spark.read.parquet(f"{index_base}/bands").withColumnRenamed(
+        "doc_id", "old_id"
+    )
+    cand = (
+        nband.join(oband, ["band_id", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    nsig = sig_array(nsigs).select(
+        F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_new")
+    )
+    osig = spark.read.parquet(f"{index_base}/signatures").select(
+        F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_new", "sig_old", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(nsig, "new_id")
+        .join(osig, "old_id")
+        .withColumn("est_raw", agree / F.lit(float(MINHASH_PERMS)))
+        .where(F.col("est_raw") >= JACCARD_THRESHOLD)
+        .select("new_id", "old_id", F.round("est_raw", 6).alias("est_jaccard"))
     )

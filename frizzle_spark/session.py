@@ -26,17 +26,35 @@ def _local_cores() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
-def get_spark(app_name: str = "frizzle_spark", cores: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "frizzle_spark",
+    cores: int | None = None,
+    large_streaming_state: bool = False,
+) -> SparkSession:
     """Build (or fetch) the session with scale-appropriate defaults.
 
     Any already-active session is reused (the driver may hand us one).
+
+    ``large_streaming_state=True`` switches the streaming state store to
+    RocksDB (spilling, incremental checkpoints) — required once stateful
+    streaming state (dedup keys, open sessions, interval-join buffers)
+    outgrows executor heap; the default HDFS-backed store keeps every
+    key in JVM memory.  Off by default: the test matrix's state is tiny
+    and RocksDB adds per-batch native overhead there.
     """
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
     n = cores or _local_cores()
+    builder = SparkSession.builder
+    if large_streaming_state:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     return (
-        SparkSession.builder.appName(app_name)
+        builder.appName(app_name)
         .master(f"local[{n}]")
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
         .config("spark.sql.adaptive.enabled", "true")

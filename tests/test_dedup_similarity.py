@@ -118,3 +118,32 @@ def test_neardup_block_packing_bounded(spark, sf_dir):
     ids = packed.select("ids").collect()
     for r in ids:
         assert r["ids"] == sorted(r["ids"])
+
+
+def test_incremental_neardup_against_materialized_index(spark, sf_dir, tmp_path):
+    """Materialize the corpus MinHash index once, then dedup a 'new
+    crawl' (lightly mutated copies of existing docs) against it: each
+    mutated doc must surface its source doc as a near-dup, computed
+    without re-reading the corpus text."""
+    base = str(tmp_path / "mh_index")
+    docs = dd.load_table(spark, sf_dir, "documents")
+    dd.materialize_minhash_index(docs, base)
+
+    # new slice: 5 long docs with one appended word (high Jaccard vs source)
+    src = (
+        docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 30)
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    )
+    assert src, "need long docs at this SF"
+    new_docs = spark.createDataFrame(
+        [(100000 + r["doc_id"], r["text"] + " appended") for r in src],
+        "doc_id long, text string",
+    )
+    pairs = dd.incremental_neardup(spark, new_docs, base)
+    got = {(r["new_id"], r["old_id"]) for r in pairs.collect()}
+    for r in src:
+        assert (100000 + r["doc_id"], r["doc_id"]) in got, (
+            f"mutated copy of doc {r['doc_id']} not matched"
+        )
