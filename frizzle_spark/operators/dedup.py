@@ -444,3 +444,29 @@ def incremental_neardup(
         .where(F.col("est_raw") >= JACCARD_THRESHOLD)
         .select("new_id", "old_id", F.round("est_raw", 6).alias("est_jaccard"))
     )
+
+
+@query("qz11_incremental_neardup", oracle=None)
+def qz11_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dedup pair exercised end-to-end as a query:
+    materialize the corpus MinHash index to a scratch dir, then dedup a
+    deterministic 'new crawl' (the 20 longest-id docs with one appended
+    word) against it.  Rows-only (qz tier — hash family not DuckDB-
+    reproducible); the pytest gate asserts every mutated doc surfaces
+    its source.  Scale shape: per-increment cost is O(new docs); the
+    corpus is touched only through the stored band buckets.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="mh_index_")
+    materialize_minhash_index(docs, base)
+    new_docs = (
+        docs.orderBy(F.desc("doc_id"))
+        .limit(20)
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+        )
+    )
+    return incremental_neardup(spark, new_docs, base)

@@ -126,3 +126,55 @@ def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.decode("data", "UTF-8").alias("payload"),
     )
+
+
+@query("qz16_interval_join", oracle=None)
+def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join run for real (availableNow): clicks
+    joined to purchases within 1h per user, both sides watermarked
+    streams over the same events replay.  Rows-only at the driver (qz
+    tier); tests/test_streaming_analytics.py asserts the result equals
+    the identical join computed in batch.  State stays bounded because
+    the join condition bounds event time in both directions — see
+    streaming/analytics.interval_join.
+    """
+    from frizzle_spark.streaming.analytics import interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def load_stream():
+        df = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return df.withColumn(
+            "ets", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+
+    clicks = (
+        load_stream()
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ets").alias("l_ts"))
+    )
+    buys = (
+        load_stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ets").alias("r_ts"),
+        )
+    ).withColumnRenamed("b_user", "user_id")
+
+    out = interval_join(clicks, buys).select("click_id", "buy_id")
+    name = f"qz16_ij_{abs(hash(sf_dir)) % 99999}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
