@@ -252,19 +252,27 @@ def simhash_fingerprints(hashed: DataFrame, h: str = "h64") -> DataFrame:
     beyond that, pre-split docs into ≤64 k-shingle segments and merge
     (vote counts add associatively), or widen to 32-bit lanes
     (32 sums — still 2× fewer than per-bit).
+
+    The per-shingle lane projection uses a multiply-spread: nibble
+    n = (h >> 4j) & 0xF multiplied by C = 1 + 2^15 + 2^30 + 2^45 lands
+    bit k at position k + 15k = 16k; cross terms k + 15m (k ≠ m) are
+    never ≡ 0 (mod 16) and never collide with each other (k - m = 15·Δ
+    has no solution with |k - m| ≤ 3), so a final & 0x0001000100010001
+    leaves exactly bit(4j+k) << 16k — 4 integer ops per lane instead of
+    the ~20 (4 × shift/and/cast/mult + adds) of the naive expansion.
+    Measured at sf0.1 the wall-time delta is inside noise (fingerprint
+    stage min 2.68 s → 2.56 s: the stage is shuffle-bound, not
+    projection-bound); kept for the 4× smaller generated code, which is
+    what matters when 64-lane-scale variants of this pattern compile
+    (SCALE.md round-3 entry has the per-stage numbers).
     """
+    _SPREAD = (1 << 45) | (1 << 30) | (1 << 15) | 1
+    _LANE_MASK = 0x0001000100010001
     hcol = F.col(h)
     packed = []
     for j in range(_SIMHASH_LANES):
-        lane = None
-        for k in range(4):
-            term = (
-                F.shiftrightunsigned(hcol, 4 * j + k)
-                .bitwiseAND(F.lit(1))
-                .cast("long")
-                * F.lit(1 << (16 * k)).cast("long")
-            )
-            lane = term if lane is None else lane + term
+        nibble = F.shiftrightunsigned(hcol, 4 * j).bitwiseAND(F.lit(15))
+        lane = (nibble * F.lit(_SPREAD)).bitwiseAND(F.lit(_LANE_MASK))
         packed.append(F.sum(lane).alias(f"s{j}"))
     agg = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *packed)
 
