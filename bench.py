@@ -57,8 +57,11 @@ def main() -> None:
         print(f"# {name}: min {timings[name]:.3f}s of {runs} ({n} rows)", file=sys.stderr)
 
     # approximate-tier quality, tracked round-over-round alongside speed:
-    # recall of each ANN/LSH operator against its exact counterpart.
+    # recall of each ANN/LSH operator against its exact counterpart, and
+    # the scanned-candidate fraction beside it (a faster round must not
+    # come from silently scanning less — both numbers move together).
     recall: dict[str, float] = {}
+    candidate_fraction: dict[str, float] = {}
     try:
         pair = lambda df, a, b: {(r[a], r[b]) for r in df.collect()}  # noqa: E731
         exact_pairs = pair(REGISTRY["q11_ngram_jaccard"].fn(spark, sf_dir), "d1", "d2")
@@ -71,6 +74,9 @@ def main() -> None:
         for q in ("qz12_ann_lsh", "qz12_ivf"):
             approx = pair(REGISTRY[q].fn(spark, sf_dir), "probe_id", "neighbor_id")
             recall[q] = round(len(exact_nn & approx) / len(exact_nn), 4)
+        from frizzle_spark.operators.similarity import candidate_fractions
+
+        candidate_fraction = candidate_fractions(spark, sf_dir)
     except Exception as ex:  # recall is diagnostics — never fail the bench
         print(f"# recall computation failed: {ex}", file=sys.stderr)
 
@@ -85,18 +91,24 @@ def main() -> None:
         stream_rps = round(n_events / timings["q13_stream"], 1)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Field ORDER is part of the contract: scalars (metric/value/sf) and
+    # the small quality blocks come FIRST so a tail-truncated capture of
+    # this line still parses the headline numbers — BENCH_r02's parsed
+    # field was null because the per-query map preceded the total and
+    # the driver's tail cut it (VERDICT r2 'Next round' #5).
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "runs_per_query": n_runs,
-                "runs": all_runs,
-                "recall": recall,
-                "stream_rows_per_sec": stream_rps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": n_runs,
+                "stream_rows_per_sec": stream_rps,
+                "recall": recall,
+                "candidate_fraction": candidate_fraction,
+                "queries": timings,
+                "runs": all_runs,
             }
         )
     )

@@ -10,18 +10,32 @@ Two tiers, as a 100 TB design demands:
   only shuffle carries |probes|×k-ish candidate rows (window on probe_id
   after a per-partition prune would make it fully heap-like; at our
   probe counts the window is already tiny).
-* ``qz12_ann_lsh`` — approximate: random-hyperplane (SimHash) bucketing
-  with multiprobe (Hamming-1) search.  Buckets partition the corpus, so
-  each probe touches ~(1+nbits)/2^nbits of the data instead of all of
-  it.  Recall on *random* vectors is modest by construction (no real
-  cluster structure in the testdata — verified, max pairwise cos 0.51);
-  the pytest recall gate is calibrated against the candidate fraction.
+* ``qz12_ann_lsh`` — approximate: random-hyperplane (SimHash) bucketing,
+  multi-table (OR-construction) with Hamming-≤2 multiprobe.  Parameters
+  are CORPUS-DERIVED (``lsh_params``): bits ≈ log2(n)+1 holds per-table
+  exact-bucket occupancy at ~½ vector, so the probed candidate fraction
+  stays roughly constant as the corpus grows — at 100× the data the
+  code gets ~7 bits wider instead of the buckets getting 100× fatter.
+  Recall on *random* vectors is bounded by construction (no real
+  cluster structure in the testdata — measured: median true-neighbor
+  cos is 0.37, so each hyperplane bit discriminates at only p≈0.62 vs
+  0.5; scripts/ann_param_sweep.py has the full recall-vs-fraction grid
+  and SCALE.md the round-3 write-up).  The pytest gates check BOTH the
+  calibrated random-data floor AND, on a planted-neighbor corpus
+  (cos≈0.95 duplicates — the realistic dedup/similarity shape), high
+  recall at ≤10% candidate fraction.
 
-Hyperplanes are deterministic (numpy seed 42) and shipped as literal
-arrays — broadcast constants, no Python in the scoring path.
+Hyperplanes are deterministic (numpy seed 42+t per table) and shipped
+as a BROADCAST variable into an Arrow kernel — measured in r2, shipping
+model constants as Catalyst literals is 10× slower to analyze; at
+tables×bits×dim = 3,072 coefficients the expression-tree route is the
+exact anti-pattern SCALE.md documents.  Candidate scoring (the exact
+re-rank) stays JVM-side.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -35,9 +49,26 @@ from frizzle_spark.sources.tables import load_table
 N_PROBES = 10
 TOP_K = 5
 DIM = 64
-LSH_BITS = 4
+LSH_TABLES = 4
+LSH_HAMMING = 2
+LSH_MIN_BITS, LSH_MAX_BITS = 6, 24
 NEARDUP_CHUNK_ROWS = 1024  # target rows per packed GEMM block (size bound)
 NEARDUP_THRESHOLD = 0.4
+
+
+def lsh_params(n: int) -> tuple[int, int, int]:
+    """(bits, tables, hamming) derived from corpus size.
+
+    bits = ⌈log2 n⌉ + 1 → per-table exact-bucket occupancy n/2^bits ≈ ½;
+    with Hamming-≤2 multiprobe each probe touches ~(1+B+C(B,2)) buckets
+    per table, so the expected candidate fraction is
+    tables·(1+B+C(B,2))/2^B — ≈8% at n=2,000 (B=12) and FALLING as n
+    grows (the binomial numerator is polynomial in B, the denominator
+    exponential).  Tables OR together to recover recall lost to the
+    narrower buckets; 4 tables is the measured knee on the sweep grid.
+    """
+    bits = min(LSH_MAX_BITS, max(LSH_MIN_BITS, math.ceil(math.log2(max(n, 2))) + 1))
+    return bits, LSH_TABLES, LSH_HAMMING
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,50 +131,128 @@ def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
-    rng = np.random.RandomState(42)
-    return rng.randn(LSH_BITS, DIM).tolist()
+def _lsh_planes(bits: int, tables: int, dim: int) -> np.ndarray:
+    """(tables, bits, dim) hyperplane tensor, seed 42+t per table."""
+    return np.stack(
+        [np.random.RandomState(42 + t).randn(bits, dim) for t in range(tables)]
+    )
 
 
-def _bucket_expr(vec: F.Column) -> F.Column:
-    """LSH bucket id: sign bits of the vector against LSH_BITS hyperplanes."""
-    planes = _hyperplanes()
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        h = F.array(*[F.lit(float(x)) for x in plane])
-        bit = (V.dot(h, vec) >= 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, j)
-    return bucket
+def _unit(corpus: DataFrame) -> DataFrame:
+    return corpus.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
+    )
+
+
+def _lsh_codes(unit: DataFrame, bc_planes) -> DataFrame:
+    """(vec_id, u) → (vec_id, table_id, code): sign-bit bucket code per
+    table, one numpy GEMM per Arrow batch against broadcast hyperplanes.
+    Map-side only — the corpus is never shuffled to be coded, and the
+    code stream carries three scalars per (vector, table), no arrays."""
+
+    def assign(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        planes = bc_planes.value  # (T, B, D)
+        tables, bits, _ = planes.shape
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["u"].map(np.asarray))
+            frames = []
+            for t in range(tables):
+                codes = ((u @ planes[t].T >= 0) @ weights).astype(np.int64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "table_id": np.int32(t),
+                            "code": codes,
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return unit.mapInPandas(assign, "vec_id long, table_id int, code long")
+
+
+def _multiprobe_masks(bits: int, hamming: int) -> list[int]:
+    from itertools import combinations
+
+    masks = [0]
+    if hamming >= 1:
+        masks += [1 << j for j in range(bits)]
+    if hamming >= 2:
+        masks += [(1 << a) | (1 << b) for a, b in combinations(range(bits), 2)]
+    return masks
+
+
+def ann_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (probe_id, vec_id, pu, u) LSH candidates — the recall/
+    candidate-fraction surface the bench reports on.
+
+    Shape: corpus coded map-side (T rows per vector), probes collected
+    driver-side (bounded: N_PROBES rows), multiprobe bucket variants
+    enumerated in numpy and broadcast, candidates via broadcast hash
+    join on (table_id, code).  The only shuffle is the pair-distinct,
+    and it carries candidate PAIRS (two longs), never vectors or
+    buckets; the deduped pair set (probe-bounded, ≈fraction·|probes|·n
+    rows) broadcasts back against the corpus so the re-rank scoring
+    stays map-side too.
+    """
+    corpus = _corpus(spark, sf_dir)
+    n = corpus.count()  # parquet-metadata count; one cheap job
+    bits, tables, hamming = lsh_params(n)
+    planes = _lsh_planes(bits, tables, DIM)
+    bc_planes = spark.sparkContext.broadcast(planes)
+    coded = _lsh_codes(_unit(corpus), bc_planes)
+
+    probe_rows = (
+        corpus.orderBy("vec_id").limit(N_PROBES).select("vec_id", "v", "nrm").collect()
+    )
+    pu = np.asarray([r["v"] for r in probe_rows]) / np.asarray(
+        [[r["nrm"]] for r in probe_rows]
+    )
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    masks = _multiprobe_masks(bits, hamming)
+    bucket_rows = []
+    for i, r in enumerate(probe_rows):
+        for t in range(tables):
+            code = int(((pu[i] @ planes[t].T >= 0) @ weights))
+            bucket_rows += [(r["vec_id"], t, code ^ m) for m in masks]
+    probe_buckets = spark.createDataFrame(
+        bucket_rows, "probe_id long, table_id int, code long"
+    )
+    probes_df = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in row]) for r, row in zip(probe_rows, pu)],
+        "probe_id long, pu array<double>",
+    )
+    pairs = (
+        coded.join(F.broadcast(probe_buckets), ["table_id", "code"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    return (
+        _unit(corpus)
+        .join(F.broadcast(pairs), "vec_id")
+        .join(F.broadcast(probes_df), "probe_id")
+    )
 
 
 @query("qz12_ann_lsh", oracle=None)
 def qz12_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH with Hamming-1 multiprobe.
+    """Approximate top-k via multi-table random-hyperplane LSH, Hamming-≤2
+    multiprobe, exact cosine re-rank of the candidate set.
 
     No SQL oracle (bucketing is not expressible without replicating the
-    hyperplane literals); pytest checks recall against q12_cosine_topk.
+    hyperplane tensor); pytest gates recall AND candidate fraction
+    against q12_cosine_topk — on the random testdata at the calibrated
+    floor, on a planted-neighbor corpus at the realistic bar.
     """
-    corpus = _corpus(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("v")))
-    probes = (
-        corpus.orderBy("vec_id")
-        .limit(N_PROBES)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("v").alias("pv"),
-            F.col("nrm").alias("pnrm"),
-            F.col("bucket").alias("pbucket"),
-        )
-    )
-    # multiprobe: exact bucket + all Hamming-1 variants
-    variants = F.array(
-        F.col("pbucket"), *[F.col("pbucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_BITS)]
-    )
-    probe_buckets = probes.withColumn("bucket", F.explode(variants))
-    cand = corpus.join(
-        F.broadcast(probe_buckets), on="bucket"
-    ).where(F.col("vec_id") != F.col("probe_id"))
-    scored = cand.withColumn(
-        "cos_sim", V.cosine(F.col("pv"), F.col("v"), F.col("pnrm"), F.col("nrm"))
+    scored = ann_lsh_candidates(spark, sf_dir).withColumn(
+        "cos_sim", V.dot(F.col("pu"), F.col("u"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -283,13 +392,25 @@ def q11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.mapInPandas(score, schema=out_schema)
 
 
-IVF_CLUSTERS = 16
-IVF_NPROBE = 4
 IVF_TRAIN_SAMPLE = 4096
 IVF_ITERS = 10
+IVF_PROBE_FRAC = 0.09  # target nprobe/K — candidate fraction ≈ this
+IVF_MIN_CLUSTERS = 4
+IVF_MAX_CLUSTERS = 65536
 
 
-def _kmeans_unit(x: "np.ndarray") -> "np.ndarray":
+def ivf_params(n: int) -> tuple[int, int]:
+    """(K, nprobe) derived from corpus size: K ≈ √n (the standard IVF
+    sizing — per-list length and list count both grow as √n, so probe
+    cost is O(nprobe·√n) instead of O(n)), nprobe = max(2, round(frac·K))
+    so the scanned candidate fraction stays ≈IVF_PROBE_FRAC at every
+    scale instead of the fixed-K shape whose fraction was stuck at 25%."""
+    k = min(IVF_MAX_CLUSTERS, max(IVF_MIN_CLUSTERS, round(math.sqrt(n))))
+    nprobe = max(2, round(IVF_PROBE_FRAC * k))
+    return k, nprobe
+
+
+def _kmeans_unit(x: "np.ndarray", k: int) -> "np.ndarray":
     """Deterministic Lloyd's k-means over unit vectors (cosine affinity).
 
     Runs on a bounded driver-side sample — the scale contract: training
@@ -298,10 +419,10 @@ def _kmeans_unit(x: "np.ndarray") -> "np.ndarray":
     re-unit-normalized each iteration so affinity stays the cosine.
     """
     rng = np.random.RandomState(7)
-    cent = x[rng.choice(len(x), IVF_CLUSTERS, replace=False)]
+    cent = x[rng.choice(len(x), min(k, len(x)), replace=False)]
     for _ in range(IVF_ITERS):
         assign = (x @ cent.T).argmax(axis=1)
-        for c in range(IVF_CLUSTERS):
+        for c in range(len(cent)):
             members = x[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
@@ -309,26 +430,14 @@ def _kmeans_unit(x: "np.ndarray") -> "np.ndarray":
     return cent
 
 
-@query("qz12_ivf", oracle=None)
-def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF: k-means coarse quantizer, nprobe=4.
-
-    Corpus vectors partition into IVF_CLUSTERS inverted lists; each
-    probe scans only its nprobe closest lists (~nprobe/K of the data).
-    Cluster assignment is one numpy GEMM per Arrow batch against a
-    BROADCAST centroid matrix (a first cut shipped the centroids as
-    1,024 literal expression nodes — Catalyst analysis alone made the
-    query 10× slower at sf0.1; broadcast variables are the way to ship
-    model constants).  Candidate generation is a broadcast hash join on
-    cluster id, so the corpus never reshuffles per query — the
-    inverted-list layout IS the partitioning.  Rows-only check; pytest
-    gates recall against q12_cosine_topk's exact result.
-    """
+def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct IVF candidates (probe_id, vec_id, pu, u) — the recall/
+    candidate-fraction surface the bench reports on; qz12_ivf re-ranks
+    it exactly.  See qz12_ivf for the plan shape."""
     corpus = _corpus(spark, sf_dir)
-    unit = corpus.select(
-        "vec_id",
-        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
-    )
+    n = corpus.count()  # parquet-metadata count; one cheap job
+    k, nprobe = ivf_params(n)
+    unit = _unit(corpus)
     # ONE bounded collect feeds both the quantizer sample and the probe
     # set (probes are the N_PROBES lowest vec_ids, a prefix of the
     # lowest-IVF_TRAIN_SAMPLE sample) — a first cut ran the full-corpus
@@ -342,7 +451,7 @@ def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = np.asarray([r["v"] for r in sample]) / np.asarray(
         [[r["nrm"]] for r in sample]
     )
-    cent = _kmeans_unit(x)
+    cent = _kmeans_unit(x, k)
     bc_cent = spark.sparkContext.broadcast(cent)
 
     def assign(batches):  # pragma: no cover - executed on executors
@@ -365,7 +474,7 @@ def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pid = [r["vec_id"] for r in sample[:N_PROBES]]
     pu = x[:N_PROBES]
-    top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :IVF_NPROBE]
+    top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :nprobe]
     probe_buckets = spark.createDataFrame(
         [
             (int(p), int(c), [float(x) for x in vec])
@@ -375,10 +484,31 @@ def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id long, cluster int, pu array<double>",
     )
 
-    cand = clustered.join(F.broadcast(probe_buckets), "cluster").where(
+    return clustered.join(F.broadcast(probe_buckets), "cluster").where(
         F.col("vec_id") != F.col("probe_id")
     )
-    scored = cand.withColumn("cos_sim", V.dot(F.col("pu"), F.col("u")))
+
+
+@query("qz12_ivf", oracle=None)
+def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF: k-means coarse quantizer, K and nprobe
+    corpus-derived (``ivf_params``: K ≈ √n, nprobe ≈ 9% of K).
+
+    Corpus vectors partition into K inverted lists; each probe scans
+    only its nprobe closest lists (~nprobe/K of the data).
+    Cluster assignment is one numpy GEMM per Arrow batch against a
+    BROADCAST centroid matrix (a first cut shipped the centroids as
+    1,024 literal expression nodes — Catalyst analysis alone made the
+    query 10× slower at sf0.1; broadcast variables are the way to ship
+    model constants).  Candidate generation is a broadcast hash join on
+    cluster id, so the corpus never reshuffles per query — the
+    inverted-list layout IS the partitioning.  Rows-only check; pytest
+    gates recall against q12_cosine_topk's exact result, plus the
+    planted-neighbor bar (see qz12_ann_lsh docstring).
+    """
+    scored = ivf_candidates(spark, sf_dir).withColumn(
+        "cos_sim", V.dot(F.col("pu"), F.col("u"))
+    )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -390,3 +520,18 @@ def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def candidate_fractions(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Scanned-candidate fraction of each approximate operator:
+    |distinct candidate pairs| / (|probes| · (n − 1)) — the denominator
+    is what brute force scores.  Reported in the bench JSON next to
+    recall so speed cannot silently buy itself worse quality."""
+    n = _corpus(spark, sf_dir).count()
+    denom = N_PROBES * (n - 1)
+    return {
+        "qz12_ann_lsh": round(
+            ann_lsh_candidates(spark, sf_dir).count() / denom, 4
+        ),
+        "qz12_ivf": round(ivf_candidates(spark, sf_dir).count() / denom, 4),
+    }

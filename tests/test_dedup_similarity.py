@@ -59,17 +59,23 @@ def test_simhash_finds_synthetic_neardup(spark):
     assert ham12 <= 10
 
 
-def test_ann_lsh_beats_random_baseline(spark, sf_dir):
-    exact = {
+def _topk_pairs(spark, sf_dir, name):
+    return {
         (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["q12_cosine_topk"].fn(spark, sf_dir).collect()
+        for r in REGISTRY[name].fn(spark, sf_dir).collect()
     }
-    approx_df = REGISTRY["qz12_ann_lsh"].fn(spark, sf_dir)
-    approx = {(r["probe_id"], r["neighbor_id"]) for r in approx_df.collect()}
+
+
+def test_ann_lsh_beats_random_baseline(spark, sf_dir):
+    exact = _topk_pairs(spark, sf_dir, "q12_cosine_topk")
+    approx = _topk_pairs(spark, sf_dir, "qz12_ann_lsh")
     recall = len(exact & approx) / len(exact)
-    n_corpus = REGISTRY["qz12_ann_lsh"].fn.__globals__  # noqa: F841 - doc only
-    # random testdata has no cluster structure; LSH recall is bounded by the
-    # candidate fraction (~(1+bits)/2^bits ≈ 31% at 4 bits).  Gate: above it.
+    # random testdata has no cluster structure (median true-neighbor cos
+    # 0.32 at sf0.01 → each hyperplane bit discriminates at p≈0.6 vs 0.5);
+    # numpy sweep (scripts/ann_param_sweep.py) puts the derived config
+    # (B=10, T=4, H≤2 at n=500) at recall 0.44 / fraction 0.21.  Gate
+    # comfortably above the candidate fraction = better than random
+    # bucketing, with slack for plane-seed sensitivity.
     assert recall >= 0.35, f"ann recall {recall:.2f}"
 
 
@@ -80,19 +86,90 @@ def test_exact_dedup_total_count(spark, sf_dir):
 
 
 def test_ivf_beats_candidate_fraction(spark, sf_dir):
-    exact = {
-        (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["q12_cosine_topk"].fn(spark, sf_dir).collect()
-    }
-    approx = {
-        (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["qz12_ivf"].fn(spark, sf_dir).collect()
-    }
+    exact = _topk_pairs(spark, sf_dir, "q12_cosine_topk")
+    approx = _topk_pairs(spark, sf_dir, "qz12_ivf")
     recall = len(exact & approx) / len(exact)
-    # nprobe/K = 25% of the corpus scanned; on structureless random data
-    # recall ≈ candidate fraction — the gate proves the quantizer is at
-    # least as good as random bucketing, cheaply
-    assert recall >= 0.25, f"ivf recall {recall:.2f}"
+    # derived params at n=500: K=22, nprobe=2 → ~9% of the corpus
+    # scanned; numpy sweep puts recall at 0.36.  On structureless random
+    # data recall ≈ candidate fraction for a RANDOM bucketing, so the
+    # gate (3× the fraction) proves the quantizer carries real signal.
+    assert recall >= 0.27, f"ivf recall {recall:.2f}"
+
+
+def test_ann_candidate_fractions_bounded(spark, sf_dir):
+    """The approximate tier must stay approximate: scanned-candidate
+    fraction ≤ 25% at the sf0.01 floor (n=500 — the bits/K floors bind)
+    and the helper must agree between operators and bench reporting."""
+    fracs = sim.candidate_fractions(spark, sf_dir)
+    assert set(fracs) == {"qz12_ann_lsh", "qz12_ivf"}
+    assert 0 < fracs["qz12_ann_lsh"] <= 0.25, fracs
+    assert 0 < fracs["qz12_ivf"] <= 0.15, fracs
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """Synthetic clustered corpus: 2,000 vectors, the 10 probe vectors
+    (lowest ids) each with a planted near-duplicate at cos≈0.95 — the
+    shape real embedding corpora have and the random testdata lacks."""
+    import numpy as np
+
+    rng = np.random.RandomState(123)
+    base = rng.randn(2000, 64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    for i in range(10):
+        w = rng.randn(64)
+        w -= (w @ base[i]) * base[i]
+        w /= np.linalg.norm(w)
+        base[1000 + i] = 0.95 * base[i] + np.sqrt(1 - 0.95**2) * w
+    out = str(tmp_path_factory.mktemp("planted"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+@pytest.mark.parametrize("qname", ["qz12_ann_lsh", "qz12_ivf"])
+def test_ann_planted_neighbors_high_recall(spark, planted_dir, qname):
+    """On realistically-clustered data the derived parameters must find
+    nearly all planted cos≈0.95 duplicates while scanning ≤12% of the
+    corpus — the 100 TB contract: high recall cannot be bought by a
+    fat candidate set."""
+    found = _topk_pairs(spark, planted_dir, qname)
+    planted = {(i, 1000 + i) for i in range(10)}
+    hit = sum((p, d) in found for p, d in planted)
+    assert hit >= 8, f"{qname}: {hit}/10 planted pairs found"
+    frac = sim.candidate_fractions(spark, planted_dir)[qname]
+    assert frac <= 0.12, f"{qname} candidate fraction {frac}"
+
+
+def test_ann_recall_fraction_tradeoff_curve(spark, sf_dir, monkeypatch):
+    """Recall and candidate fraction must move TOGETHER when the knobs
+    widen — pinning the trade-off so a future round can't get faster by
+    silently scanning (and recalling) less (VERDICT r2 stretch #7)."""
+    exact = _topk_pairs(spark, sf_dir, "q12_cosine_topk")
+
+    def lsh_point(tables):
+        monkeypatch.setattr(sim, "LSH_TABLES", tables)
+        approx = _topk_pairs(spark, sf_dir, "qz12_ann_lsh")
+        frac = sim.candidate_fractions(spark, sf_dir)["qz12_ann_lsh"]
+        return len(exact & approx) / len(exact), frac
+
+    r1, f1 = lsh_point(1)
+    r4, f4 = lsh_point(4)
+    assert f1 < f4, (f1, f4)
+    assert r1 <= r4, (r1, r4)
+
+    def ivf_point(frac_target):
+        monkeypatch.setattr(sim, "IVF_PROBE_FRAC", frac_target)
+        approx = _topk_pairs(spark, sf_dir, "qz12_ivf")
+        frac = sim.candidate_fractions(spark, sf_dir)["qz12_ivf"]
+        return len(exact & approx) / len(exact), frac
+
+    r_lo, f_lo = ivf_point(0.09)
+    r_hi, f_hi = ivf_point(0.30)
+    assert f_lo < f_hi, (f_lo, f_hi)
+    assert r_lo <= r_hi, (r_lo, r_hi)
 
 
 def test_neardup_block_packing_bounded(spark, sf_dir):
