@@ -176,5 +176,10 @@ def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False while the query is STILL
+    # RUNNING — returning the memory table then would hand back a
+    # silently-partial result; stop and fail loudly instead.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("qz16_interval_join: stream did not drain in 300s")
     return spark.table(name)

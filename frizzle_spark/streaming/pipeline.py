@@ -30,6 +30,7 @@ buffer-500 backpressure, basic/source.go:13-16) maps to
 
 from __future__ import annotations
 
+import json
 import os
 import signal
 import tempfile
@@ -219,6 +220,11 @@ class ChainSource:
 
     ``dest`` narrows to one destination partition (e.g. only 'main');
     partition-directory pruning keeps unselected dests unread.
+
+    NEVER run ``ParquetSink.compact`` on a base_path a ChainSource
+    consumes: compaction rewrites rows into NEW files, and the file
+    source's seen-files checkpoint would re-ingest every compacted row
+    as a duplicate — see the warning on ``ParquetSink.compact``.
     """
 
     upstream: "ParquetSink"
@@ -303,45 +309,168 @@ class ParquetSink:
             .parquet(self.base_path)
         )
 
+    # -------------------------------------------------- compaction
+    # Manifest/generation protocol — NO directory renames anywhere, so
+    # it is exactly as safe on an object store (S3/GCS/ABFS, where
+    # "rename" is a non-atomic copy+delete) as on HDFS/local:
+    #
+    #   1. compacted rows are APPENDED under a fresh negative
+    #      ``_batch=<gen>`` partition (−1, −2, … per compaction run);
+    #   2. the compaction COMMITS by atomically publishing
+    #      ``_compaction_manifest.json`` (one single-object PUT — atomic
+    #      on object stores by the store's own contract, single-block
+    #      create+close on HDFS);
+    #   3. the folded per-batch directories are deleted afterwards,
+    #      resumably — a crash at ANY point leaves readers correct:
+    #      an unpublished generation is invisible (not in ``live_gens``)
+    #      and an undeleted folded batch is excluded (in ``folded``).
+    #
+    # ``read_current`` is the manifest-aware reader; the next compact()
+    # run garbage-collects whatever a crash left behind.
+    _MANIFEST = "_compaction_manifest.json"
+
+    def _fs(self, spark: SparkSession):
+        """(jvm, hadoop FileSystem, Path ctor) for base_path's scheme —
+        the same storage API the executors write through, so local
+        paths, HDFS and object stores all resolve correctly."""
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.base_path)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return jvm, fs, jvm.org.apache.hadoop.fs.Path
+
+    def _read_manifest(self, spark: SparkSession) -> dict:
+        jvm, fs, Path = self._fs(spark)
+        p = Path(f"{self.base_path}/{self._MANIFEST}")
+        if not fs.exists(p):
+            return {"live_gens": [], "folded": []}
+        stream = fs.open(p)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(txt)
+
+    def _write_manifest(self, spark: SparkSession, manifest: dict) -> None:
+        _, fs, Path = self._fs(spark)
+        out = fs.create(Path(f"{self.base_path}/{self._MANIFEST}"), True)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_current(self, spark: SparkSession) -> DataFrame:
+        """Manifest-aware batch read: the current contents of the sink,
+        correct even mid-compaction or after a compaction crash
+        (uncommitted generations and already-folded batches filtered
+        out).  The filter is on the ``_batch`` partition column, so it
+        prunes directories — excluded data is never scanned.  Parquet
+        readers that ignore the manifest (plain ``spark.read``) are only
+        guaranteed duplicate-free OUTSIDE a compaction window."""
+        df = spark.read.parquet(self.base_path)
+        if "_batch" not in df.columns:  # plain-append layout: no batches
+            return df
+        m = self._read_manifest(spark)
+        # negative ids are RESERVED for generations and only valid once
+        # committed to live_gens — so an uncommitted generation is
+        # excluded even when no manifest exists yet (a crash during the
+        # first-ever compaction's data write).
+        live = F.col("_batch") >= 0
+        if m["folded"]:
+            live &= ~F.col("_batch").isin([int(b) for b in m["folded"]])
+        if m["live_gens"]:
+            live |= F.col("_batch").isin([int(g) for g in m["live_gens"]])
+        return df.where(live)
+
     def compact(
         self,
         spark: SparkSession,
         target_rows_per_file: int = 1_000_000,
-        compacted_batch: int = -1,
+        max_batch: int | None = None,
     ) -> None:
         """Maintenance: fold accumulated per-batch directories into few
         large files (the OPTIMIZE step every per-trigger file sink needs
         at scale — a day of 1-minute triggers is 1,440 batch dirs per
         dest, and small files destroy downstream scan throughput).
+        Protocol above: append a new generation, commit via one atomic
+        manifest PUT, then delete folded dirs — rename-free, crash-safe,
+        object-store-safe.  Run from maintenance windows, not inside the
+        trigger path.
 
-        Rewrites ALL current rows into the reserved ``_batch=-1``
-        partition sized by ``target_rows_per_file``, into a sibling temp
-        directory (Spark refuses to overwrite a path it is reading),
-        then atomically swaps directories.  The rename is atomic on a
-        real filesystem/HDFS; on an object store swap via a manifest or
-        table format instead.  Run from maintenance windows, not inside
-        the trigger path.
+        ``max_batch`` folds only batches ≤ it (previous generations are
+        always re-folded).  Batches arriving DURING the run are pinned
+        out by the initial listing and survive untouched.
+
+        WARNING (ChainSource interplay): compaction rewrites rows into
+        NEW files, and any file-stream reader of this base_path (a
+        downstream ``ChainSource``) tracks seen FILES in its checkpoint
+        — it would re-ingest every compacted row as a duplicate.  Never
+        compact a base_path a ChainSource consumes; if batch history
+        must be reclaimed under a live downstream, use ``max_batch`` ≤
+        the newest batch the downstream has committed AND accept that
+        the downstream must dedup on message id.  Likewise run compact
+        only after the upstream pipeline's checkpoint has committed its
+        final batch — folding a batch that later replays would
+        resurrect it as a duplicate of the compacted copy.
         """
-        import shutil
+        _, fs, Path = self._fs(spark)
+        m = self._read_manifest(spark)
+        folded, live_gens = set(m["folded"]), set(m["live_gens"])
 
-        cur = spark.read.parquet(self.base_path)
-        n = cur.count()
-        if n == 0:
+        statuses = fs.globStatus(Path(f"{self.base_path}/dest=*/_batch=*")) or []
+        dirs: dict[int, list] = {}
+        for st in statuses:
+            p = st.getPath()
+            dirs.setdefault(int(p.getName().split("=", 1)[1]), []).append(p)
+
+        # 0. recovery: drop whatever a crashed run left — folded batch
+        # dirs that were never deleted, generation dirs never committed.
+        for bid in [b for b in dirs if b in folded or (b < 0 and b not in live_gens)]:
+            for p in dirs.pop(bid):
+                fs.delete(p, True)
+
+        to_fold = sorted(
+            b
+            for b in dirs
+            if (b >= 0 and (max_batch is None or b <= max_batch)) or b in live_gens
+        )
+        if not to_fold:
             return
+        in_paths = [p.toString() for b in to_fold for p in dirs[b]]
+        cur = spark.read.option("basePath", self.base_path).parquet(*in_paths)
+        n = cur.count()
         files = max(1, -(-n // target_rows_per_file))
-        tmp = self.base_path.rstrip("/") + "__compact_tmp"
+        gen = min(live_gens, default=0) - 1
+
+        # 1. append the new generation (invisible until the manifest
+        # commits — readers key on live_gens, not directory presence)
         (
             cur.drop("_batch")
-            .withColumn("_batch", F.lit(int(compacted_batch)))
+            .withColumn("_batch", F.lit(int(gen)))
             .repartition(files)
-            .write.mode("overwrite")
+            .write.mode("append")
             .partitionBy("dest", "_batch")
-            .parquet(tmp)
+            .parquet(self.base_path)
         )
-        old = self.base_path.rstrip("/") + "__compact_old"
-        os.rename(self.base_path, old)
-        os.rename(tmp, self.base_path)
-        shutil.rmtree(old)
+        # 2. commit: one atomic manifest object
+        folded = (folded | set(to_fold)) - {gen}
+        live_gens = (live_gens - set(to_fold)) | {gen}
+        self._write_manifest(
+            spark, {"live_gens": sorted(live_gens), "folded": sorted(folded)}
+        )
+        # 3. delete folded dirs (resumable — step 0 of the next run
+        # finishes the job if this crashes).  The folded list is kept in
+        # the manifest FOREVER (small ints, trivial JSON): if an
+        # upstream batch that was uncommitted at compact time later
+        # REPLAYS, its dynamic overwrite re-creates a folded
+        # ``_batch=N`` dir whose rows already live in the generation —
+        # the retained entry keeps the replay excluded instead of
+        # duplicated, and the next compact() deletes the dir.
+        # (Corollary: never reset a pipeline's checkpoint so batch ids
+        # restart at 0 against a compacted sink — recycled ids would
+        # collide with folded history; reset the sink with it.)
+        for b in to_fold:
+            for p in dirs[b]:
+                fs.delete(p, True)
 
 
 class KafkaSink:
@@ -461,6 +590,33 @@ class Pipeline:
             # it during the main sink's action (SURVEY §2.1/O19's
             # df.observe mapping; round 1 ran a separate aggregate job
             # per trigger instead).
+            # Guard (rides the same observe — zero extra jobs): when the
+            # main sink and the DLQ share one ParquetSink base, an
+            # ok-row routed to dest == dlq_dest would land via the main
+            # write and then be silently DELETED by the DLQ's dynamic
+            # overwrite of that same (dest, _batch) partition.  Count
+            # such collisions and fail the batch instead of losing rows.
+            dlq_dest = self.fail_sink[1] if self.fail_sink is not None else None
+            dlq_shares_storage = (
+                self.fail_sink is not None
+                and isinstance(self.sink, ParquetSink)
+                and isinstance(self.fail_sink[0], ParquetSink)
+                and self.fail_sink[0].base_path == self.sink.base_path
+            )
+            collide = (
+                F.count(
+                    F.when(
+                        ~pred
+                        & (
+                            F.coalesce(F.col("dest"), F.lit(self.default_dest))
+                            == F.lit(dlq_dest)
+                        ),
+                        True,
+                    )
+                )
+                if dlq_shares_storage
+                else F.count(F.lit(None))
+            )
             obs = Observation(f"frizzle-batch-{batch_id}")
             df = df.observe(
                 obs,
@@ -469,6 +625,7 @@ class Pipeline:
                 F.count(F.when(~pred & F.col("dest").isNull(), True)).alias(
                     "unrouted"
                 ),
+                collide.alias("collide"),
             )
             failed = df.filter(pred) if has_fail else None
             ok = df.filter(~pred) if has_fail else df
@@ -478,6 +635,13 @@ class Pipeline:
             self.sink.write(to_send, self.default_dest, batch_id=batch_id)
 
             counts = obs.get  # resolved by the sink job just finished
+            if dlq_shares_storage and counts["collide"]:
+                raise ValueError(
+                    f"batch {batch_id}: {counts['collide']} ok-row(s) routed to "
+                    f"dest={dlq_dest!r}, which is also the DLQ destination on the "
+                    "SAME ParquetSink base — the DLQ's partition overwrite would "
+                    "silently delete them.  Use a distinct DLQ base_path or dest."
+                )
             n_rcv, n_fail = counts["rcv"], counts["fail"]
             n_ok = n_rcv - n_fail
             n_send = n_ok - counts["unrouted"] if self.drop_unrouted else n_ok

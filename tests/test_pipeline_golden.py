@@ -378,11 +378,7 @@ def test_parquet_sink_idempotent_on_batch_retry(spark, tmp_path):
     assert spark.read.parquet(base).count() == 4
 
 
-def test_parquet_sink_compaction_preserves_contents(spark, tmp_path):
-    """compact() folds many per-batch dirs into few files with identical
-    contents and dest partitioning (the small-files maintenance op)."""
-    import glob
-
+def _batch_sink(spark, tmp_path, n_batches=5):
     from frizzle_spark.streaming.pipeline import ParquetSink
 
     base = str(tmp_path / "sink")
@@ -395,24 +391,150 @@ def test_parquet_sink_compaction_preserves_contents(spark, tmp_path):
         fail_sink=(sink, "dead"),
         fail_predicate=F.col("id") == "fail",
     )
-    for b in range(5):
+    for b in range(n_batches):
         df = spark.createDataFrame(
             [(f"a{b}", b"x", None, None), ("fail", b"z", None, None)], MSG_SCHEMA
         )
         pipe._run_batch(df, b)
+    return base, sink
+
+
+def test_parquet_sink_compaction_preserves_contents(spark, tmp_path, monkeypatch):
+    """compact() folds many per-batch dirs into few files with identical
+    contents and dest partitioning (the small-files maintenance op) —
+    WITHOUT any directory rename, so the protocol is object-store-safe
+    (os.rename/shutil.move are trapped to prove it)."""
+    import glob
+    import os as os_mod
+    import shutil as shutil_mod
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("compact() must not rename/move directories")
+
+    monkeypatch.setattr(os_mod, "rename", boom)
+    monkeypatch.setattr(os_mod, "replace", boom)
+    monkeypatch.setattr(shutil_mod, "move", boom)
+
+    base, sink = _batch_sink(spark, tmp_path)
     before = spark.read.parquet(base)
     rows_before = sorted((r["id"], r["dest"]) for r in before.collect())
     files_before = len(glob.glob(f"{base}/dest=*/_batch=*/part-*.parquet"))
 
     sink.compact(spark)
 
-    after = spark.read.parquet(base)
+    after = sink.read_current(spark)
     rows_after = sorted((r["id"], r["dest"]) for r in after.collect())
     files_after = len(glob.glob(f"{base}/dest=*/_batch=*/part-*.parquet"))
     assert rows_after == rows_before
     assert files_after < files_before
-    batches = {r["_batch"] for r in after.select("_batch").distinct().collect()}
-    assert batches == {-1}, "all rows must land in the compacted partition"
+    # folded dirs are deleted, so even a manifest-unaware plain read is
+    # clean once compact() returns
+    plain = spark.read.parquet(base)
+    assert sorted((r["id"], r["dest"]) for r in plain.collect()) == rows_before
+    batches = {r["_batch"] for r in plain.select("_batch").distinct().collect()}
+    assert batches == {-1}, "all rows must land in the compacted generation"
+
+
+def test_compaction_crash_windows_leave_readers_correct(spark, tmp_path):
+    """The manifest protocol's two crash windows: an APPENDED-but-
+    uncommitted generation is invisible, and a folded-but-undeleted
+    batch dir is excluded; the next compact() garbage-collects both."""
+    import glob
+    import json
+    import os as os_mod
+
+    base, sink = _batch_sink(spark, tmp_path)
+    truth = sorted((r["id"], r["dest"]) for r in spark.read.parquet(base).collect())
+
+    # crash window A: a generation dir written but never committed
+    # (simulate by copying batch 0's data into an orphan _batch=-9)
+    for d in glob.glob(f"{base}/dest=*/_batch=0"):
+        spark.read.parquet(d).write.parquet(d.replace("_batch=0", "_batch=-9"))
+    assert sorted(
+        (r["id"], r["dest"]) for r in sink.read_current(spark).collect()
+    ) == truth, "uncommitted generation must be invisible"
+
+    sink.compact(spark)
+    assert glob.glob(f"{base}/dest=*/_batch=-9") == [], "orphan gen not GC'd"
+    assert sorted(
+        (r["id"], r["dest"]) for r in sink.read_current(spark).collect()
+    ) == truth
+
+    # crash window B: manifest says folded, dir present — covers both a
+    # crash between manifest commit and dir deletion AND a late replay
+    # of an upstream batch that compact already folded (the rows are in
+    # the generation; the replayed dir must stay excluded forever)
+    gen_dir = glob.glob(f"{base}/dest=main/_batch=-1")[0]
+    spark.read.parquet(gen_dir).limit(1).write.parquet(
+        f"{base}/dest=main/_batch=3"
+    )
+    assert sorted(
+        (r["id"], r["dest"]) for r in sink.read_current(spark).collect()
+    ) == truth, "folded-but-undeleted batch must stay excluded"
+
+    sink.compact(spark)
+    assert not os_mod.path.exists(f"{base}/dest=main/_batch=3")
+    assert sorted(
+        (r["id"], r["dest"]) for r in sink.read_current(spark).collect()
+    ) == truth
+    # folded history is retained (replay protection), batch 3 included
+    m = json.load(open(f"{base}/_compaction_manifest.json"))
+    assert 3 in m["folded"]
+
+
+def test_compaction_max_batch_pins_newer_batches(spark, tmp_path):
+    """max_batch folds only older batches — the ChainSource-coexistence
+    knob: batches a downstream hasn't committed yet stay untouched."""
+    base, sink = _batch_sink(spark, tmp_path)
+    truth = sorted((r["id"], r["dest"]) for r in spark.read.parquet(base).collect())
+    sink.compact(spark, max_batch=2)
+    plain = spark.read.parquet(base)
+    assert sorted((r["id"], r["dest"]) for r in plain.collect()) == truth
+    batches = {r["_batch"] for r in plain.select("_batch").distinct().collect()}
+    assert batches == {-1, 3, 4}
+    # a second full compact folds the remainder AND the old generation
+    sink.compact(spark)
+    plain = spark.read.parquet(base)
+    assert sorted((r["id"], r["dest"]) for r in plain.collect()) == truth
+    batches = {r["_batch"] for r in plain.select("_batch").distinct().collect()}
+    assert batches == {-2}
+
+
+def test_dlq_dest_collision_rejected_not_silently_deleted(spark, tmp_path):
+    """When the main sink and the DLQ share one ParquetSink base, an
+    ok-row routed to the DLQ's dest would be deleted by the DLQ's
+    partition overwrite — the batch must fail loudly instead."""
+    from frizzle_spark.streaming.pipeline import ParquetSink
+
+    base = str(tmp_path / "sink")
+    sink = ParquetSink(base)
+    pipe = Pipeline(
+        spark,
+        source=None,
+        sink=sink,
+        default_dest="main",
+        fail_sink=(sink, "dead"),
+        fail_predicate=F.col("id") == "fail",
+    )
+    ok = spark.createDataFrame(
+        [("a", b"x", None, "dead"), ("fail", b"z", None, None)], MSG_SCHEMA
+    )
+    with pytest.raises(ValueError, match="DLQ destination"):
+        pipe._run_batch(ok, 0)
+    # distinct bases: same routing is fine
+    sink2 = ParquetSink(str(tmp_path / "main_sink"))
+    dlq2 = ParquetSink(str(tmp_path / "dlq_sink"))
+    pipe2 = Pipeline(
+        spark,
+        source=None,
+        sink=sink2,
+        default_dest="main",
+        fail_sink=(dlq2, "dead"),
+        fail_predicate=F.col("id") == "fail",
+    )
+    pipe2._run_batch(ok, 0)
+    assert spark.read.parquet(sink2.base_path).count() == 1
+    assert spark.read.parquet(dlq2.base_path).count() == 1
 
 
 def test_query_error_increments_error_counter(spark, corpus_dir):
