@@ -142,3 +142,23 @@ def test_rank_stats_single_exchange(plan_of):
     phys = plan[plan.index("== Physical Plan ==") :]
     assert phys.count("Exchange hashpartitioning") == 1
     assert "Join" not in phys
+
+
+def test_ann_lsh_all_joins_broadcast(plan_of):
+    """The corpus-derived LSH path must keep the corpus map-side: bucket
+    probe and re-rank joins broadcast the (tiny, probe-bounded) side —
+    never a SortMergeJoin that shuffles the corpus by candidate key."""
+    plan = plan_of("qz12_ann_lsh")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_all_joins_broadcast(plan_of):
+    """IVF candidate generation is a broadcast join on cluster id over
+    the map-side-assigned corpus — the inverted-list layout IS the
+    partitioning, so no corpus reshuffle may appear."""
+    plan = plan_of("qz12_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
