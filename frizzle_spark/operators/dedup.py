@@ -15,7 +15,9 @@ Five committed flavors:
                  DuckDB SQL; pytest gates recall vs the exact Jaccard.)
 * SimHash      — 64-bit sign-aggregated fingerprint, 4×16-bit chunk
                  banding, Hamming ≤ 3 (rows-only; unit-tested).
-* embedding cosine — see operators/similarity.py (q11_embedding_neardup).
+* embedding cosine — see operators/similarity.py: exact GEMM grid
+                 (q11_embedding_neardup) and the LSH-bucketed
+                 approximate path (qz11_embedding_neardup_lsh).
 
 Plus the cross-corpus tier: ``q11_blocklist_dedup`` (broadcast anti-join
 decontamination), ``q11_keep_latest`` (CDC compaction), and the

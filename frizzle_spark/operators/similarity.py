@@ -522,6 +522,58 @@ def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("qz11_embedding_neardup_lsh", oracle=None)
+def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate embedding near-dup: the LSH pre-blocker scale path the
+    exact GEMM grid's docstring promises (q11_embedding_neardup step 3) —
+    instead of the inherent B·(B+1)/2 all-pairs grid, pairs are generated
+    only WITHIN hyperplane buckets and then exactly re-ranked, dropping
+    the work to near-diagonal when approximate recall is acceptable.
+
+    Shape: corpus coded map-side (reuses ``_lsh_codes``, corpus-derived
+    ``lsh_params``), Hamming-1 multiprobe via variant-explosion on ONE
+    side of the self-join, bucket-equi self-join on (table_id, code) —
+    a hash shuffle whose hot buckets AQE's skew split handles — then a
+    distinct over id PAIRS and an exact cosine re-rank.  Every emitted
+    pair is exact (re-rank), so precision is 1.0 by construction; recall
+    is what the bucketing trades (pytest-gated: subset-of-exact on the
+    random testdata, ≥9/10 planted cos≈0.95 duplicates found on the
+    clustered corpus).  At 100 TB: candidate volume is Σ per-bucket n²
+    instead of n² — with √n-scaled bits the expected bucket stays O(1),
+    and the corpus text/vectors are never shuffled, only (id, code)
+    pairs and the final candidate ids.
+    """
+    corpus = _corpus(spark, sf_dir)
+    n = corpus.count()  # parquet-metadata count; one cheap job
+    bits, tables, _ = lsh_params(n)
+    planes = _lsh_planes(bits, tables, DIM)
+    bc_planes = spark.sparkContext.broadcast(planes)
+    unit = _unit(corpus)
+    coded = _lsh_codes(unit, bc_planes)
+    variants = F.array(
+        F.col("code"),
+        *[F.col("code").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    )
+    probe = coded.select("vec_id", "table_id", F.explode(variants).alias("code"))
+    cand = (
+        probe.alias("a")
+        .join(coded.alias("b"), ["table_id", "code"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .distinct()
+    )
+    u1 = unit.select(F.col("vec_id").alias("id1"), F.col("u").alias("u1"))
+    u2 = unit.select(F.col("vec_id").alias("id2"), F.col("u").alias("u2"))
+    sim = V.dot(F.col("u1"), F.col("u2"))
+    return (
+        cand.join(u1, "id1")
+        .join(u2, "id2")
+        .withColumn("sim_raw", sim)
+        .where(F.col("sim_raw") >= NEARDUP_THRESHOLD)
+        .select("id1", "id2", F.round("sim_raw", 6).alias("cos_sim"))
+    )
+
+
 def candidate_fractions(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Scanned-candidate fraction of each approximate operator:
     |distinct candidate pairs| / (|probes| · (n − 1)) — the denominator

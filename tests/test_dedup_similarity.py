@@ -143,6 +143,37 @@ def test_ann_planted_neighbors_high_recall(spark, planted_dir, qname):
     assert frac <= 0.12, f"{qname} candidate fraction {frac}"
 
 
+def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
+    """The LSH-blocked near-dup re-ranks exactly, so every emitted pair
+    must appear in the exact GEMM-grid result with the same cos_sim —
+    precision 1.0 by construction; only recall is traded."""
+    exact = {
+        (r["id1"], r["id2"]): r["cos_sim"]
+        for r in REGISTRY["q11_embedding_neardup"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"]): r["cos_sim"]
+        for r in REGISTRY["qz11_embedding_neardup_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) <= set(exact), set(approx) - set(exact)
+    for pair, cs in approx.items():
+        assert abs(cs - exact[pair]) < 1e-9
+
+
+def test_embedding_neardup_lsh_finds_planted_dups(spark, planted_dir):
+    """On the clustered corpus the bucketed path must find the planted
+    cos≈0.95 duplicates — the actual dedup use case (true near-dups
+    collide in some table with near-certainty; random ≥0.4 pairs are
+    the hard, rare tail)."""
+    found = {
+        (r["id1"], r["id2"])
+        for r in REGISTRY["qz11_embedding_neardup_lsh"].fn(spark, planted_dir).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(10)}
+    hit = len(found & planted)
+    assert hit >= 9, f"{hit}/10 planted duplicate pairs found"
+
+
 def test_ann_recall_fraction_tradeoff_curve(spark, sf_dir, monkeypatch):
     """Recall and candidate fraction must move TOGETHER when the knobs
     widen — pinning the trade-off so a future round can't get faster by
