@@ -37,8 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Naming contract: rows-only (no-oracle) queries carry a ``qz`` prefix
-    so they sort AFTER every oracle-backed name.  Round-1's correctness
+    Naming contract: queries OUTSIDE the driver's 50 oracle slots carry
+    a ``qz`` prefix so they sort AFTER every slotted name (rows-only at
+    the driver; approximate tiers are recall/error-gated in pytest, and
+    qz14_chunk / qz14_repetition are fully oracle-backed via the pytest
+    differential sweep).  Round-1's correctness
     harvest recorded exactly the first 50 sorted entries, silently
     dropping the two oracle-backed queries that sorted last; with this
     ordering, any harvest truncation can only drop approximate-tier

@@ -154,3 +154,113 @@ def qz14_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(red, "UTF-8")).alias("redacted_fp"),
         (red != F.col("text")).cast("long").alias("was_redacted"),
     )
+
+
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '{{WS}}') AS ws
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(0, greatest(len(ws) - 1, 0),
+                                      {CHUNK_STRIDE})) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(ws[start + 1 : start + {CHUNK_WORDS}]) AS BIGINT)
+               AS n_words_chunk,
+           array_to_string(ws[start + 1 : start + {CHUNK_WORDS}], ' ')
+               AS chunk_text
+    FROM s
+"""
+
+
+@query("qz14_chunk", oracle=_CHUNK_ORACLE.replace("{WS}", T.WS_RE))
+def qz14_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping word windows (32 words, stride 24)
+    — the tokenize-and-pack step between a cleaned corpus and a training
+    run, as a query.  One narrow explode (rows × ~n_words/stride), no
+    shuffle; chunk boundaries are deterministic functions of the word
+    array, so the operator parallelizes per document with zero state.
+    qz-prefixed (the driver's 50 oracle slots are spoken for) but fully
+    oracle-backed: the differential sweep in tests/test_relational.py
+    hash-checks it against the DuckDB mirror above.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    d = docs.select("doc_id", ws.alias("ws"), F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("ws"), F.col("start") + 1, F.lit(CHUNK_WORDS))
+    return d.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_words_chunk"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def _rep_sql(n: int) -> str:
+    """DuckDB repeated-n-gram fraction from the shared word split."""
+    concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    g = f"list_transform(generate_series(1, len(ws) - {n - 1}), i -> {concat})"
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN "
+        f"round(1 - len(list_distinct({g})) / CAST(len({g}) AS DOUBLE), 6) "
+        f"ELSE 0.0 END"
+    )
+
+
+_REPETITION_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '{{WS}}') AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           round(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6) AS rep1,
+           {_rep_sql(2)} AS rep2,
+           {_rep_sql(3)} AS rep3
+    FROM w
+"""
+
+
+def _rep_col(n: int) -> F.Column:
+    """Spark repeated-n-gram fraction over the bound ``ws`` column."""
+    concat = ", ".join(f"ws[i+{j}]" for j in range(n))
+    grams = F.expr(
+        f"transform(sequence(0, size(ws) - {n}), i -> concat_ws(' ', {concat}))"
+    )
+    frac = 1 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double")
+    return F.when(F.size(F.col("ws")) >= n, F.round(frac, 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+@query("qz14_repetition", oracle=_REPETITION_ORACLE.replace("{WS}", T.WS_RE))
+def qz14_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals: fraction of duplicated words / 2-grams
+    / 3-grams per document (the Gopher-style "repetitious text" filters
+    used to drop boilerplate and spam from training corpora).  Pure
+    array expressions over the shared word split — zero shuffles, one
+    codegen span; n-gram guards keep Spark's descending-sequence edge
+    (size < n) at exactly 0.0 on both sides.  qz-prefixed but fully
+    oracle-backed via the pytest differential sweep.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    rep1 = F.round(
+        1 - F.size(F.array_distinct(F.col("ws"))) / F.size(F.col("ws")).cast("double"),
+        6,
+    )
+    return docs.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        rep1.alias("rep1"),
+        _rep_col(2).alias("rep2"),
+        _rep_col(3).alias("rep3"),
+    )
