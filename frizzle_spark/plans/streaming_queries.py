@@ -183,3 +183,80 @@ def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("qz16_interval_join: stream did not drain in 300s")
     return spark.table(name)
+
+
+QUALITY_MIN = 0.5  # routing floor: below → DLQ (≈ p25-p50 of the corpus)
+
+_DOCS_RAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+@query("qz13_docs_pipeline", oracle=None)
+def qz13_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data ingest bus end-to-end: the frizzle pipeline carrying
+    the LLM text operators as bus stages — documents replayed as a
+    stream, PII REDACTED by a receive-side transformer (transform.go:8-14
+    semantics, here a declarative column stage Catalyst fuses into the
+    stream plan), low-quality docs (quality_score < 0.5 on the redacted
+    text) routed to the DLQ by the fail predicate, survivors landed in
+    the corpus sink.  This is the engine's thesis in one query: the
+    reference's bus shape (source → transform → route → ack) carrying a
+    100 TB data-curation workload with executor-parallel sinks.
+
+    Rows-only (streaming machinery); the pytest gate recomputes the
+    routing + redaction in batch from the same shared expressions and
+    asserts identical (dest, id, payload_fp) sets.
+    """
+    import tempfile
+
+    from frizzle_spark.functions import text as T
+    from frizzle_spark.streaming.metrics import DictStats
+    from frizzle_spark.streaming.pipeline import FileReplaySource, ParquetSink, Pipeline
+    from frizzle_spark.streaming.transforms import Transformer
+
+    def to_envelope(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.encode("text", "UTF-8").alias("data"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(None).cast("string").alias("dest"),
+        )
+
+    redactor = Transformer(
+        receive=lambda df: df.withColumn(
+            "data", F.encode(T.redact_pii(F.decode("data", "UTF-8")), "UTF-8")
+        )
+    )
+    source = FileReplaySource(
+        path=sf_dir,
+        schema=_DOCS_RAW_SCHEMA,
+        glob_filter="documents.parquet",
+        to_envelope=to_envelope,
+    )
+    base = tempfile.mkdtemp(prefix="qz13_docs_")
+    sink = ParquetSink(base)
+    pipe = Pipeline(
+        spark,
+        source,
+        sink,
+        default_dest="corpus",
+        fail_sink=(sink, "dlq"),
+        transformers=[redactor],
+        fail_predicate=T.quality_score(F.decode("data", "UTF-8")) < QUALITY_MIN,
+        stats=DictStats(),
+    )
+    pipe.start()
+    pipe.stop(flush_timeout=300)
+
+    return spark.read.parquet(base).select(
+        F.col("dest").cast("string").alias("dest"),
+        "id",
+        F.md5("data").alias("payload_fp"),
+    )

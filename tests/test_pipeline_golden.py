@@ -564,3 +564,33 @@ def test_query_error_increments_error_counter(spark, corpus_dir):
     # the error in the reference, frizzle.go:152-179) AFTER cleanup runs
     with pytest.raises(Exception):
         pipe.stop(1)
+
+
+def test_docs_pipeline_matches_batch_routing(spark, sf_dir):
+    """qz13_docs_pipeline (the training-data ingest bus: redact →
+    quality-route → sink) must equal the same redaction + routing
+    computed in batch from the SAME shared expressions."""
+    from frizzle_spark.functions import text as T
+    from frizzle_spark.plans.registry import REGISTRY
+    from frizzle_spark.plans.streaming_queries import QUALITY_MIN
+    from frizzle_spark.sources.tables import load_table
+
+    got = {
+        (r["dest"], r["id"], r["payload_fp"])
+        for r in REGISTRY["qz13_docs_pipeline"].fn(spark, sf_dir).collect()
+    }
+    red = T.redact_pii(F.col("text"))
+    want = {
+        (r["dest"], r["id"], r["payload_fp"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            F.when(T.quality_score(red) < QUALITY_MIN, "dlq")
+            .otherwise("corpus")
+            .alias("dest"),
+            F.col("doc_id").cast("string").alias("id"),
+            F.md5(F.encode(red, "UTF-8")).alias("payload_fp"),
+        )
+        .collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
