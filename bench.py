@@ -68,6 +68,16 @@ def main() -> None:
         if exact_pairs:
             mh = pair(REGISTRY["qz11_minhash_lsh"].fn(spark, sf_dir), "d1", "d2")
             recall["qz11_minhash_lsh"] = round(len(exact_pairs & mh) / len(exact_pairs), 4)
+        emb_exact = pair(
+            REGISTRY["q11_embedding_neardup"].fn(spark, sf_dir), "id1", "id2"
+        )
+        if emb_exact:
+            emb_lsh = pair(
+                REGISTRY["qz11_embedding_neardup_lsh"].fn(spark, sf_dir), "id1", "id2"
+            )
+            recall["qz11_embedding_neardup_lsh"] = round(
+                len(emb_exact & emb_lsh) / len(emb_exact), 4
+            )
         exact_nn = pair(
             REGISTRY["q12_cosine_topk"].fn(spark, sf_dir), "probe_id", "neighbor_id"
         )

@@ -197,6 +197,23 @@ def band_buckets(sigs: DataFrame) -> DataFrame:
     return sigs.select("doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash"))
 
 
+def minhash_candidates(
+    spark: SparkSession, sf_dir: str, _sigs: DataFrame | None = None
+) -> DataFrame:
+    """Distinct (d1, d2) MinHash-LSH band-collision candidates — the
+    pair set the banding join actually scans, exposed so the bench can
+    report candidate fraction (|candidates| / C(n,2)) beside recall."""
+    sigs = _sigs if _sigs is not None else minhash_signatures(_shingles(spark, sf_dir))
+    banded = band_buckets(sigs)
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
 @query("qz11_minhash_lsh", oracle=None)
 def qz11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
@@ -210,14 +227,7 @@ def qz11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sigs = minhash_signatures(_shingles(spark, sf_dir))
     with_sig = sig_array(sigs)
-    banded = band_buckets(sigs)
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band_id", "band_hash"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
-        .distinct()
-    )
+    cand = minhash_candidates(spark, sf_dir, _sigs=sigs)
     sa = with_sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
     sb = with_sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
     agree = F.aggregate(

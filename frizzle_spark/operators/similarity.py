@@ -522,6 +522,30 @@ def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (id1, id2) bucket-collision candidates of the LSH-blocked
+    near-dup — exposed so the bench reports the scanned pair fraction
+    (|candidates| / C(n,2)) beside the operator's recall."""
+    corpus = _corpus(spark, sf_dir)
+    n = corpus.count()  # parquet-metadata count; one cheap job
+    bits, tables, _ = lsh_params(n)
+    planes = _lsh_planes(bits, tables, DIM)
+    bc_planes = spark.sparkContext.broadcast(planes)
+    coded = _lsh_codes(_unit(corpus), bc_planes)
+    variants = F.array(
+        F.col("code"),
+        *[F.col("code").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    )
+    probe = coded.select("vec_id", "table_id", F.explode(variants).alias("code"))
+    return (
+        probe.alias("a")
+        .join(coded.alias("b"), ["table_id", "code"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .distinct()
+    )
+
+
 @query("qz11_embedding_neardup_lsh", oracle=None)
 def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate embedding near-dup: the LSH pre-blocker scale path the
@@ -552,24 +576,8 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal.
     """
     corpus = _corpus(spark, sf_dir)
-    n = corpus.count()  # parquet-metadata count; one cheap job
-    bits, tables, _ = lsh_params(n)
-    planes = _lsh_planes(bits, tables, DIM)
-    bc_planes = spark.sparkContext.broadcast(planes)
     unit = _unit(corpus)
-    coded = _lsh_codes(unit, bc_planes)
-    variants = F.array(
-        F.col("code"),
-        *[F.col("code").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
-    )
-    probe = coded.select("vec_id", "table_id", F.explode(variants).alias("code"))
-    cand = (
-        probe.alias("a")
-        .join(coded.alias("b"), ["table_id", "code"])
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
-        .distinct()
-    )
+    cand = embedding_lsh_candidates(spark, sf_dir)
     u1 = unit.select(F.col("vec_id").alias("id1"), F.col("u").alias("u1"))
     u2 = unit.select(F.col("vec_id").alias("id2"), F.col("u").alias("u2"))
     sim = V.dot(F.col("u1"), F.col("u2"))
@@ -583,15 +591,31 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def candidate_fractions(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    """Scanned-candidate fraction of each approximate operator:
-    |distinct candidate pairs| / (|probes| · (n − 1)) — the denominator
-    is what brute force scores.  Reported in the bench JSON next to
-    recall so speed cannot silently buy itself worse quality."""
+    """Scanned-candidate fraction of each approximate operator, against
+    what its brute-force twin scores: |probes|·(n−1) for the top-k tier,
+    C(n,2) for the pairwise near-dup tier.  Reported in the bench JSON
+    next to recall so speed cannot silently buy itself worse quality."""
     n = _corpus(spark, sf_dir).count()
-    denom = N_PROBES * (n - 1)
-    return {
+    topk_denom = N_PROBES * (n - 1)
+    pair_denom = n * (n - 1) / 2
+    fracs = {
         "qz12_ann_lsh": round(
-            ann_lsh_candidates(spark, sf_dir).count() / denom, 4
+            ann_lsh_candidates(spark, sf_dir).count() / topk_denom, 4
         ),
-        "qz12_ivf": round(ivf_candidates(spark, sf_dir).count() / denom, 4),
+        "qz12_ivf": round(ivf_candidates(spark, sf_dir).count() / topk_denom, 4),
+        "qz11_embedding_neardup_lsh": round(
+            embedding_lsh_candidates(spark, sf_dir).count() / pair_denom, 4
+        ),
     }
+    try:  # the documents tier — absent on embeddings-only corpora
+        from frizzle_spark.operators.dedup import minhash_candidates
+        from frizzle_spark.sources.tables import load_table as _lt
+
+        n_docs = _lt(spark, sf_dir, "documents").count()
+        fracs["qz11_minhash_lsh"] = round(
+            minhash_candidates(spark, sf_dir).count() / (n_docs * (n_docs - 1) / 2),
+            4,
+        )
+    except Exception:
+        pass
+    return fracs

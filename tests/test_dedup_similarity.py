@@ -101,9 +101,17 @@ def test_ann_candidate_fractions_bounded(spark, sf_dir):
     fraction ≤ 25% at the sf0.01 floor (n=500 — the bits/K floors bind)
     and the helper must agree between operators and bench reporting."""
     fracs = sim.candidate_fractions(spark, sf_dir)
-    assert set(fracs) == {"qz12_ann_lsh", "qz12_ivf"}
+    assert set(fracs) == {
+        "qz12_ann_lsh",
+        "qz12_ivf",
+        "qz11_embedding_neardup_lsh",
+        "qz11_minhash_lsh",
+    }
     assert 0 < fracs["qz12_ann_lsh"] <= 0.25, fracs
     assert 0 < fracs["qz12_ivf"] <= 0.15, fracs
+    # pairwise tiers: a tiny slice of C(n,2)
+    assert 0 < fracs["qz11_embedding_neardup_lsh"] <= 0.25, fracs
+    assert 0 < fracs["qz11_minhash_lsh"] <= 0.05, fracs
 
 
 @pytest.fixture(scope="module")
@@ -255,3 +263,63 @@ def test_incremental_neardup_against_materialized_index(spark, sf_dir, tmp_path)
         assert (100000 + r["doc_id"], r["doc_id"]) in got, (
             f"mutated copy of doc {r['doc_id']} not matched"
         )
+
+
+def test_chunking_reconstructs_document(spark, sf_dir):
+    """Chunk windows must tile every document exactly: dropping each
+    chunk's overlap prefix (stride words) and concatenating in chunk_id
+    order reproduces the original whitespace-normalized text."""
+    from frizzle_spark.plans.text_queries import CHUNK_STRIDE
+
+    chunks = REGISTRY["qz14_chunk"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    docs = {
+        r["doc_id"]: " ".join(r["text"].split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, parts in by_doc.items():
+        assert sorted(parts) == list(range(len(parts))), doc_id
+        words: list[str] = []
+        for cid in range(len(parts)):
+            cw = parts[cid].split(" ") if parts[cid] else [""]
+            words.extend(cw if cid == 0 else cw[len(words) - cid * CHUNK_STRIDE :])
+        assert " ".join(w for w in words if w or len(words) == 1) == docs[doc_id], doc_id
+
+
+def test_repetition_synthetic_extremes(spark):
+    """rep ratios hit their definitional extremes: all-unique text → 0,
+    a doc that is one phrase repeated → (n-k)/n duplicated n-grams."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("rep_docs")
+    from frizzle_spark.functions import text as T
+    from frizzle_spark.plans import text_queries as TQ
+
+    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    out = {
+        r["doc_id"]: (r["rep1"], r["rep2"], r["rep3"])
+        for r in docs.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.round(
+                1
+                - F.size(F.array_distinct(F.col("ws")))
+                / F.size(F.col("ws")).cast("double"),
+                6,
+            ).alias("rep1"),
+            TQ._rep_col(2).alias("rep2"),
+            TQ._rep_col(3).alias("rep3"),
+        )
+        .collect()
+    }
+    assert out[1] == (0.0, 0.0, 0.0)
+    # 8 words of 'spam': rep1 = 7/8; 7 identical 2-grams → 6/7; 6 identical 3-grams → 5/6
+    assert out[2] == (round(7 / 8, 6), round(6 / 7, 6), round(5 / 6, 6))
