@@ -49,6 +49,11 @@ __all__ = [
     "interval_join",
     "materialize_minhash_index",
     "incremental_neardup",
+    "write_bucketed",
+    "read_bucketed",
+    "lsh_params",
+    "ivf_params",
+    "candidate_fractions",
     "scan_csv",
     "scan_json",
     "scan_parquet",
@@ -64,14 +69,17 @@ def __getattr__(name: str):
     streaming-module import on bare ``import frizzle_spark``."""
     from frizzle_spark.functions import text as _text
     from frizzle_spark.operators import dedup as _dedup
+    from frizzle_spark.operators import similarity as _similarity
     from frizzle_spark.operators import skew as _skew
+    from frizzle_spark.sources import bucketed as _bucketed
     from frizzle_spark.sources import files as _files
     from frizzle_spark.streaming import analytics as _analytics
     from frizzle_spark.streaming import metrics as _metrics
     from frizzle_spark.streaming import pipeline as _pipeline
     from frizzle_spark.streaming import transforms as _transforms
 
-    for mod in (_pipeline, _transforms, _metrics, _skew, _analytics, _files, _text, _dedup):
+    for mod in (_pipeline, _transforms, _metrics, _skew, _analytics, _files,
+                _bucketed, _text, _dedup, _similarity):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise AttributeError(f"module 'frizzle_spark' has no attribute {name!r}")
