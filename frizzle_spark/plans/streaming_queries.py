@@ -138,9 +138,23 @@ def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join condition bounds event time in both directions — see
     streaming/analytics.interval_join.
     """
+    import os
+
     from frizzle_spark.streaming.analytics import interval_join
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    # State-partition sizing: every shuffle partition of a stateful
+    # streaming query materializes its own state store (open, checkpoint,
+    # sort per micro-batch), so partition count must track STATE VOLUME,
+    # not core count — measured at sf0.1: 32 partitions 6.0-11.4 s vs
+    # 8 partitions 2.7-3.2 s for identical results (state is a few
+    # thousand rows; 32 stores were pure fixed overhead).  At 100 TB the
+    # same knob goes UP (state / ~200 MB per store).  The value is baked
+    # into a checkpoint at first run; this query uses a fresh checkpoint
+    # per invocation, so overriding here is safe.
+    state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
     def load_stream():
         df = (
@@ -169,19 +183,23 @@ def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = interval_join(clicks, buys).select("click_id", "buy_id")
     name = f"qz16_ij_{abs(hash(sf_dir)) % 99999}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # awaitTermination(timeout) returns False while the query is STILL
-    # RUNNING — returning the memory table then would hand back a
-    # silently-partial result; stop and fail loudly instead.
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("qz16_interval_join: stream did not drain in 300s")
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination(timeout) returns False while the query is
+        # STILL RUNNING — returning the memory table then would hand
+        # back a silently-partial result; stop and fail loudly instead.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("qz16_interval_join: stream did not drain in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
     return spark.table(name)
 
 
