@@ -23,7 +23,10 @@ Plus the cross-corpus tier: ``q11_blocklist_dedup`` (broadcast anti-join
 decontamination), ``q11_keep_latest`` (CDC compaction), and the
 incremental pair ``materialize_minhash_index`` / ``incremental_neardup``
 — signatures computed once per corpus snapshot, new slices deduped
-against the stored index without re-reading corpus text.
+against the stored index without re-reading corpus text.  The pair
+operators feed ``dedup_clusters`` (iterative min-label connected
+components), which turns pairwise matches into canonical-survivor
+clusters — the final emit-one-per-group step of corpus dedup.
 
 Scale notes: every stage is shuffle-by-key (shingle → pair → doc); hot
 shingles (stop-phrases) are the skew risk — AQE skew-join splits them,
@@ -506,3 +509,84 @@ def qz11_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_neardup(spark, new_docs, base)
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: (doc_id, cluster_rep) where
+    cluster_rep is the minimum doc_id of the connected component — the
+    final step of corpus dedup (emit one canonical doc per cluster,
+    drop the rest), which pairwise operators alone don't give you: with
+    A≈B and B≈C, A and C must land in ONE cluster even when (A,C) never
+    collided.
+
+    Algorithm: iterative min-label propagation — each node's label
+    becomes min(own, neighbors' labels) per round, converging in
+    O(component diameter) rounds (near-dup components are shallow in
+    practice: pairs, stars around a template, short chains; the 2^iter
+    doubling means even a 33M-hop chain closes in 25 rounds).  Spark
+    mechanics that make iteration scale:
+
+    * edges are symmetrized once and hash-shuffle per round on the join
+      key — label state is 2 longs/node, never text;
+    * ``localCheckpoint`` truncates lineage each round (an iterative
+      join otherwise grows the plan exponentially and re-executes the
+      whole history every action);
+    * convergence is detected with one count per round of
+      changed-labels (an action per round is inherent to any
+      fixpoint loop).
+
+    Output covers only docs appearing in ≥1 pair; the keep-set of a
+    corpus is (all docs) MINUS (clustered docs with doc_id ≠
+    cluster_rep).
+    """
+    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
+@query("qz11_dup_clusters", oracle=None)
+def qz11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the exact n-gram-Jaccard pair set: every
+    doc in a near-dup component labeled with its canonical survivor.
+    Rows-only (iterative algorithm — not single-statement SQL); the
+    pytest gate checks against a driver-side union-find on the same
+    pairs.  Scale: the pair set is the already-bucketed q11_ngram_jaccard
+    output; per-round state is 2 longs per clustered doc.
+    """
+    pairs = q11_ngram_jaccard(spark, sf_dir)
+    return dedup_clusters(pairs)

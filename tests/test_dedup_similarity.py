@@ -323,3 +323,42 @@ def test_repetition_synthetic_extremes(spark):
     assert out[1] == (0.0, 0.0, 0.0)
     # 8 words of 'spam': rep1 = 7/8; 7 identical 2-grams → 6/7; 6 identical 3-grams → 5/6
     assert out[2] == (round(7 / 8, 6), round(6 / 7, 6), round(5 / 6, 6))
+
+
+def test_dup_clusters_match_union_find(spark, sf_dir):
+    """dedup_clusters must equal a driver-side union-find over the same
+    pair set — including transitive closure (A~B, B~C ⇒ one cluster)."""
+    pairs = [(r["d1"], r["d2"]) for r in REGISTRY["q11_ngram_jaccard"].fn(spark, sf_dir).collect()]
+    if not pairs:
+        pytest.skip("no near-dup pairs at this SF")
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in REGISTRY["qz11_dup_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """Synthetic chain a-b, b-c, c-d plus an isolated pair: one cluster
+    of 4 with rep=min, one of 2 — proves multi-hop label propagation."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "d1 long, d2 long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"] for r in dd.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
