@@ -264,3 +264,70 @@ def qz14_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rep_col(2).alias("rep2"),
         _rep_col(3).alias("rep3"),
     )
+
+
+SEQ_BUDGET_WORDS = 256  # packing budget per training sequence
+
+
+@query("qz14_pack", oracle=None)
+def qz14_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedily pack the qz14_chunk windows into
+    training sequences of ≤ SEQ_BUDGET_WORDS words — the step between a
+    chunked corpus and a fixed-context training run (short pieces
+    concatenated up to the budget so no context window ships half
+    empty).
+
+    Scale shape: packing is PER-PARTITION imperative logic — the one
+    place the mapInPandas tier is genuinely required (a greedy fold has
+    loop-carried state no relational operator expresses).  Each Arrow
+    batch folds into an open bin carried across batches; sequence ids
+    are (partition_id << 32 | local_seq), so partitions pack fully
+    independently — no shuffle, no coordination, and the waste bound is
+    one partial tail sequence per partition.  Global bin packing would
+    be NP-hard and serial; per-partition greedy is the standard
+    trade and the fill-rate gate (pytest) pins its efficiency.
+    Rows-only: output partitioning is intentionally engine-defined.
+    """
+    chunks = qz14_chunk(spark, sf_dir).select(
+        "doc_id", "chunk_id", "n_words_chunk", "chunk_text"
+    )
+
+    def pack(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        members: list[str] = []
+        words = 0
+        chunks_n = 0
+
+        def flush():
+            nonlocal seq, members, words, chunks_n
+            row = {
+                "seq_id": (pid << 32) | seq,
+                "n_chunks": chunks_n,
+                "n_words": words,
+                "text": " ".join(members),
+            }
+            seq += 1
+            members, words, chunks_n = [], 0, 0
+            return row
+
+        out: list[dict] = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                if words + r.n_words_chunk > SEQ_BUDGET_WORDS and chunks_n:
+                    out.append(flush())
+                members.append(r.chunk_text)
+                words += int(r.n_words_chunk)
+                chunks_n += 1
+            if out:
+                yield pd.DataFrame(out)
+                out = []
+        if chunks_n:
+            yield pd.DataFrame([flush()])
+
+    return chunks.mapInPandas(
+        pack, "seq_id long, n_chunks long, n_words long, text string"
+    )

@@ -362,3 +362,28 @@ def test_dup_clusters_transitive_chain(spark):
         r["doc_id"]: r["cluster_rep"] for r in dd.dedup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """qz14_pack: every chunk appears in exactly one sequence (word
+    totals conserved), every sequence respects the budget, and greedy
+    fill is efficient (mean fill ≥ 60% of budget over full sequences)."""
+    from frizzle_spark.plans.text_queries import SEQ_BUDGET_WORDS
+
+    chunks = REGISTRY["qz14_chunk"].fn(spark, sf_dir)
+    total_words = chunks.agg(F.sum("n_words_chunk")).collect()[0][0]
+    n_chunks = chunks.count()
+
+    seqs = REGISTRY["qz14_pack"].fn(spark, sf_dir).collect()
+    assert len({r["seq_id"] for r in seqs}) == len(seqs)
+    assert sum(r["n_chunks"] for r in seqs) == n_chunks
+    assert sum(r["n_words"] for r in seqs) == total_words
+    assert all(r["n_words"] <= SEQ_BUDGET_WORDS for r in seqs)
+    # text really carries the packed words (separator-joined)
+    for r in seqs[:20]:
+        assert len(r["text"].split(" ")) >= r["n_words"] - r["n_chunks"]
+    # all but the per-partition tail sequences should be well filled
+    fills = sorted(r["n_words"] / SEQ_BUDGET_WORDS for r in seqs)
+    n_tail = spark.sparkContext.defaultParallelism
+    full = fills[: max(1, len(fills) - n_tail)]
+    assert sum(full) / len(full) >= 0.6, sum(full) / len(full)
