@@ -410,6 +410,92 @@ def q11_blocklist_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONT_N = 8  # words per gram; the classic 13-gram rule scaled to this
+# corpus's short synthetic docs (min ~8 words).  At 100 TB this is a
+# constant you set once per decontamination policy.
+DECONT_BENCH_MOD = 10  # every 10th doc_id plays the held-out eval set
+
+
+def word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """Distinct word n-grams per (doc_id, text) frame — the generalized
+    form of ``shingles_of`` (kept separate so the Jaccard oracle's
+    3-gram SQL stays literally in sync with its Spark twin)."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    terms = ", ".join(f"ws[i+{j}]" for j in range(n))
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {n}),"
+                    f" i -> concat_ws(' ', {terms}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+_DECONT_GRAM = " || ' ' || ".join(f"ws[i+{j}]" for j in range(DECONT_N))
+
+
+@query(
+    "qz11_decontaminate",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {DECONT_N - 1})) AS i
+        FROM words WHERE len(ws) >= {DECONT_N}
+    ),
+    sh AS (SELECT DISTINCT doc_id, {_DECONT_GRAM} AS gram FROM idx),
+    bench AS (
+        SELECT DISTINCT gram FROM sh WHERE doc_id % {DECONT_BENCH_MOD} = 0
+    )
+    SELECT s.doc_id AS doc_id, count(*) AS n_shared
+    FROM sh s JOIN bench b ON s.gram = b.gram
+    WHERE s.doc_id % {DECONT_BENCH_MOD} <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def qz11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: flag training documents sharing
+    any word {DECONT_N}-gram with a held-out eval set (here: every
+    {DECONT_BENCH_MOD}th doc_id plays the benchmark, so the check is
+    deterministic and oracle-able).  This is the standard "n-gram
+    overlap" decontamination of LLM training pipelines — a finer filter
+    than ``q11_blocklist_dedup``'s whole-document hash: one leaked
+    PASSAGE contaminates, not just a verbatim copy.
+
+    Scale shape: benchmark grams are the small side by construction
+    (eval sets are MBs against TB corpora) — distinct once, broadcast,
+    inner-join against the exploded corpus grams, then one groupBy
+    doc_id.  The corpus side is never shuffled on the gram; only
+    matched (doc_id, gram) survivors reach the aggregation.  At 100 TB
+    join on ``xxhash64(gram)`` instead of the ~50-byte string to shrink
+    the broadcast map (collision risk 2^-64-scale; kept exact here for
+    the oracle).  Oracle-backed in pytest; driver-side rows-only (the
+    50-slot harvest window is full — qz prefix by contract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(docs.select("doc_id", F.lower("text").alias("text")), DECONT_N)
+    bench = (
+        grams.where(F.col("doc_id") % DECONT_BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % DECONT_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def materialize_minhash_index(docs: DataFrame, base_path: str) -> None:
     """Persist the MinHash dedup index for a corpus: ``signatures/``
     (doc_id, sig array<long>) and ``bands/`` (doc_id, band_id,

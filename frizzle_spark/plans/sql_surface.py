@@ -185,6 +185,67 @@ def qz22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SEED = 42
+
+
+def global_shuffle(
+    df: DataFrame, key_cols: list[str], seed: int = SHUFFLE_SEED,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle — the "shuffle the corpus before
+    training" primitive.  Every row gets ``shuffle_key =
+    md5(key:…:seed)``; ``repartitionByRange`` + ``sortWithinPartitions``
+    then realize a total pseudo-random order WITHOUT a single-reducer
+    global sort: range boundaries come from a distributed sample, each
+    partition sorts locally, and partition i's keys all precede
+    partition i+1's — exactly what a sharded training-data writer needs
+    (shard files in order, reader streams shards sequentially).
+    Re-running with the same seed reproduces the same order bit-for-bit
+    (md5 is engine-stable, unlike rand()); a new seed is a fresh epoch
+    permutation with zero state.
+    """
+    key = F.md5(
+        F.concat_ws(
+            ":", *[F.col(c).cast("string") for c in key_cols], F.lit(str(seed))
+        )
+    )
+    out = df.withColumn("shuffle_key", key)
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, "shuffle_key")
+    else:
+        out = out.repartitionByRange("shuffle_key")
+    return out.sortWithinPartitions("shuffle_key")
+
+
+@query(
+    "qz22_global_shuffle",
+    oracle=f"""
+    SELECT doc_id, md5(cast(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 100
+    """,
+)
+def qz22_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 docs of the deterministic shuffle order — the
+    cross-engine-checkable slice of ``global_shuffle`` (DuckDB computes
+    the identical md5 order, so head-of-order agreement IS an order
+    check).  Spark plans this as TakeOrderedAndProject: per-partition
+    top-100 then a driver merge of 100-row heaps — no global sort
+    materialization, safe at any corpus size.  The full-permutation
+    properties (determinism, permutation-ness, range-partition balance)
+    are pytest-gated on ``global_shuffle`` itself.  Oracle-backed in
+    pytest; driver-side rows-only (50-slot harvest window full).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(SHUFFLE_SEED))))
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
 
 

@@ -387,3 +387,26 @@ def test_sequence_packing_invariants(spark, sf_dir):
     n_tail = spark.sparkContext.defaultParallelism
     full = fills[: max(1, len(fills) - n_tail)]
     assert sum(full) / len(full) >= 0.6, sum(full) / len(full)
+
+
+def test_decontaminate_flags_planted_passage(spark, tmp_path):
+    """A train doc embedding one 8-word passage from a benchmark doc must
+    be flagged; an unrelated doc must not.  End-to-end through the query
+    on a planted documents.parquet (the oracle differential covers the
+    real corpus; this pins the semantics on a known contamination)."""
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (10, f"BENCH leading words {passage} closing remark"),  # benchmark (id % 10 == 0)
+        (11, f"prefix words sit here {passage} and a trailing tail"),
+        (12, "totally unrelated filler words repeated " * 3),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "srcT", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["n_shared"]
+        for r in REGISTRY["qz11_decontaminate"].fn(spark, str(tmp_path)).collect()
+    }
+    assert 11 in out and out[11] >= 1, f"planted contamination missed: {out}"
+    assert 12 not in out, f"clean doc falsely flagged: {out}"

@@ -1,0 +1,63 @@
+"""Gates for the deterministic global shuffle (training-data epoch
+permutation): determinism, permutation-ness, range-partition balance,
+and the no-global-sort plan shape of the head-of-order query.  The
+cross-engine order agreement itself is covered by qz22_global_shuffle's
+DuckDB oracle in test_relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frizzle_spark.plans.registry import REGISTRY
+from frizzle_spark.plans.sql_surface import global_shuffle
+from frizzle_spark.sources.tables import load_table
+
+
+def _order(df) -> list[int]:
+    # partition-major order: rows within a range partition are sorted,
+    # and partition i's keys all precede partition i+1's.
+    return [r["doc_id"] for r in df.select("doc_id", "shuffle_key").collect()]
+
+
+def test_global_shuffle_is_deterministic_permutation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = global_shuffle(docs, ["doc_id"], seed=42, num_partitions=8)
+    b = global_shuffle(docs, ["doc_id"], seed=42, num_partitions=8)
+    oa, ob = _order(a), _order(b)
+    assert oa == ob, "same seed must reproduce the identical order"
+    assert sorted(oa) == sorted(r["doc_id"] for r in docs.collect()), (
+        "shuffle must be a permutation (no rows lost or duplicated)"
+    )
+    c = global_shuffle(docs, ["doc_id"], seed=7, num_partitions=8)
+    assert _order(c) != oa, "a different seed must yield a different epoch order"
+
+
+def test_global_shuffle_partitions_balanced(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = global_shuffle(docs, ["doc_id"], num_partitions=8)
+    sizes = [
+        r["n"]
+        for r in out.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    n = sum(sizes)
+    assert len(sizes) == 8
+    # md5 keys are uniform, range boundaries come from sampling: no
+    # partition should exceed 2x the mean (the skew bound a sharded
+    # training-data writer depends on).
+    assert max(sizes) <= 2 * (n / len(sizes)), f"skewed partitions: {sizes}"
+
+
+def test_global_shuffle_head_is_take_ordered(spark, sf_dir):
+    plan = (
+        REGISTRY["qz22_global_shuffle"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, (
+        "head-of-order must be per-partition top-k + driver merge, "
+        "never a global sort"
+    )
