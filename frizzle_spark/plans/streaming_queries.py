@@ -29,7 +29,11 @@ from pyspark.sql.types import (
 )
 
 from frizzle_spark.plans.registry import query
-from frizzle_spark.sources.tables import load_table
+from frizzle_spark.sources.tables import (
+    events_raw_schema,
+    load_table,
+    normalize_events_ts,
+)
 
 SUFFIX = b"|ok"
 
@@ -61,16 +65,11 @@ def q13_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as raw int64
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# The events read schema comes from the parquet footer at call time
+# (sources/tables.events_raw_schema) — the driver's datasets have shipped
+# ts as both TIMESTAMP(NANOS)-as-int64 and native micros, and a
+# hardcoded StructType silently corrupts event time when the variant
+# flips (micros read as longs, divided by 1000 → 1970 timestamps).
 
 
 @query("q13_stream", oracle=_ROUTING_ORACLE)
@@ -91,10 +90,10 @@ def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def to_envelope(df: DataFrame) -> DataFrame:
-        return df.select(
+        return normalize_events_ts(df).select(
             F.col("event_id").cast("string").alias("id"),
             F.encode("props", "UTF-8").alias("data"),
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "ts",
             F.lit(None).cast("string").alias("dest"),
             "event_type",
             "value",
@@ -102,7 +101,7 @@ def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     source = FileReplaySource(
         path=sf_dir,
-        schema=_EVENTS_RAW_SCHEMA,
+        schema=events_raw_schema(spark, sf_dir),
         glob_filter="events.parquet",
         to_envelope=to_envelope,
     )
@@ -156,15 +155,15 @@ def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
     prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
+    raw_schema = events_raw_schema(spark, sf_dir)
+
     def load_stream():
         df = (
-            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        return df.withColumn(
-            "ets", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return normalize_events_ts(df, out="ets")
 
     clicks = (
         load_stream()

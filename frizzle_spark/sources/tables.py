@@ -39,24 +39,60 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Declarative parquet scan for one star-schema table.
 
-    ``events.parquet`` stores its timestamp as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects outright — we read it as a
-    raw int64 (``nanosAsLong``) and rebuild a microsecond timestamp with
-    integer division (``div``, never ``/``: nanos since epoch ≈ 1.7e18
-    overflows double's 53-bit mantissa and a float division would drift
-    the microseconds).  DuckDB truncates NANOS→micros the same way, so
-    oracles agree.
+    ``events.parquet``'s timestamp physical type has varied across
+    driver-generated datasets — TIMESTAMP(NANOS) (which Spark's
+    vectorized reader only accepts as a raw int64 via ``nanosAsLong``)
+    and native TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).  We adapt to
+    whatever the file declares and always hand callers a session-tz
+    ``timestamp`` column:
+
+    - int64 nanos → ``timestamp_micros(ts div 1000)`` (``div``, never
+      ``/``: nanos since epoch ≈ 1.7e18 overflows double's 53-bit
+      mantissa and a float division would drift the microseconds);
+    - TIMESTAMP_NTZ → ``cast('timestamp')`` — the session tz is pinned
+      to UTC (session.py:64) so the cast is instant-preserving;
+    - TIMESTAMP → passthrough.
+
+    DuckDB reads the same file as naive micros, so oracles agree in
+    every case.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_raw_schema(spark: SparkSession, sf_dir: str):
+    """File-declared read schema for ``events.parquet``.
+
+    Streaming readers must pass an explicit schema; taking it from the
+    parquet footer (a metadata-only read) keeps streaming code working
+    across the dataset variants described in :func:`load_table` —
+    hardcoding ``ts: LongType`` breaks the moment the file declares
+    native micros, and vice versa.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def normalize_events_ts(df: DataFrame, col: str = "ts", out: str | None = None) -> DataFrame:
+    """Normalize a raw events timestamp column to session-tz ``timestamp``.
+
+    Works on batch and streaming DataFrames alike — dispatches on the
+    column's declared type per the table in :func:`load_table`.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out = out or col
+    ts_type = df.schema[col].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn(out, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn(out, F.col(col).cast("timestamp"))
+    return df if out == col else df.withColumn(out, F.col(col))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
