@@ -45,13 +45,23 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    # Per-query isolation: one raising query builder must never abort the
+    # whole run — rounds 3 and 4 both lost their entire bench artifact to
+    # a single broken query (VERDICT r4 "What's wrong" #2).  Failures are
+    # recorded under "errors" and the totals always cover whatever ran.
     for name, spec in sorted(REGISTRY.items()):
         runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            n = df.count() if "limit" not in name else len(df.collect())
-            runs.append(round(time.perf_counter() - t0, 3))
+        try:
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                n = df.count() if "limit" not in name else len(df.collect())
+                runs.append(round(time.perf_counter() - t0, 3))
+        except Exception as ex:
+            errors[name] = f"{type(ex).__name__}: {ex}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         all_runs[name] = runs
         timings[name] = min(runs)
         print(f"# {name}: min {timings[name]:.3f}s of {runs} ({n} rows)", file=sys.stderr)
@@ -96,9 +106,12 @@ def main() -> None:
     # (the reference publishes no throughput numbers — BASELINE.md — so
     # this is the round-over-round record).
     stream_rps = None
-    if timings.get("q13_stream"):
-        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-        stream_rps = round(n_events / timings["q13_stream"], 1)
+    try:
+        if timings.get("q13_stream"):
+            n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+            stream_rps = round(n_events / timings["q13_stream"], 1)
+    except Exception as ex:  # diagnostics only — never fail the bench
+        print(f"# stream_rps computation failed: {ex}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Field ORDER is part of the contract: scalars (metric/value/sf) and
@@ -114,6 +127,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": n_runs,
+                "n_queries_ok": len(timings),
+                "n_queries_err": len(errors),
+                "errors": errors,
                 "stream_rows_per_sec": stream_rps,
                 "recall": recall,
                 "candidate_fraction": candidate_fraction,

@@ -605,12 +605,22 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     A≈B and B≈C, A and C must land in ONE cluster even when (A,C) never
     collided.
 
-    Algorithm: iterative min-label propagation — each node's label
-    becomes min(own, neighbors' labels) per round, converging in
-    O(component diameter) rounds (near-dup components are shallow in
-    practice: pairs, stars around a template, short chains; the 2^iter
-    doubling means even a 33M-hop chain closes in 25 rounds).  Spark
-    mechanics that make iteration scale:
+    Algorithm: min-label propagation WITH pointer doubling.  Each round
+    does two steps:
+
+    1. propagate — label(v) := min(label(v), min over neighbors u of
+       label(u));
+    2. shortcut  — label(v) := min(label(v), label(label(v))) (a
+       node's label is itself a node id, so one self-join hops the
+       label chain one extra level).
+
+    Propagation alone needs O(component diameter) rounds; the shortcut
+    step halves the remaining label-chain depth each round, so the loop
+    converges in O(log diameter) rounds — a 33M-hop path closes within
+    25 rounds because of step 2, not step 1.  If the fixpoint is NOT
+    reached within ``max_iter`` (changed > 0 at loop exit), this raises
+    rather than returning silently-partial clusters.  Spark mechanics
+    that make iteration scale:
 
     * edges are symmetrized once and hash-shuffle per round on the join
       key — label state is 2 longs/node, never text;
@@ -637,18 +647,34 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
+        propagated = labels.join(
+            nbr_min, labels["node"] == nbr_min["a"], "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: follow label → label(label) one hop.  Every
+        # label value is a node id present in `propagated` (labels start
+        # as node ids and min() only ever selects other node ids), so the
+        # left join misses nothing; coalesce guards the self-rooted case.
+        lab2 = propagated.select(
+            F.col("node").alias("ln"), F.col("label").alias("ll")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            propagated.join(lab2, propagated["label"] == lab2["ln"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    F.col("label"), F.coalesce("ll", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
@@ -662,6 +688,13 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — with "
+            "pointer doubling this implies component diameter > "
+            f"~2^{max_iter}"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 

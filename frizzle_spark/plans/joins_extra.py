@@ -157,11 +157,13 @@ def q16_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract), and broadcast keeps the join shuffle-free — at 100 TB the
     stream side never repartitions for this join.
     """
-    from frizzle_spark.plans.streaming_queries import _EVENTS_RAW_SCHEMA
+    from frizzle_spark.sources.tables import events_raw_schema
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Schema comes from the parquet footer (events_raw_schema) so the
+    # stream reads whichever ts physical type the dataset variant ships;
+    # ts itself is unused here, so the select prunes it before the join.
     stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)

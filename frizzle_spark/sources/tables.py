@@ -72,6 +72,15 @@ def events_raw_schema(spark: SparkSession, sf_dir: str):
     across the dataset variants described in :func:`load_table` —
     hardcoding ``ts: LongType`` breaks the moment the file declares
     native micros, and vice versa.
+
+    NOTE: this deliberately sets ``spark.sql.legacy.parquet.nanosAsLong``
+    session-wide and does NOT restore it.  The conf is load-bearing at
+    SCAN time, not just schema-inspection time: when the file declares
+    TIMESTAMP(NANOS), the returned schema says ``ts: LongType`` and the
+    later (lazy) parquet read only succeeds while the conf is still set.
+    Scoping it here would hand callers a schema their own read can't
+    honor.  The flag is a no-op for files without nanos timestamps, so
+    leaving it on cannot change the meaning of other reads.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema

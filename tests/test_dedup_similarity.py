@@ -364,6 +364,24 @@ def test_dup_clusters_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dup_clusters_deep_chain_pointer_doubling(spark):
+    """A 200-hop path graph converges well inside max_iter=25: plain
+    min-label propagation would need ~200 rounds, pointer doubling
+    closes it in O(log 200) ≈ 8.  Also checks the non-convergence guard:
+    with max_iter=2 the same chain must raise, never return partial
+    labels silently."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 long, d2 long"
+    ).repartition(8)
+    got = {
+        r["doc_id"]: r["cluster_rep"] for r in dd.dedup_clusters(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.dedup_clusters(pairs, max_iter=2)
+
+
 def test_sequence_packing_invariants(spark, sf_dir):
     """qz14_pack: every chunk appears in exactly one sequence (word
     totals conserved), every sequence respects the budget, and greedy
