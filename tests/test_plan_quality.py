@@ -162,3 +162,15 @@ def test_ivf_all_joins_broadcast(plan_of):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_lsh_bucket_join_is_equi(plan_of):
+    """The near-dup blocker's probe⋈coded self-join must stay a hash
+    EQUI-join on (table_id, code) — both sides are corpus-sized, so a
+    BroadcastNestedLoopJoin or CartesianProduct here would be the n²
+    scan the blocker exists to avoid.  (A shuffle on the bucket key is
+    the expected, correct shape — it carries 3-scalar code rows, never
+    vectors.)"""
+    plan = plan_of("qz11_embedding_neardup_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
