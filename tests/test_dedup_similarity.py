@@ -364,6 +364,29 @@ def test_dup_clusters_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_query_directed_masks_invariants():
+    """Driver-side invariants of the margin-ranked probe ranking: exact
+    bucket (mask 0) always first, masks distinct, exactly `budget`
+    probes, flips confined to the declared pool, and scores of the
+    chosen set dominate (no unchosen subset scores below a chosen one)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for bits in (6, 12, 15):
+        z = rng.randn(bits)
+        budget = 1 + bits + bits * (bits - 1) // 2
+        masks = sim._query_directed_masks(z, budget)
+        assert masks[0] == 0
+        assert len(masks) == len(set(masks)) == budget
+        az = np.abs(z)
+        score = lambda m: sum(az[j] for j in range(bits) if m >> j & 1)  # noqa: E731
+        chosen = sorted(score(m) for m in masks)
+        # worst chosen single/double flip never beats the best unchosen
+        unchosen_singles = [score(1 << j) for j in range(bits) if (1 << j) not in masks]
+        if unchosen_singles:
+            assert max(chosen) <= min(unchosen_singles) + 1e-12
+
+
 def test_dup_clusters_deep_chain_pointer_doubling(spark):
     """A 200-hop path graph converges well inside max_iter=25: plain
     min-label propagation would need ~200 rounds, pointer doubling
