@@ -92,6 +92,35 @@ def ivf_eval(k: int, nprobe: int, sample: int = 4096, iters: int = 10) -> tuple[
     return recall, frac
 
 
+def lsh_eval_qd(bits: int, tables: int, budget: int) -> tuple[float, float]:
+    """(recall, fraction) for QUERY-DIRECTED multiprobe at `budget`
+    buckets per (probe, table) — the round-5 probing strategy
+    (similarity._query_directed_masks): flip subsets of the lowest-|z|
+    bits ranked by summed margin, replacing uniform Hamming enumeration
+    at the same bucket count."""
+    sys.path.insert(0, "/root/repo")
+    from frizzle_spark.operators.similarity import _query_directed_masks
+
+    cand: set[tuple[int, int]] = set()
+    for t in range(tables):
+        rng = np.random.RandomState(42 + t)
+        planes = rng.randn(bits, X.shape[1])
+        Z = U @ planes.T
+        codes = (Z >= 0) @ (1 << np.arange(bits))
+        buckets: dict[int, list[int]] = {}
+        for idx, c in enumerate(codes):
+            buckets.setdefault(int(c), []).append(idx)
+        for i in range(N_PROBES):
+            pc = int(codes[i])
+            for m in _query_directed_masks(Z[i], budget):
+                for j in buckets.get(pc ^ m, ()):
+                    if j != i:
+                        cand.add((ids[i], ids[j]))
+    recall = len(cand & truth) / len(truth)
+    frac = len(cand) / (N_PROBES * (n - 1))
+    return recall, frac
+
+
 print("\nLSH (bits, tables, hamming) -> recall / fraction")
 for bits in (8, 10, 12, 14):
     for tables in (2, 4, 6, 8):
@@ -99,6 +128,13 @@ for bits in (8, 10, 12, 14):
             r, f = lsh_eval(bits, tables, ham)
             flag = " <==" if f <= 0.10 and r >= 0.46 else ""
             print(f"  B={bits:2d} T={tables} H{ham}: recall={r:.2f} frac={f:.3f}{flag}")
+
+print("\nLSH query-directed (bits, tables, budget=Ham-2 count) -> recall / fraction")
+for bits in (10, 12, 14):
+    for tables in (2, 4, 6):
+        budget = 1 + bits + bits * (bits - 1) // 2
+        r, f = lsh_eval_qd(bits, tables, budget)
+        print(f"  B={bits:2d} T={tables} qd({budget:3d}): recall={r:.2f} frac={f:.3f}")
 
 print("\nIVF (K, nprobe) -> recall / fraction")
 for k in (16, 32, 45, 64, 90):
