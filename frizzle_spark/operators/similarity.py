@@ -642,6 +642,165 @@ def _lsh_probe_codes(unit: DataFrame, bc_planes, budget: int) -> DataFrame:
     return unit.mapInPandas(probe, "vec_id long, table_id int, code long")
 
 
+PQ_M = 16  # subquantizers → PQ_M bytes per coded vector (64× vs float64)
+PQ_KS = 256  # codes per subquantizer (1 byte)
+PQ_ITERS = 10
+
+
+def _pq_train(resid: "np.ndarray", m: int, ks: int) -> "np.ndarray":
+    """(m, ks, dim/m) PQ codebooks via per-subspace Lloyd's k-means on
+    RESIDUALS (vector − its coarse centroid, the IVFADC construction of
+    Jégou, Douze & Schmid, PAMI 2011).  Deterministic (seed 100+m per
+    subspace); runs on the same bounded driver-side sample as the
+    coarse quantizer — training cost is corpus-size-independent."""
+    d = resid.shape[1] // m
+    books = []
+    for mi in range(m):
+        sub = resid[:, mi * d : (mi + 1) * d]
+        rng = np.random.RandomState(100 + mi)
+        cb = sub[rng.choice(len(sub), min(ks, len(sub)), replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            # argmin ||s-c||² = argmin (||c||² − 2 s·c): one GEMM per
+            # iteration instead of an (n, ks, d) broadcast tensor
+            a = ((cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)).argmin(1)
+            # per-dim bincount beats np.add.at ~10× (add.at's buffered
+            # fancy indexing is the hidden cost of vectorized Lloyd)
+            counts = np.bincount(a, minlength=len(cb))
+            sums = np.stack(
+                [
+                    np.bincount(a, weights=sub[:, j], minlength=len(cb))
+                    for j in range(d)
+                ],
+                axis=1,
+            )
+            nz = counts > 0
+            cb[nz] = sums[nz] / counts[nz, None]
+        books.append(cb)
+    return np.stack(books)
+
+
+@query("qz12_ivfpq", oracle=None)
+def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF-PQ with asymmetric distance computation
+    — the MEMORY-BOUNDED ANN tier (Jégou, Douze & Schmid, PAMI 2011):
+    each corpus vector is stored as a cluster id + PQ_M one-byte
+    subspace codes (16 bytes vs 512 for float64[64] — 32×), and probe
+    scoring reads ONLY those codes: adc(p, v) = ⟨p, centroid(v)⟩ +
+    Σ_m LUT_p[m][code_v[m]], with the per-probe LUTs (probes × 16 × 256
+    doubles) precomputed driver-side and broadcast.  The candidate
+    stream carries (probe_id, vec_id, cluster, 16-byte code) — NO raw
+    vectors move after encoding, which is the property that matters at
+    100 TB: the inverted-list scan is bandwidth-bounded by 16 B/vector,
+    and the full-precision corpus is touched zero times per query.
+
+    Same coarse quantizer + nprobe as qz12_ivf (candidate fraction
+    ≈9%); what PQ trades is scoring precision — measured ADC recall
+    0.40 @ sf0.1 / 0.36 @ sf0.01 vs exact-scoring IVF's 0.48 (random-
+    vector corpus; see SCALE.md round-5).  Rows-only; pytest gates the
+    recall floor and the planted-neighbor bar like the other ANN tiers.
+    """
+    corpus = _corpus(spark, sf_dir)
+    n = corpus.count()  # parquet-metadata count; one cheap job
+    k, nprobe = ivf_params(n)
+    unit = _unit(corpus)
+    sample = (
+        corpus.orderBy("vec_id")
+        .limit(max(IVF_TRAIN_SAMPLE, N_PROBES))
+        .select("vec_id", "v", "nrm")
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in sample]) / np.asarray(
+        [[r["nrm"]] for r in sample]
+    )
+    cent = _kmeans_unit(x, k)
+    books = _pq_train(x - cent[(x @ cent.T).argmax(1)], PQ_M, PQ_KS)
+    bc_cent = spark.sparkContext.broadcast(cent)
+    bc_books = spark.sparkContext.broadcast(books)
+    d_sub = x.shape[1] // PQ_M
+
+    def encode(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        c, b = bc_cent.value, bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["u"].map(np.asarray))
+            cluster = (u @ c.T).argmax(axis=1)
+            resid = u - c[cluster]
+            codes = np.empty((len(u), PQ_M), dtype=np.uint8)
+            for mi in range(PQ_M):
+                sub = resid[:, mi * d_sub : (mi + 1) * d_sub]
+                # same GEMM-form argmin as _pq_train (||c||² − 2 s·c)
+                codes[:, mi] = (
+                    (b[mi] * b[mi]).sum(1)[None, :] - 2.0 * (sub @ b[mi].T)
+                ).argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": cluster.astype(np.int32),
+                    "code": [r.tobytes() for r in codes],
+                }
+            )
+
+    encoded = unit.mapInPandas(encode, "vec_id long, cluster int, code binary")
+
+    pid = np.array([r["vec_id"] for r in sample[:N_PROBES]])
+    pu = x[:N_PROBES]
+    top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :nprobe]
+    probe_buckets = spark.createDataFrame(
+        [(int(p), int(c)) for p, row in zip(pid, top_clusters) for c in row],
+        "probe_id long, cluster int",
+    )
+    # per-probe scoring constants, all driver-side + broadcast: the ADC
+    # base term ⟨p, centroid⟩ for every (probe, cluster) and the PQ LUTs
+    base_tab = pu @ cent.T  # (P, K)
+    luts = np.stack(
+        [
+            np.stack([pu[i, mi * d_sub : (mi + 1) * d_sub] @ books[mi].T for mi in range(PQ_M)])
+            for i in range(len(pu))
+        ]
+    )  # (P, M, ks)
+    order = np.argsort(pid)
+    bc_score = spark.sparkContext.broadcast(
+        (pid[order], base_tab[order], luts[order])
+    )
+
+    cand = encoded.join(F.broadcast(probe_buckets), "cluster").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+
+    def adc(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        spid, sbase, sluts = bc_score.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pidx = np.searchsorted(spid, pdf["probe_id"].to_numpy())
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), PQ_M)
+            score = sbase[pidx, pdf["cluster"].to_numpy()] + sluts[
+                pidx[:, None], np.arange(PQ_M)[None, :], codes
+            ].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "adc_score": score,
+                }
+            )
+
+    scored = cand.mapInPandas(adc, "probe_id long, neighbor_id long, adc_score double")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", F.round("adc_score", 6).alias("adc_score"), "rank")
+    )
+
+
 def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (id1, id2) bucket-collision candidates of the LSH-blocked
     near-dup — exposed so the bench reports the scanned pair fraction
@@ -730,11 +889,17 @@ def candidate_fractions(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     n = _corpus(spark, sf_dir).count()
     topk_denom = N_PROBES * (n - 1)
     pair_denom = n * (n - 1) / 2
+    ivf_frac = round(ivf_candidates(spark, sf_dir).count() / topk_denom, 4)
     fracs = {
         "qz12_ann_lsh": round(
             ann_lsh_candidates(spark, sf_dir).count() / topk_denom, 4
         ),
-        "qz12_ivf": round(ivf_candidates(spark, sf_dir).count() / topk_denom, 4),
+        "qz12_ivf": ivf_frac,
+        # IVF-PQ shares the IVF coarse quantizer, assignment and nprobe
+        # (same seeds), so its candidate set is identical by
+        # construction — PQ changes how candidates are SCORED, not
+        # which are scanned.
+        "qz12_ivfpq": ivf_frac,
         "qz11_embedding_neardup_lsh": round(
             embedding_lsh_candidates(spark, sf_dir).count() / pair_denom, 4
         ),

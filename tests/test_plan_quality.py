@@ -164,6 +164,16 @@ def test_ivf_all_joins_broadcast(plan_of):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_all_joins_broadcast(plan_of):
+    """IVF-PQ candidate generation reuses IVF's broadcast join on
+    cluster id over the map-side-ENCODED corpus (16-byte codes) — the
+    coded stream must never reshuffle or fall into a nested-loop."""
+    plan = plan_of("qz12_ivfpq")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_neardup_lsh_bucket_join_is_equi(plan_of):
     """The near-dup blocker's probe⋈coded self-join must stay a hash
     EQUI-join on (table_id, code) — both sides are corpus-sized, so a
