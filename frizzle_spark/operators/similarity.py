@@ -881,6 +881,66 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDECON_EVAL_N = 100  # eval-set size: the lowest-id vectors stand in
+SEMDECON_THRESHOLD = 0.45  # max-eval-cos ≥ τ → contaminated (drop)
+
+
+@query("qz11_semantic_decontaminate", oracle=None)
+def qz11_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag corpus embeddings whose cosine to
+    ANY eval-set embedding reaches SEMDECON_THRESHOLD — the third
+    decontamination tier beside exact-hash blocklisting
+    (q11_blocklist_dedup) and n-gram overlap (qz11_decontaminate),
+    catching paraphrased/reworded eval leakage that survives both.
+
+    Shape: the eval set is small by nature (benchmarks are thousands of
+    rows, not billions), so it broadcasts as ONE numpy matrix and every
+    corpus vector scores against it in a map-side Arrow GEMM — zero
+    shuffles, zero joins; the corpus is read once and never moves.  At
+    100 TB this is embarrassingly parallel and bandwidth-bounded.
+    Returns a per-document report (vec_id, max_eval_sim, keep); the
+    pipeline use is ``.where("keep")``.  Rows-only; pytest checks the
+    report against a driver-side numpy recomputation exactly and plants
+    cos≈0.95 eval copies that must be dropped.
+
+    On this corpus (random vectors) τ=0.45 flags the far tail (6 docs
+    at sf0.01, 15 at sf0.1 — measured); real eval contamination sits
+    near cos≈1 and is unmissable at any sane τ.
+    """
+    corpus = _corpus(spark, sf_dir)
+    eval_rows = (
+        corpus.orderBy("vec_id").limit(SEMDECON_EVAL_N).select("vec_id", "v", "nrm").collect()
+    )
+    E = np.asarray([r["v"] for r in eval_rows]) / np.asarray(
+        [[r["nrm"]] for r in eval_rows]
+    )
+    eval_ids = [int(r["vec_id"]) for r in eval_rows]
+    bc_eval = spark.sparkContext.broadcast(E)
+    unit = _unit(corpus).where(~F.col("vec_id").isin(eval_ids))
+
+    def maxsim(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        ev = bc_eval.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["u"].map(np.asarray))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "max_eval_sim": (u @ ev.T).max(axis=1),
+                }
+            )
+
+    rep = unit.mapInPandas(maxsim, "vec_id long, max_eval_sim double")
+    return rep.select(
+        "vec_id",
+        F.round("max_eval_sim", 6).alias("max_eval_sim"),
+        (F.col("max_eval_sim") < SEMDECON_THRESHOLD).alias("keep"),
+    )
+
+
 def candidate_fractions(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Scanned-candidate fraction of each approximate operator, against
     what its brute-force twin scores: |probes|·(n−1) for the top-k tier,

@@ -185,6 +185,56 @@ def qz22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HASH_SPLIT_SEED = 42
+# hex-prefix thresholds over md5's first 4 nibbles (65,536 buckets):
+# < 0xCCCC → train (≈80.0%), < 0xE666 → val (≈10.0%), else test (≈10.0%)
+HASH_SPLIT_BOUNDS = (("train", "cccc"), ("val", "e666"))
+
+_HASH_SPLIT_ORACLE = f"""
+    SELECT doc_id,
+           CASE WHEN h < 'cccc' THEN 'train'
+                WHEN h < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR) || ':{HASH_SPLIT_SEED}'), 1, 4) AS h
+        FROM documents
+    )
+"""
+
+
+@query("qz22_hash_split", oracle=_HASH_SPLIT_ORACLE)
+def qz22_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-key hash — the
+    reproducible-split primitive a training pipeline needs: assignment
+    is a pure function of (doc_id, seed), so it is identical on every
+    engine and every run, needs NO shuffle, NO stored split table, and
+    is STABLE under corpus growth — adding documents never reassigns an
+    existing one (the property random-fraction splits lack; a re-drawn
+    ``rand() < 0.8`` re-splits the whole corpus every epoch).
+
+    Mechanics: lexicographic comparison of the md5 hex prefix against
+    fixed thresholds (4 nibbles = 65,536 buckets; 'cccc' ≈ 80%,
+    'e666' ≈ 90%) — md5 is engine-stable so the SAME expression is the
+    DuckDB oracle (hash-checked in the pytest differential sweep; qz
+    tier by the driver-slot naming contract).  Map-side only: one
+    codegen'd projection, zero exchanges in the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.lit(str(HASH_SPLIT_SEED))
+            )
+        ),
+        1,
+        4,
+    )
+    split = F.when(h < HASH_SPLIT_BOUNDS[0][1], HASH_SPLIT_BOUNDS[0][0])
+    split = split.when(h < HASH_SPLIT_BOUNDS[1][1], HASH_SPLIT_BOUNDS[1][0])
+    return docs.select("doc_id", split.otherwise("test").alias("split"))
+
+
 SHUFFLE_SEED = 42
 
 

@@ -377,6 +377,42 @@ def test_dup_clusters_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_semantic_decontaminate_matches_numpy(spark, sf_dir):
+    """The map-side GEMM report must equal a driver-side numpy
+    recomputation exactly: same eval set (lowest-100 ids), same max-sim
+    per corpus doc, same keep verdicts at τ."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([[float(x) for x in r["embedding"]] for r in emb])
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ne = sim.SEMDECON_EVAL_N
+    want = {
+        int(ids[j]): float((U[j] @ U[:ne].T).max()) for j in range(ne, len(ids))
+    }
+    got = {
+        r["vec_id"]: (r["max_eval_sim"], r["keep"])
+        for r in REGISTRY["qz11_semantic_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for vid, mx in want.items():
+        g_sim, g_keep = got[vid]
+        assert abs(g_sim - round(mx, 6)) <= 1e-9, (vid, g_sim, mx)
+        assert g_keep == (mx < sim.SEMDECON_THRESHOLD), vid
+
+
+def test_semantic_decontaminate_drops_planted_contamination(spark, planted_dir):
+    """Planted cos≈0.95 copies of eval-set members (ids 1000-1009 vs
+    eval ids 0-9) must all be flagged as contaminated."""
+    rep = {
+        r["vec_id"]: r["keep"]
+        for r in REGISTRY["qz11_semantic_decontaminate"].fn(spark, planted_dir).collect()
+    }
+    for i in range(10):
+        assert rep[1000 + i] is False, f"planted contamination {1000+i} kept"
+
+
 def test_query_directed_masks_invariants():
     """Driver-side invariants of the margin-ranked probe ranking: exact
     bucket (mask 0) always first, masks distinct, exactly `budget`

@@ -61,3 +61,30 @@ def test_global_shuffle_head_is_take_ordered(spark, sf_dir):
         "head-of-order must be per-partition top-k + driver merge, "
         "never a global sort"
     )
+
+
+def test_hash_split_proportions_and_stability(spark, sf_dir):
+    """qz22_hash_split: splits are disjoint-and-covering by construction
+    (CASE), proportions land near 80/10/10 (md5 uniformity), the plan
+    has zero exchanges (pure projection), and assignment is STABLE —
+    restricting the corpus to any subset leaves every doc's split
+    unchanged (the property that lets a growing corpus keep its
+    historical split)."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["qz22_hash_split"].fn(spark, sf_dir)
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.03, counts
+    assert abs(counts["val"] / n - 0.1) < 0.02, counts
+    assert abs(counts["test"] / n - 0.1) < 0.02, counts
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "hash split must be a pure map-side projection"
+    # stability: the same doc gets the same split in a half-size corpus
+    full = {r["doc_id"]: r["split"] for r in df.collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in df.where(F.col("doc_id") % 2 == 0).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
