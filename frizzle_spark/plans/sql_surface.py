@@ -235,6 +235,50 @@ def qz22_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", split.otherwise("test").alias("split"))
 
 
+SOURCE_CAP_N = 10  # keep at most N documents per source
+
+_SOURCE_CAP_ORACLE = f"""
+    SELECT doc_id, source, rk
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    )
+    WHERE rk <= {SOURCE_CAP_N}
+"""
+
+
+@query("qz22_source_cap", oracle=_SOURCE_CAP_ORACLE)
+def qz22_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep the top-N documents of every source
+    by a quality key (here n_chars, doc_id tiebreak) — the
+    domain-balancing primitive crawl curation needs so no single site
+    dominates the training mix (the C4/RefinedWeb "per-domain cap").
+
+    Scale shape: ONE hash-partition shuffle on ``source``, then a
+    per-partition sort + running rank with an early-out filter —
+    Catalyst plans rank-then-filter as WindowGroupLimit (per-partition
+    top-N pushed BELOW the full window sort), so each task keeps a
+    bounded heap instead of materializing whole groups.  A skewed
+    mega-source is bounded by the group-limit pushdown too: rows beyond
+    N per (partition, source) are dropped map-side before the shuffle.
+    Deterministic output under ties because the ORDER BY is total
+    (doc_id tiebreak) — oracle-stable across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            # long: Spark's row_number is int32, DuckDB's is int64
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= SOURCE_CAP_N)
+    )
+
+
 SHUFFLE_SEED = 42
 
 

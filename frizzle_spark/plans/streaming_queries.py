@@ -276,3 +276,75 @@ def qz13_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.md5("data").alias("payload_fp"),
     )
+
+
+# Duplicate horizon for the streaming dedup: how far apart in EVENT TIME
+# two duplicates of the same key may arrive and still be collapsed.  The
+# replayed corpus spans 30 days, so 35d makes the replay's dedup exact
+# (equal to batch DISTINCT — that is what the oracle checks).  In a live
+# deployment this is the knob that bounds state: delay = the real
+# duplicate horizon (minutes-hours for at-least-once redelivery), and
+# state holds only keys seen within it, evicted by the watermark.
+STREAM_DEDUP_HORIZON = "35 days"
+
+_STREAM_DEDUP_ORACLE = """
+    SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query("qz13_stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def qz13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful deduplication: first occurrence of each
+    (user_id, event_type) key wins, duplicates within the watermark
+    horizon are dropped IN the stream — the exactly-once-per-key
+    primitive an ingest bus needs when the upstream redelivers
+    (the reference's un-acked map, common/unacked.go:10-59, solves the
+    same redelivery problem per-message; this operator generalizes it
+    to content keys across the whole stream).
+
+    Mechanics: ``withWatermark`` + ``dropDuplicatesWithinWatermark`` —
+    per-key state in the state store, keyed by the dedup columns,
+    evicted once the watermark passes event_time + horizon, so state is
+    bounded by keys-within-horizon, never by stream length (the
+    no-watermark ``dropDuplicates`` variant grows state forever — the
+    100 TB-wrong shape this query exists to avoid).  State shuffles on
+    the dedup key: state-partition sizing follows qz16's measured rule
+    (partitions track state volume, not core count).
+
+    qz-prefixed but fully oracle-backed (≡ batch DISTINCT because the
+    horizon covers the replayed corpus' 30-day span) via the pytest
+    differential sweep.
+    """
+    from frizzle_spark.streaming.analytics import streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dedup = streaming_dedup(
+        normalize_events_ts(raw).select("ts", "user_id", "event_type"),
+        keys=["user_id", "event_type"],
+        watermark=STREAM_DEDUP_HORIZON,
+    ).select("user_id", "event_type")
+    import os
+
+    state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    name = f"qz13_dedup_{abs(hash(sf_dir)) % 99999}"
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    try:
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("qz13_stream_dedup: stream did not drain in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+    return spark.table(name)

@@ -331,3 +331,237 @@ def qz14_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.mapInPandas(
         pack, "seq_id long, n_chunks long, n_words long, text string"
     )
+
+
+# --- BM25 keyword retrieval -------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "window", "hash")  # the standing query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    """DuckDB mirror generated from the SAME constants/tokenization as the
+    Spark side — formula parenthesization is kept textually identical so
+    both engines evaluate the IEEE operations in the same order (the only
+    tolerated divergence is a possible 1-ulp ``ln`` libm difference,
+    annihilated by the shared round-to-6)."""
+    toks = f"string_split_regex(trim(text), '{T.WS_RE}')"
+    tf = ",\n               ".join(
+        f"len(list_filter({toks}, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df = ",\n               ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = "\n             + ".join(
+        f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * {BM25_K1 + 1!r}"
+        f" / (tf{i} + {BM25_K1!r} * ({1 - BM25_B!r} + {BM25_B!r} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH tf AS (
+        SELECT doc_id,
+               len({toks}) AS dl,
+               {tf}
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n, avg(dl) AS avgdl,
+               {df}
+        FROM tf
+    )
+    SELECT doc_id, round(s, 6) AS bm25
+    FROM (
+        SELECT doc_id,
+               {terms} AS s
+        FROM tf, stats
+    )
+    ORDER BY s DESC, doc_id
+    LIMIT {BM25_TOPK}
+"""
+
+
+@query("qz14_bm25", oracle=_bm25_oracle())
+def qz14_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword retrieval over ``documents`` — the standing
+    lexical-search primitive a curation pipeline uses to pull topical
+    slices out of a crawl (Robertson/Sparck Jones BM25, k1=1.2 b=0.75).
+
+    Scale shape: two narrow passes over the corpus — pass 1 reduces to
+    ONE row of corpus statistics (N, avgdl, per-term document
+    frequencies) via map-side partial aggregation; pass 2 re-scans,
+    broadcast-crosses that single row back in, scores each document in
+    one codegen span, and takes top-k as per-partition heap + driver
+    merge (TakeOrderedAndProject — no global sort, no shuffle of the
+    corpus at any point).  Term frequencies are array expressions over
+    the shared whitespace split, not an exploded posting list: the
+    standing-query case (few terms) never materializes doc×term rows.
+    At 100 TB both passes stream at parquet-scan speed.
+
+    qz-prefixed but fully oracle-backed via the pytest differential
+    sweep (driver-slot naming contract, SURVEY.md §2.3).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    nt = len(BM25_TERMS)
+
+    def tf_col(t: str):
+        # single-arg lambda only: a 2-arg lambda would be bound as
+        # (element, index) by F.filter and compare tokens to positions
+        return F.size(F.filter(ws, lambda w: w == F.lit(t))).cast("long")
+
+    base = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("dl"),
+        *[tf_col(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(nt)
+        ],
+    )
+
+    def term(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(F.lit(1) + (F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        return (
+            idf
+            * tf
+            * F.lit(BM25_K1 + 1)
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+
+    score = term(0)
+    for i in range(1, nt):
+        score = score + term(i)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("s"))
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", F.round("s", 6).alias("bm25"))
+    )
+
+
+# --- vocabulary encoding ----------------------------------------------------
+
+VOCAB_SIZE = 500  # top-V corpus words become ids 1..V; 0 = OOV
+
+
+def _vocab_encode_oracle() -> str:
+    toks = f"string_split_regex(trim(text), '{T.WS_RE}')"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(tk) AS w,
+               unnest(range(1, len(tk) + 1)) AS pos
+        FROM (SELECT doc_id, {toks} AS tk FROM documents)
+    ),
+    vocab AS (
+        SELECT w, row_number() OVER (ORDER BY n DESC, w) AS tok_id
+        FROM (SELECT w, count(*) AS n FROM tok GROUP BY w)
+        ORDER BY n DESC, w
+        LIMIT {VOCAB_SIZE}
+    )
+    SELECT t.doc_id, list(coalesce(v.tok_id, 0) ORDER BY t.pos) AS ids
+    FROM tok t LEFT JOIN vocab v USING (w)
+    GROUP BY t.doc_id
+"""
+
+
+@query("qz14_vocab_encode", oracle=_vocab_encode_oracle())
+def qz14_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding — the step between a curated corpus and a
+    training run: build a frequency-ranked vocabulary (top-V words,
+    ids 1..V by count desc / word asc; 0 = OOV) and encode every
+    document as its id sequence, order-preserved.
+
+    Scale shape: the vocabulary is a corpus-wide word count REDUCED
+    map-side (partial aggregation means the shuffle carries one row per
+    distinct word per partition, not one per token) and capped to V via
+    TakeOrderedAndProject; the rank-assigning window then runs over
+    only V rows.  Encoding broadcasts that V-row dictionary against the
+    exploded token stream — the corpus-sized side never shuffles for
+    the join — and the per-document re-aggregation is ONE shuffle keyed
+    by doc_id, with position order restored by sorting (pos, id) structs
+    inside the row (collect_list order is otherwise engine-undefined —
+    relying on it would be a silent-corruption bug under AQE re-plans).
+    At 100 TB: two shuffles total (word-count reduce, doc re-agg), both
+    over narrow rows.
+
+    qz-prefixed but fully oracle-backed via the pytest differential
+    sweep (zipped-unnest + list(... ORDER BY pos) on the DuckDB side).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    tok = docs.select("doc_id", F.posexplode(ws).alias("pos0", "w")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "w"
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # limit first: the rank window then sorts V rows, not the whole count
+    vocab = (
+        counts.orderBy(F.desc("n"), "w")
+        .limit(VOCAB_SIZE)
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "w"))
+            .cast("long")
+            .alias("tok_id"),
+        )
+    )
+    enc = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", "pos", F.coalesce("tok_id", F.lit(0).cast("long")).alias("tid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s.getField("tid"),
+        ).alias("ids")
+    )
+
+
+HH_K = 20  # heavy-hitter report size
+HH_TRACKED = 8192  # sketch capacity per partial (bounds shuffle + memory)
+
+
+@query("qz9_heavy_hitters", oracle=None)
+def qz9_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: the K most frequent words in the corpus via the
+    ``approx_top_k`` sketch (qz9 sketch family, beside HLL++ distinct
+    and approximate percentiles).
+
+    Why a sketch and not the exact word count: the exact top-K shuffles
+    one row per distinct word per partition — fine for words, ruinous
+    for high-cardinality keys (URLs, n-grams, user ids).  The sketch
+    caps every partial at HH_TRACKED entries, so shuffle volume is
+    O(partitions × HH_TRACKED) regardless of key cardinality, and
+    partials merge associatively.  At test scale the corpus vocabulary
+    fits inside HH_TRACKED, making the sketch EXACT — the pytest gate
+    exploits that: every reported count must equal the exact count, and
+    every strict heavy hitter (exact count above the exact K-th count)
+    must appear, tie-order-independently.  Rows-only at the driver
+    (sketch output; DuckDB has no equivalent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    tok = docs.select(F.explode(ws).alias("w"))
+    sketch = tok.agg(
+        F.expr(f"approx_top_k(w, {HH_K}, {HH_TRACKED})").alias("top")
+    )
+    return sketch.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("word"),
+        F.col("e.count").cast("long").alias("n"),
+    )

@@ -92,9 +92,20 @@ def session_aggregate(
 def streaming_dedup(
     stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:
-    """Exact streaming dedup: first arrival wins; key state is evicted
-    once the watermark passes (bounded state at any scale)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    """Streaming dedup on content keys: first arrival wins; per-key state
+    is evicted once the watermark passes event_time + horizon, so state
+    is bounded by keys-within-horizon at any scale.
+
+    Uses ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: the
+    plain variant only bounds state when the event-time column is part
+    of the dedup keys — on content keys (the normal case) its state
+    grows with stream length forever, the scale trap this helper exists
+    to avoid.  The trade: duplicates farther apart in event time than
+    the horizon are not collapsed — size ``watermark`` to the real
+    duplicate spread (e.g. the upstream redelivery window), never to
+    stream length.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def running_counts(stream: DataFrame, key_col: str = "user_id") -> DataFrame:

@@ -41,10 +41,17 @@ def canonical(pdf: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_localize(None)
             pdf[c] = s.astype("datetime64[ns]")
         elif pdf[c].dtype == object:
-            # duckdb may hand back Decimal / date objects
-            pdf[c] = pdf[c].map(
-                lambda v: float(v) if isinstance(v, decimal.Decimal) else v
-            )
+            # duckdb may hand back Decimal / date objects; array columns
+            # (Spark toPandas → ndarray, duckdb → ndarray) become tuples
+            # so the all-columns row sort and equals() are well-defined
+            def norm(v):
+                if isinstance(v, decimal.Decimal):
+                    return float(v)
+                if isinstance(v, (np.ndarray, list)):
+                    return tuple(norm(x) for x in v)
+                return v
+
+            pdf[c] = pdf[c].map(norm)
     if len(pdf):
         pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
     return pdf

@@ -16,6 +16,7 @@ import frizzle_spark.plans.joins_extra  # noqa: F401 - populate registry
 import frizzle_spark.plans.relational  # noqa: F401
 import frizzle_spark.operators.similarity  # noqa: F401
 import frizzle_spark.plans.sql_surface  # noqa: F401
+import frizzle_spark.plans.text_queries  # noqa: F401
 from frizzle_spark.plans.registry import REGISTRY
 
 
@@ -184,3 +185,21 @@ def test_neardup_lsh_bucket_join_is_equi(plan_of):
     plan = plan_of("qz11_embedding_neardup_lsh")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_heap_and_broadcast_stats(plan_of):
+    """BM25's top-k must be per-partition heap + driver merge (never a
+    global sort of scored documents), and the one-row corpus-stats join
+    must broadcast — the corpus itself never shuffles."""
+    plan = plan_of("qz14_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_cap_uses_window_group_limit(plan_of):
+    """The per-source cap must plan as WindowGroupLimit: rank-then-filter
+    pushes the top-N below the window sort so tasks keep a bounded heap
+    per group (and prune map-side before the shuffle) instead of
+    materializing and fully sorting every source's rows."""
+    assert "WindowGroupLimit" in plan_of("qz22_source_cap")

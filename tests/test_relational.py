@@ -66,6 +66,38 @@ def test_approx_percentile_tolerance(spark, sf_dir):
         assert abs(a90 - p90) <= 0.05 * spread, (k, p90, a90)
 
 
+def test_heavy_hitters_exact_at_test_scale(spark, sf_dir):
+    """The vocabulary fits inside HH_TRACKED, so the sketch must be
+    exact: every reported count equals the exact count, and every
+    strict heavy hitter (exact count above the exact K-th count) is
+    reported — tie order at the K boundary is engine-defined and not
+    asserted."""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.plans.text_queries import HH_K
+
+    got = {
+        r["word"]: r["n"]
+        for r in REGISTRY["qz9_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        r["w"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(got) == min(HH_K, len(exact))
+    for w, n in got.items():
+        assert exact[w] == n, (w, n, exact.get(w))
+    kth = sorted(exact.values(), reverse=True)[min(HH_K, len(exact)) - 1]
+    strict = {w for w, n in exact.items() if n > kth}
+    assert strict <= set(got), f"missing strict heavy hitters: {strict - set(got)}"
+
+
 def test_stratified_sample_fractions(spark, sf_dir):
     from pyspark.sql import functions as F
 
