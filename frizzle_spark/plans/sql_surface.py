@@ -235,6 +235,169 @@ def qz22_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", split.otherwise("test").alias("split"))
 
 
+TOKEN_BUDGET = 50_000  # corpus slice size in whitespace tokens
+TOKEN_BUDGET_SEED = 42
+
+_TOKEN_BUDGET_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || ':{TOKEN_BUDGET_SEED}') AS key
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY key, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
+        FROM t
+    )
+    WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+@query("qz22_token_budget", oracle=_TOKEN_BUDGET_ORACLE)
+def qz22_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus slicing: take documents in deterministic
+    md5-shuffled order until the cumulative token count reaches the
+    budget — how a training run carves "the first N tokens" out of a
+    corpus reproducibly (same slice on every engine, every run, and a
+    grown corpus only appends to the order it never reorders...
+    the same stability argument as qz22_hash_split).
+
+    The naive plan is a global-order running sum — a single-task window
+    over the whole corpus, the canonical scale killer.  This implements
+    the distributed prefix sum instead: md5-prefix BUCKETS (4 nibbles,
+    ≤65,536 groups, contiguous under the global key order by
+    construction) give (1) a tiny per-bucket total aggregate whose
+    running sum over ≤65k rows yields each bucket's global offset, and
+    (2) a bucket-partitioned window for the within-bucket running sum —
+    so global_cum = broadcast-joined offset + in-bucket cum.  Two
+    narrow shuffles (bucket agg, bucket window), zero global sorts,
+    and the offset table is bounded by 16^4 regardless of corpus size.
+    Fully oracle-backed: DuckDB computes the same slice as ONE global
+    window — the results must hash-match exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.lit(str(TOKEN_BUDGET_SEED))
+        )
+    )
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        key.alias("key"),
+        F.substring(key, 1, 4).alias("bucket"),
+    )
+    # bucket offsets: running total of all PRECEDING buckets.  The
+    # unpartitioned window is safe here and only here — its input is the
+    # per-bucket aggregate, bounded at 16^4 rows by construction.
+    totals = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_off = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("in_bucket_cum", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("offset") + F.col("in_bucket_cum")).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+
+
+MIXTURE_SEED = "mix42"
+
+# Target mixture weights: even-numbered sources get 2× the share of
+# odd-numbered ones.  Derived from the source NAME (not a lookup table)
+# so the same rule applies at every scale factor; expressed identically
+# in the DuckDB oracle.
+_MIXTURE_ORACLE = f"""
+    WITH w AS (
+        SELECT source,
+               CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                    THEN 2.0 ELSE 1.0 END AS wt,
+               count(*) AS n
+        FROM documents GROUP BY source
+    ),
+    tmax AS (SELECT min(n / wt) AS t FROM w),
+    quota AS (
+        SELECT source, CAST(floor(wt * t) AS BIGINT) AS q FROM w, tmax
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{MIXTURE_SEED}'),
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota USING (source)
+    WHERE r.rk <= q
+"""
+
+
+@query("qz22_mixture_sample", oracle=_MIXTURE_ORACLE)
+def qz22_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: downsample every source so the
+    surviving corpus hits a target mixture of source weights — the
+    dataset-reweighting step of a training mix ("2 parts web, 1 part
+    forums"), done exactly and reproducibly rather than by Bernoulli
+    draws.
+
+    Mechanics: per-source quota = floor(w_s × T) where T = min_s(N_s /
+    w_s) is the largest total the available data supports at the target
+    mixture; each source keeps its quota of documents ranked by
+    per-document md5 — an order that is engine-stable, uniform within
+    the source, and stable under corpus growth (a new document only
+    displaces ranks behind it).  Scale shape: the quota table is one
+    tiny aggregate (rows = #sources) broadcast back; ranking is the
+    same source-partitioned WindowGroupLimit shape as qz22_source_cap —
+    one shuffle on source, bounded per-group heaps, skew bounded by
+    quota not source size.  Fully oracle-backed (exact row set must
+    hash-match DuckDB's).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.when(
+        F.substring("source", 4, 16).cast("int") % 2 == 0, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    w = docs.groupBy("source").agg(
+        F.first(wt).alias("wt"), F.count(F.lit(1)).alias("n")
+    )
+    tmax = w.agg(F.min(F.col("n") / F.col("wt")).alias("t"))
+    quota = w.crossJoin(F.broadcast(tmax)).select(
+        "source", F.floor(F.col("wt") * F.col("t")).cast("long").alias("q")
+    )
+    rk_w = Window.partitionBy("source").orderBy(
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(MIXTURE_SEED))
+        ),
+        "doc_id",
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(rk_w).cast("long").alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rk") <= F.col("q"))
+        .select("doc_id", "source")
+    )
+
+
 SOURCE_CAP_N = 10  # keep at most N documents per source
 
 _SOURCE_CAP_ORACLE = f"""

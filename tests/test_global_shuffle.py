@@ -88,3 +88,65 @@ def test_hash_split_proportions_and_stability(spark, sf_dir):
         for r in df.where(F.col("doc_id") % 2 == 0).collect()
     }
     assert all(full[k] == v for k, v in half.items())
+
+
+def test_token_budget_matches_independent_recomputation(spark, sf_dir):
+    """Third-implementation check (beside the DuckDB oracle): the
+    distributed bucket-offset prefix sum must reproduce the exact
+    maximal prefix of the md5-ordered corpus that a plain driver-side
+    cumsum selects."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from frizzle_spark.plans.sql_surface import TOKEN_BUDGET, TOKEN_BUDGET_SEED
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        key = hashlib.md5(f"{doc_id}:{TOKEN_BUDGET_SEED}".encode()).hexdigest()
+        rows.append((key, doc_id, len(re.split(r"\s+", text.strip()))))
+    rows.sort()
+    want, cum = {}, 0
+    for key, doc_id, ntok in rows:
+        cum += ntok
+        if cum > TOKEN_BUDGET:
+            break
+        want[doc_id] = (ntok, cum)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in REGISTRY["qz22_token_budget"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_mixture_sample_quotas_exact(spark, sf_dir):
+    """Every source must keep exactly floor(w_s * T) documents where
+    T = min_s(N_s / w_s) — the largest total the corpus supports at the
+    target mixture (independent recomputation from raw counts)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    raw = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    wt = {s: 2.0 if int(s[3:]) % 2 == 0 else 1.0 for s in raw}
+    t = min(raw[s] / wt[s] for s in raw)
+    want = {s: math.floor(wt[s] * t) for s in raw}
+
+    kept = {
+        r["source"]: r["n"]
+        for r in REGISTRY["qz22_mixture_sample"]
+        .fn(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert kept == {s: n for s, n in want.items() if n > 0}
