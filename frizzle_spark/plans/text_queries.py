@@ -565,3 +565,99 @@ def qz9_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("word"),
         F.col("e.count").cast("long").alias("n"),
     )
+
+
+# --- composite curation filter ----------------------------------------------
+
+FILTER_QUALITY_MIN = 0.5  # drop below (≈ p25-p50 of the corpus)
+FILTER_REP3_MAX = 0.1  # drop above: heavy 3-gram repetition
+FILTER_LANG = "en"  # corpus language target
+
+
+def _filter_pipeline_oracle() -> str:
+    toks = f"string_split_regex(trim(text), '{T.WS_RE}')"
+    return f"""
+    WITH w AS (
+        SELECT doc_id, text, {toks} AS ws FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               {_LANG_CASES.rstrip(',')},
+               ((2000000 * least(20 * wc * len,
+                                 greatest(0, 10 * wc * len + 40 * sc * len
+                                             - 60 * pc * wc - len * abs(aww - 5 * wc)))
+                 + 20 * wc * len)
+                // (2 * 20 * wc * len)) / 1000000.0 AS quality,
+               {_rep_sql(3)} AS rep3
+        FROM (
+            SELECT doc_id, text, ws,
+                   CAST(len(ws) AS BIGINT) AS wc,
+                   CAST(length(text) AS BIGINT) AS len,
+                   CAST(len(regexp_extract_all(lower(text), '{T.LANG_STOPWORDS["en"]}')) AS BIGINT) AS sc,
+                   CAST(len(regexp_extract_all(text, '{T.PUNCT_RE}')) AS BIGINT) AS pc,
+                   CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS aww
+            FROM w
+        )
+    ),
+    verdict AS (
+        SELECT doc_id, quality, rep3,
+               CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                    WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                    WHEN fr_hits >= es_hits THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM scored
+    )
+    SELECT doc_id, lang_pred, quality, rep3,
+           CASE WHEN lang_pred <> '{FILTER_LANG}' THEN 'lang'
+                WHEN quality < {FILTER_QUALITY_MIN} THEN 'quality'
+                WHEN rep3 > {FILTER_REP3_MAX} THEN 'repetition'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN lang_pred <> '{FILTER_LANG}' THEN 'lang'
+                 WHEN quality < {FILTER_QUALITY_MIN} THEN 'quality'
+                 WHEN rep3 > {FILTER_REP3_MAX} THEN 'repetition'
+                 ELSE 'ok' END) = 'ok' AS keep
+    FROM verdict
+"""
+
+
+@query("qz14_filter_pipeline", oracle=_filter_pipeline_oracle())
+def qz14_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation recipe as ONE operator: language gate → quality gate
+    → repetition gate, with a per-document keep/drop verdict and the
+    FIRST failing rule as the reason (the C4/Gopher-style filter
+    cascade a training pipeline actually runs, plus the audit column
+    that tells you WHY a document died — the observability half most
+    filter recipes drop).
+
+    Scale shape: every signal (stopword-argmax lang id, integer-exact
+    quality score, repeated-3-gram fraction) is a column expression
+    over one shared scan and word split — zero shuffles, zero joins,
+    zero Python; the whole cascade is a single WholeStageCodegen span
+    that streams at parquet-read speed and rides predicate pushdown
+    when composed (``.where("keep")`` prunes at the scan).  Fully
+    oracle-backed via the pytest differential sweep: DuckDB computes
+    the identical cascade from the same shared regex/arithmetic
+    constants.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    base = docs.select(
+        "doc_id",
+        T.predicted_lang(c).alias("lang_pred"),
+        T.quality_score(c).alias("quality"),
+        F.split(F.trim(c), T.WS_RE).alias("ws"),
+    ).select("doc_id", "lang_pred", "quality", _rep_col(3).alias("rep3"))
+    reason = (
+        F.when(F.col("lang_pred") != FILTER_LANG, "lang")
+        .when(F.col("quality") < FILTER_QUALITY_MIN, "quality")
+        .when(F.col("rep3") > FILTER_REP3_MAX, "repetition")
+        .otherwise("ok")
+    )
+    return base.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "rep3",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

@@ -248,3 +248,93 @@ def q10_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, min(e.ts) AS t4
+        FROM events e JOIN s3 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+    )
+    SELECT 'signup' AS step, count(*) AS n_users FROM s1
+    UNION ALL SELECT 'view', count(*) FROM s2
+    UNION ALL SELECT 'click', count(*) FROM s3
+    UNION ALL SELECT 'purchase', count(*) FROM s4
+"""
+
+
+@query("qz10_funnel", oracle=_FUNNEL_ORACLE)
+def qz10_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: how many users performed signup → view →
+    click → purchase IN ORDER (each stage strictly after the previous
+    stage's first qualifying event) — the ordered-pattern query event
+    analytics needs and plain aggregation can't express.
+
+    Scale shape: ONE shuffle (by user) and NO joins.  The naive
+    formulation is a cascade of K-1 self-joins, each shuffling the
+    events table again; here each user's (ts, type) pairs are collected
+    and time-sorted in-row, then a single Catalyst ``aggregate`` fold
+    walks the sequence computing the stage-entry times — per-user state
+    is K timestamps, work is one pass, and everything after the shuffle
+    is JVM expression eval (no Python).  Per-user row width is bounded
+    by user activity, the same bound session windows already rely on.
+    The strict-inequality guards make ties (same-timestamp events)
+    non-advancing, matching the oracle's nested ``min … WHERE ts >``
+    cascade exactly.  qz-prefixed but fully oracle-backed via the
+    pytest differential sweep.
+    """
+    k = len(FUNNEL_STEPS)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select("user_id", "ts", "event_type")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+    init = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"t{i + 1}") for i in range(k)]
+    )
+
+    def step_time(acc, x, i):
+        """Stage i's entry time: first event of the right type strictly
+        after stage i-1's entry (pre-update acc on every guard — one
+        event can never advance two stages)."""
+        g = acc[f"t{i + 1}"].isNull() & (x["event_type"] == FUNNEL_STEPS[i])
+        if i > 0:
+            g = g & acc[f"t{i}"].isNotNull() & (x["ts"] > acc[f"t{i}"])
+        return F.when(g, x["ts"]).otherwise(acc[f"t{i + 1}"]).alias(f"t{i + 1}")
+
+    folded = seq.select(
+        F.aggregate(
+            "seq",
+            init,
+            lambda acc, x: F.struct(*[step_time(acc, x, i) for i in range(k)]),
+        ).alias("f")
+    )
+    counts = folded.agg(
+        *[
+            F.sum(F.col(f"f.t{i + 1}").isNotNull().cast("long")).alias(f"n{i + 1}")
+            for i in range(k)
+        ]
+    )
+    stack_args = ", ".join(f"'{s}', n{i + 1}" for i, s in enumerate(FUNNEL_STEPS))
+    return counts.select(
+        F.expr(f"stack({k}, {stack_args}) AS (step, n_users)")
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import frizzle_spark.plans.windows  # noqa: F401 - populate registry (funnel)
 from frizzle_spark.plans.registry import REGISTRY
 from frizzle_spark.plans.sql_surface import global_shuffle
 from frizzle_spark.sources.tables import load_table
@@ -150,3 +151,38 @@ def test_mixture_sample_quotas_exact(spark, sf_dir):
         .collect()
     }
     assert kept == {s: n for s, n in want.items() if n > 0}
+
+
+def test_funnel_tie_and_order_semantics(spark, tmp_path):
+    """Edge cases the corpus can't guarantee: a same-timestamp event
+    must NOT advance to the next stage (strict >), an out-of-order
+    stage doesn't count, and one event never advances two stages."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: view ties with signup -> stuck at signup
+        (1, t(0), "signup"), (1, t(0), "view"), (1, t(2), "click"),
+        # user 2: click ties with view -> reaches view only
+        (2, t(0), "signup"), (2, t(1), "view"), (2, t(1), "click"),
+        (2, t(2), "purchase"),  # purchase without click -> no
+        # user 3: full ordered funnel
+        (3, t(0), "signup"), (3, t(1), "view"), (3, t(2), "click"),
+        (3, t(3), "purchase"),
+        # user 4: purchase BEFORE signup never counts
+        (4, t(0), "purchase"), (4, t(1), "signup"),
+    ]
+    d = str(tmp_path / "funnel")
+    spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, (u, ts, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r["step"]: r["n_users"]
+        for r in REGISTRY["qz10_funnel"].fn(spark, d).collect()
+    }
+    assert got == {"signup": 4, "view": 2, "click": 1, "purchase": 1}
