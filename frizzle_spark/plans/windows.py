@@ -338,3 +338,99 @@ def qz10_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         F.expr(f"stack({k}, {stack_args}) AS (step, n_users)")
     )
+
+
+SESSION_GAP_MIN = 30  # minutes of inactivity that closes a session
+
+_SESSIONIZE_ORACLE = f"""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_seq
+    FROM flagged
+"""
+
+
+@query("qz10_sessionize", oracle=_SESSIONIZE_ORACLE)
+def qz10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-ID assignment (gaps-and-islands): every event gets its
+    user-local session ordinal, a new session starting after
+    SESSION_GAP_MIN of inactivity — the per-EVENT complement of
+    q10_session_windows' per-SESSION aggregate (pipelines need the
+    assignment to join features back onto raw events).
+
+    Scale shape: one shuffle by user, then two stacked window passes
+    over the same (user, ts) sort — Catalyst reuses the single sort and
+    partitioning for both (one Exchange in the plan); state per row is
+    a lag and a running sum.  The (ts, event_id) tiebreak makes the
+    assignment total-ordered and therefore engine-stable.  qz-prefixed
+    but fully oracle-backed via the pytest differential sweep.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+
+
+_SCD2_ORACLE = """
+    SELECT user_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           event_id, event_type, value,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current
+    FROM events
+"""
+
+
+@query("qz5_scd2", oracle=_SCD2_ORACLE)
+def qz5_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 interval construction: turn an append-only event log into
+    versioned rows with [valid_from, valid_to) validity and an
+    is_current flag — the standard change-history table a warehouse
+    keeps for every mutable entity, built from the bus's immutable log
+    (the reference's messages are immutable too; this is how its log
+    becomes point-in-time queryable).
+
+    Scale shape: ONE shuffle by entity key, one sort, one lead() —
+    every version's closing timestamp is its successor's opening one.
+    The (ts, event_id) tiebreak totalizes the order so simultaneous
+    updates chain deterministically instead of producing ambiguous
+    intervals.  As-of lookup then composes:
+    ``WHERE valid_from <= t AND (valid_to > t OR is_current)``.
+    qz-prefixed but fully oracle-backed via the pytest differential
+    sweep.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "event_id",
+        "event_type",
+        "value",
+        nxt.isNull().alias("is_current"),
+    )

@@ -17,6 +17,7 @@ import frizzle_spark.plans.relational  # noqa: F401
 import frizzle_spark.operators.similarity  # noqa: F401
 import frizzle_spark.plans.sql_surface  # noqa: F401
 import frizzle_spark.plans.text_queries  # noqa: F401
+import frizzle_spark.plans.windows  # noqa: F401
 from frizzle_spark.plans.registry import REGISTRY
 
 
@@ -195,6 +196,18 @@ def test_bm25_topk_heap_and_broadcast_stats(plan_of):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["qz10_sessionize", "qz5_scd2"])
+def test_event_window_queries_single_exchange(plan_of, name):
+    """Sessionize stacks two window passes, SCD2 one lead() — both over
+    the same (user, ts) sort, so Catalyst must plan exactly ONE shuffle
+    and ONE sort; a second Exchange would mean the shared partitioning
+    was lost between window passes."""
+    plan = plan_of(name)
+    phys = plan[plan.index("== Physical Plan ==") :]
+    assert phys.count("Exchange") == 1, phys
+    assert phys.count("Sort ") == 1, phys
 
 
 def test_source_cap_uses_window_group_limit(plan_of):
