@@ -45,6 +45,36 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def scan_parquet_lenient(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """Corrupt-file-tolerant columnar scan.
+
+    At 100 TB an object store WILL eventually serve a truncated or
+    bit-rotted object, and the default scan fails the whole job on the
+    first bad footer — hours of work lost to one file.  This variant
+    sets the per-read ``ignoreCorruptFiles`` / ``ignoreMissingFiles``
+    generic file-source options (scoped to THIS scan — never the
+    session-wide ``spark.sql.files.*`` confs, which would silently
+    change unrelated reads): corrupt files are logged and skipped,
+    good files stream through untouched.
+
+    ``schema`` should be passed when tolerating corruption — inference
+    itself reads footers and can trip on the bad file before the
+    option applies to data reads.  Use for backfill/quarantine sweeps;
+    keep the strict default for pipelines where silent data loss is
+    worse than a failed job (the strict/lenient split is asserted in
+    tests/test_sources_skew.py).
+    """
+    reader = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .option("ignoreMissingFiles", "true")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
 def scan_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC columnar scan (bundled in OSS Spark): predicate pushdown +
     column pruning + stripe skipping, same contract as parquet."""

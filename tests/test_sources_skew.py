@@ -142,3 +142,31 @@ def test_avro_clear_error_without_module(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="spark-avro"):
         scan_avro(spark, str(tmp_path / "nope.avro"))
+
+
+def test_lenient_scan_skips_corrupt_file_strict_raises(spark, orders, tmp_path):
+    """A truncated parquet object must fail the strict scan loudly but
+    be skipped by the lenient scan (per-read option, not a session-wide
+    conf), which still returns every row of the intact files."""
+    import glob
+    import os
+
+    from frizzle_spark.sources.files import scan_parquet, scan_parquet_lenient
+
+    path = str(tmp_path / "orders_mixed")
+    orders.coalesce(1).write.parquet(path)
+    part = glob.glob(f"{path}/part-*.parquet")[0]
+    with open(part, "rb") as f:
+        blob = f.read()
+    with open(f"{path}/part-9999-corrupt.parquet", "wb") as f:
+        f.write(blob[: len(blob) // 2])  # no footer -> corrupt
+
+    with pytest.raises(Exception):
+        scan_parquet(spark, path).count()
+    good = scan_parquet_lenient(spark, path, schema=orders.schema)
+    assert good.count() == orders.count()
+    # the per-read option must not leak into the session config
+    assert (
+        spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false") == "false"
+    )
+    os.remove(f"{path}/part-9999-corrupt.parquet")
