@@ -186,3 +186,54 @@ def test_funnel_tie_and_order_semantics(spark, tmp_path):
         for r in REGISTRY["qz10_funnel"].fn(spark, d).collect()
     }
     assert got == {"signup": 4, "view": 2, "click": 1, "purchase": 1}
+
+
+def test_funnel_matches_simulation_on_random_events(spark, tmp_path):
+    """Randomized differential: the Catalyst fold must agree with a
+    plain Python funnel simulation on a corpus dense with repeated
+    types and deliberate timestamp collisions (coarse 20-second grid
+    over 30 users × 400 events)."""
+    import datetime as dt
+    import random
+
+    from frizzle_spark.plans.windows import FUNNEL_STEPS
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    types = list(FUNNEL_STEPS) + ["error"]
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=20 * rng.randrange(50)),
+            rng.randrange(30),
+            rng.choice(types),
+        )
+        for i in range(400)
+    ]
+    d = str(tmp_path / "funnel_rand")
+    spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    # simulation: per user, walk (ts, type)-sorted events; stage i+1
+    # requires its type strictly after stage i's recorded time
+    per_user: dict[int, list] = {}
+    for _, ts, u, et in sorted(rows, key=lambda r: (r[2], r[1], r[3])):
+        st = per_user.setdefault(u, [None] * len(FUNNEL_STEPS))
+        for i, step in enumerate(FUNNEL_STEPS):
+            if st[i] is None and et == step and (
+                i == 0 or (st[i - 1] is not None and ts > st[i - 1])
+            ):
+                st[i] = ts
+                break
+    want = {
+        step: sum(1 for st in per_user.values() if st[i] is not None)
+        for i, step in enumerate(FUNNEL_STEPS)
+    }
+    got = {
+        r["step"]: r["n_users"]
+        for r in REGISTRY["qz10_funnel"].fn(spark, d).collect()
+    }
+    assert got == want
