@@ -24,6 +24,7 @@ from frizzle_spark.functions.multimodal import (
     MEDIA_META_SCHEMA,
     decode_media_batch,
     extract_features_batch,
+    phash_batch,
     sample_frames_batch,
 )
 from frizzle_spark.plans.registry import query
@@ -132,6 +133,73 @@ def q15_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id"] + [f"f{j}" for j in range(8)])
 
     return media_table(spark, sf_dir).mapInPandas(kernel, feature_schema)
+
+
+PHASH_BANDS = 8  # 8 bands × 8 bits: identical-band GUARANTEE for ham ≤ 7
+PHASH_HAM_MAX = 7
+
+
+@query("qz15_phash_neardup", oracle=None)
+def qz15_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the media tier —
+    image-dedup's pipeline shape (thumbnail → dHash → band buckets →
+    hamming verify) running on the byte-domain dHash of
+    functions/multimodal.phash64 (the decode seam swaps in a real
+    grayscale thumbnail; everything downstream is unchanged).
+
+    Banding gives a DETERMINISTIC recall guarantee, unlike MinHash's
+    probabilistic one: 8 bands of 8 bits means any pair within
+    PHASH_HAM_MAX=7 differing bits shares at least one untouched band
+    (pigeonhole), so recall within the threshold is exactly 1 — the
+    pytest gate brute-forces all pairs and asserts it.  Scale shape:
+    one Arrow pass computes 8-byte signatures (the corpus' media bytes
+    are read ONCE and reduced 10⁶×); the self-join is a hash EQUI-join
+    on (band_id, band_value) over 8 narrow rows per asset — never an
+    all-pairs scan — and candidates dedup before the bit_count verify.
+    Rows-only at the driver (the kernel is numpy; pytest holds the
+    numpy-differential, planted-edit, and exhaustive-recall gates).
+    """
+    sig = media_table(spark, sf_dir).mapInPandas(
+        phash_batch, "doc_id long, phash long"
+    )
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.expr(f"shiftrightunsigned(phash, {8 * i}) & 255").alias(
+                            "band_val"
+                        ),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_id", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        .where(F.col("hamming") <= PHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 # keep the array-typed variant importable for pipeline composition

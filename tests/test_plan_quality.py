@@ -13,6 +13,7 @@ from __future__ import annotations
 import pytest
 
 import frizzle_spark.plans.joins_extra  # noqa: F401 - populate registry
+import frizzle_spark.plans.multimodal_queries  # noqa: F401
 import frizzle_spark.plans.relational  # noqa: F401
 import frizzle_spark.operators.similarity  # noqa: F401
 import frizzle_spark.plans.sql_surface  # noqa: F401
@@ -208,6 +209,15 @@ def test_event_window_queries_single_exchange(plan_of, name):
     phys = plan[plan.index("== Physical Plan ==") :]
     assert phys.count("Exchange") == 1, phys
     assert phys.count("Sort ") == 1, phys
+
+
+def test_phash_neardup_band_join_is_equi(plan_of):
+    """The phash blocker's self-join must stay a hash EQUI-join on
+    (band_id, band_val) — both sides are corpus-sized, so a nested-loop
+    or cartesian here is the all-pairs scan banding exists to avoid."""
+    plan = plan_of("qz15_phash_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_source_cap_uses_window_group_limit(plan_of):
