@@ -48,3 +48,44 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Scan a bucketed table THROUGH the catalog — `spark.read.parquet`
     on the same files would lose the bucket metadata and re-shuffle."""
     return spark.table(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    partitions: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Range-clustered parquet layout: co-locate rows with nearby
+    ``cluster_cols`` values so later selective scans PRUNE files instead
+    of reading them.
+
+    ``repartitionByRange`` gives files pairwise-DISJOINT key ranges
+    (sampled range partitioner) and ``sortWithinPartitions`` makes each
+    file internally sorted, so every parquet row-group's min/max
+    statistics are tight.  A predicate like ``user_id = k`` then reads
+    exactly one file's worth of row-groups — at 100 TB the difference
+    between a full-corpus scan and a few hundred MB.  This is the
+    single-dimension form of data clustering (Z-order generalizes it to
+    multi-column predicates; range-on-leading-column is optimal for the
+    single-key access path committed here and needs no custom codec).
+
+    Complements ``write_bucketed``: bucketing kills the JOIN shuffle via
+    hash co-location (equality access, catalog-tracked); clustering
+    kills selective-SCAN IO via range co-location (range + equality
+    pruning, plain files).  ``max_records_per_file`` caps file size so a
+    skewed range splits into several files rather than one huge object.
+    Layout disjointness is asserted from parquet footer statistics in
+    tests/test_bucketing.py.
+    """
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    out = df.repartitionByRange(n, *cluster_cols).sortWithinPartitions(
+        *cluster_cols
+    )
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

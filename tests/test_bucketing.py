@@ -53,3 +53,51 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
 
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_clustered_write_disjoint_ranges_and_pruning(spark, tmp_path):
+    """Range-clustered layout: parquet footer min/max of the cluster
+    column must be pairwise disjoint across files (that disjointness IS
+    the pruning guarantee), and a point-predicate scan must read fewer
+    files than the file count."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.sources.bucketed import write_clustered
+    from frizzle_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "events_clustered")
+    write_clustered(ev, path, ["user_id"], partitions=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "user_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+    # point-predicate locality: all of one key's rows live in ONE file
+    # (disjoint ranges above are what lets the scan skip the rest)
+    probe = (
+        spark.read.parquet(path)
+        .where(F.col("user_id") == 7)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+    )
+    assert probe.count() == 1
