@@ -125,15 +125,27 @@ def phash64(data: bytes) -> int:
 
     b = np.frombuffer(data, dtype=np.uint8)
     n = len(b)
-    bounds = [(k * n) // PHASH_CHUNKS for k in range(PHASH_CHUNKS + 1)]
-    means = [
-        float(b[bounds[k] : bounds[k + 1]].mean()) if bounds[k + 1] > bounds[k] else 0.0
-        for k in range(PHASH_CHUNKS)
-    ]
+    bounds = np.array(
+        [(k * n) // PHASH_CHUNKS for k in range(PHASH_CHUNKS + 1)], dtype=np.int64
+    )
+    counts = np.diff(bounds)
+    if n >= PHASH_CHUNKS:
+        # every chunk non-empty → one reduceat over exact int64 sums
+        # (uint8 would overflow; float64 holds sums ≤ 255·n exactly, so
+        # the result is bit-identical to per-slice .mean())
+        sums = np.add.reduceat(b.astype(np.int64), bounds[:-1])
+        means = sums / counts
+    else:
+        means = np.array(
+            [
+                float(b[bounds[k] : bounds[k + 1]].mean()) if counts[k] else 0.0
+                for k in range(PHASH_CHUNKS)
+            ]
+        )
+    bits = means[:-1] > means[1:]
     acc = np.uint64(0)
-    for k in range(PHASH_CHUNKS - 1):
-        if means[k] > means[k + 1]:
-            acc |= np.uint64(1) << np.uint64(k)
+    for k in np.nonzero(bits)[0]:
+        acc |= np.uint64(1) << np.uint64(k)
     return int(acc.astype(np.int64))
 
 
