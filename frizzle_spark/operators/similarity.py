@@ -642,7 +642,7 @@ def _lsh_probe_codes(unit: DataFrame, bc_planes, budget: int) -> DataFrame:
     return unit.mapInPandas(probe, "vec_id long, table_id int, code long")
 
 
-PQ_M = 16  # subquantizers → PQ_M bytes per coded vector (64× vs float64)
+PQ_M = 16  # subquantizers → PQ_M bytes per coded vector (32× vs float64[64])
 PQ_KS = 256  # codes per subquantizer (1 byte)
 PQ_ITERS = 10
 
@@ -679,26 +679,14 @@ def _pq_train(resid: "np.ndarray", m: int, ks: int) -> "np.ndarray":
     return np.stack(books)
 
 
-@query("qz12_ivfpq", oracle=None)
-def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF-PQ with asymmetric distance computation
-    — the MEMORY-BOUNDED ANN tier (Jégou, Douze & Schmid, PAMI 2011):
-    each corpus vector is stored as a cluster id + PQ_M one-byte
-    subspace codes (16 bytes vs 512 for float64[64] — 32×), and probe
-    scoring reads ONLY those codes: adc(p, v) = ⟨p, centroid(v)⟩ +
-    Σ_m LUT_p[m][code_v[m]], with the per-probe LUTs (probes × 16 × 256
-    doubles) precomputed driver-side and broadcast.  The candidate
-    stream carries (probe_id, vec_id, cluster, 16-byte code) — NO raw
-    vectors move after encoding, which is the property that matters at
-    100 TB: the inverted-list scan is bandwidth-bounded by 16 B/vector,
-    and the full-precision corpus is touched zero times per query.
-
-    Same coarse quantizer + nprobe as qz12_ivf (candidate fraction
-    ≈9%); what PQ trades is scoring precision — measured ADC recall
-    0.40 @ sf0.1 / 0.36 @ sf0.01 vs exact-scoring IVF's 0.48 (random-
-    vector corpus; see SCALE.md round-5).  Rows-only; pytest gates the
-    recall floor and the planted-neighbor bar like the other ANN tiers.
-    """
+def ivfpq_candidates(spark: SparkSession, sf_dir: str):
+    """IVF-PQ candidate stream + trained quantizers: (cand, pid, pu,
+    cent, books).  ``cand`` carries (probe_id, vec_id, cluster, 16-byte
+    code) — factored out of :func:`qz12_ivfpq` so the bench's
+    candidate-fraction report MEASURES this stream (|cand|) instead of
+    assuming identity with IVF's; the identity is expected (same sample,
+    k-means seed and nprobe as ``ivf_candidates``) and the measurement
+    is what keeps that claim honest if any of those ever drift."""
     corpus = _corpus(spark, sf_dir)
     n = corpus.count()  # parquet-metadata count; one cheap job
     k, nprobe = ivf_params(n)
@@ -752,6 +740,34 @@ def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(p), int(c)) for p, row in zip(pid, top_clusters) for c in row],
         "probe_id long, cluster int",
     )
+    cand = encoded.join(F.broadcast(probe_buckets), "cluster").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    return cand, pid, pu, cent, books
+
+
+@query("qz12_ivfpq", oracle=None)
+def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF-PQ with asymmetric distance computation
+    — the MEMORY-BOUNDED ANN tier (Jégou, Douze & Schmid, PAMI 2011):
+    each corpus vector is stored as a cluster id + PQ_M one-byte
+    subspace codes (16 bytes vs 512 for float64[64] — 32×), and probe
+    scoring reads ONLY those codes: adc(p, v) = ⟨p, centroid(v)⟩ +
+    Σ_m LUT_p[m][code_v[m]], with the per-probe LUTs (probes × 16 × 256
+    doubles) precomputed driver-side and broadcast.  The candidate
+    stream carries (probe_id, vec_id, cluster, 16-byte code) — NO raw
+    vectors move after encoding, which is the property that matters at
+    100 TB: the inverted-list scan is bandwidth-bounded by 16 B/vector,
+    and the full-precision corpus is touched zero times per query.
+
+    Same coarse quantizer + nprobe as qz12_ivf (candidate fraction
+    ≈9%); what PQ trades is scoring precision — measured ADC recall
+    0.40 @ sf0.1 / 0.36 @ sf0.01 vs exact-scoring IVF's 0.48 (random-
+    vector corpus; see SCALE.md round-5).  Rows-only; pytest gates the
+    recall floor and the planted-neighbor bar like the other ANN tiers.
+    """
+    cand, pid, pu, cent, books = ivfpq_candidates(spark, sf_dir)
+    d_sub = pu.shape[1] // PQ_M
     # per-probe scoring constants, all driver-side + broadcast: the ADC
     # base term ⟨p, centroid⟩ for every (probe, cluster) and the PQ LUTs
     base_tab = pu @ cent.T  # (P, K)
@@ -764,10 +780,6 @@ def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = np.argsort(pid)
     bc_score = spark.sparkContext.broadcast(
         (pid[order], base_tab[order], luts[order])
-    )
-
-    cand = encoded.join(F.broadcast(probe_buckets), "cluster").where(
-        F.col("vec_id") != F.col("probe_id")
     )
 
     def adc(batches):  # pragma: no cover - executed on executors
@@ -817,6 +829,14 @@ def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, tables, _ = lsh_params(n)
     planes = _lsh_planes(bits, tables, DIM)
     bc_planes = spark.sparkContext.broadcast(planes)
+    # DELIBERATE double compute: build and probe sides each rescan +
+    # re-GEMM the corpus.  The alternative — materializing one tagged
+    # code stream and self-joining — does NOT save work without a
+    # persist (Spark re-executes both branches of a self-join), and
+    # persisting a corpus-scale intermediate is the wrong trade at
+    # 100 TB (the map-side GEMM is cheaper to recompute than an
+    # n×tables×budget-row cache is to hold); cf. the measured
+    # no-persist finding in operators/dedup._shingles.
     coded = _lsh_codes(_unit(corpus), bc_planes)
     probe = _lsh_probe_codes(_unit(corpus), bc_planes, budget=bits + 1)
     # Query-directed variant sets are ASYMMETRIC (each vector flips its
@@ -934,10 +954,14 @@ def qz11_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     rep = unit.mapInPandas(maxsim, "vec_id long, max_eval_sim double")
+    # keep is derived from the ROUNDED value so the report is self-
+    # consistent: a consumer re-checking the published max_eval_sim
+    # against τ gets the same verdict as the flag
+    rounded = F.round("max_eval_sim", 6)
     return rep.select(
         "vec_id",
-        F.round("max_eval_sim", 6).alias("max_eval_sim"),
-        (F.col("max_eval_sim") < SEMDECON_THRESHOLD).alias("keep"),
+        rounded.alias("max_eval_sim"),
+        (rounded < SEMDECON_THRESHOLD).alias("keep"),
     )
 
 
@@ -955,11 +979,12 @@ def candidate_fractions(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ann_lsh_candidates(spark, sf_dir).count() / topk_denom, 4
         ),
         "qz12_ivf": ivf_frac,
-        # IVF-PQ shares the IVF coarse quantizer, assignment and nprobe
-        # (same seeds), so its candidate set is identical by
-        # construction — PQ changes how candidates are SCORED, not
-        # which are scanned.
-        "qz12_ivfpq": ivf_frac,
+        # measured from IVF-PQ's OWN candidate stream; expected equal to
+        # qz12_ivf (same sample/seeds/nprobe) and the pytest gate
+        # asserts that equality as a real check, not a tautology
+        "qz12_ivfpq": round(
+            ivfpq_candidates(spark, sf_dir)[0].count() / topk_denom, 4
+        ),
         "qz11_embedding_neardup_lsh": round(
             embedding_lsh_candidates(spark, sf_dir).count() / pair_denom, 4
         ),

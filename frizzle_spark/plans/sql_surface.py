@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 from pyspark.sql.window import Window
 
+from frizzle_spark.functions import text as _T
 from frizzle_spark.plans.registry import query
 from frizzle_spark.sources.tables import load_table
 
@@ -241,7 +242,7 @@ TOKEN_BUDGET_SEED = 42
 _TOKEN_BUDGET_ORACLE = f"""
     WITH t AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(string_split_regex(trim(text), '{_T.WS_RE}')) AS BIGINT) AS n_tokens,
                md5(CAST(doc_id AS VARCHAR) || ':{TOKEN_BUDGET_SEED}') AS key
         FROM documents
     )
@@ -287,7 +288,7 @@ def qz22_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        _T.word_count(F.col("text")).alias("n_tokens"),
         key.alias("key"),
         F.substring(key, 1, 4).alias("bucket"),
     )

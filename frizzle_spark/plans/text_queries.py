@@ -192,7 +192,7 @@ def qz14_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks it against the DuckDB mirror above.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    ws = T.words(F.col("text"))
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
     )
@@ -253,7 +253,7 @@ def qz14_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-backed via the pytest differential sweep.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    ws = T.words(F.col("text"))
     rep1 = F.round(
         1 - F.size(F.array_distinct(F.col("ws"))) / F.size(F.col("ws")).cast("double"),
         6,
@@ -405,7 +405,7 @@ def qz14_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep (driver-slot naming contract, SURVEY.md §2.3).
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    ws = T.words(F.col("text"))
     nt = len(BM25_TERMS)
 
     def tf_col(t: str):
@@ -505,7 +505,7 @@ def qz14_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    ws = T.words(F.col("text"))
     tok = docs.select("doc_id", F.posexplode(ws).alias("pos0", "w")).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "w"
     )
@@ -556,7 +556,7 @@ def qz9_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch output; DuckDB has no equivalent).
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), T.WS_RE)
+    ws = T.words(F.col("text"))
     tok = docs.select(F.explode(ws).alias("w"))
     sketch = tok.agg(
         F.expr(f"approx_top_k(w, {HH_K}, {HH_TRACKED})").alias("top")
@@ -645,7 +645,7 @@ def qz14_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.predicted_lang(c).alias("lang_pred"),
         T.quality_score(c).alias("quality"),
-        F.split(F.trim(c), T.WS_RE).alias("ws"),
+        T.words(c).alias("ws"),
     ).select("doc_id", "lang_pred", "quality", _rep_col(3).alias("rep3"))
     reason = (
         F.when(F.col("lang_pred") != FILTER_LANG, "lang")

@@ -330,7 +330,12 @@ def qz10_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = folded.agg(
         *[
-            F.sum(F.col(f"f.t{i + 1}").isNotNull().cast("long")).alias(f"n{i + 1}")
+            # coalesce: a corpus with no funnel-step events folds to an
+            # empty input whose sum is NULL, but the oracle's count(*)
+            # over an empty stage table is 0
+            F.coalesce(
+                F.sum(F.col(f"f.t{i + 1}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"n{i + 1}")
             for i in range(k)
         ]
     )
@@ -378,9 +383,12 @@ def qz10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # full microsecond precision: cast("long") truncates to seconds and
+    # mis-classifies gaps inside (1800, 1801)s against the oracle's
+    # INTERVAL comparison
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
     ).otherwise(0)
     return ev.select(
         "event_id",

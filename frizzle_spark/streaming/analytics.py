@@ -9,8 +9,10 @@ The reference carries ``Timestamp()`` per message but never consumes it
 * ``windowed_aggregate``  — watermarked tumbling/sliding window agg; the
   watermark bounds state so window state is evicted once event time
   passes window_end + delay (the 100 TB state-growth guard).
-* ``streaming_dedup``     — ``dropDuplicates`` across micro-batches with
-  watermark-bounded key state (exact dedup as a stream).
+* ``streaming_dedup``     — ``dropDuplicatesWithinWatermark`` across
+  micro-batches: exact dedup within the watermark horizon, key state
+  evicted past it (duplicates farther apart than the horizon are NOT
+  collapsed — size it to the real duplicate spread).
 * ``running_counts``      — custom per-key stateful operator via
   ``applyInPandasWithState`` (the escape hatch for semantics the
   built-ins lack; state round-trips through Arrow).

@@ -399,7 +399,8 @@ def test_semantic_decontaminate_matches_numpy(spark, sf_dir):
     for vid, mx in want.items():
         g_sim, g_keep = got[vid]
         assert abs(g_sim - round(mx, 6)) <= 1e-9, (vid, g_sim, mx)
-        assert g_keep == (mx < sim.SEMDECON_THRESHOLD), vid
+        # keep must be self-consistent with the PUBLISHED (rounded) sim
+        assert g_keep == (g_sim < sim.SEMDECON_THRESHOLD), (vid, g_sim)
 
 
 def test_semantic_decontaminate_drops_planted_contamination(spark, planted_dir):

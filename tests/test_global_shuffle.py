@@ -188,6 +188,24 @@ def test_funnel_tie_and_order_semantics(spark, tmp_path):
     assert got == {"signup": 4, "view": 2, "click": 1, "purchase": 1}
 
 
+def test_funnel_zero_counts_on_empty_corpus(spark, tmp_path):
+    """A corpus with no funnel-step events must report 0 per stage (the
+    oracle's count(*) over empty stage tables), never NULL."""
+    import datetime as dt
+
+    d = str(tmp_path / "funnel_empty")
+    spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 1, "error", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["step"]: r["n_users"]
+        for r in REGISTRY["qz10_funnel"].fn(spark, d).collect()
+    }
+    assert got == {"signup": 0, "view": 0, "click": 0, "purchase": 0}
+
+
 def test_funnel_matches_simulation_on_random_events(spark, tmp_path):
     """Randomized differential: the Catalyst fold must agree with a
     plain Python funnel simulation on a corpus dense with repeated
