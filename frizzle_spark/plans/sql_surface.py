@@ -249,9 +249,10 @@ _TOKEN_BUDGET_ORACLE = f"""
     SELECT doc_id, n_tokens, cum_tokens
     FROM (
         SELECT doc_id, n_tokens,
-               sum(n_tokens) OVER (ORDER BY key, doc_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND CURRENT ROW) AS cum_tokens
+               CAST(sum(n_tokens) OVER (ORDER BY key, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
         FROM t
     )
     WHERE cum_tokens <= {TOKEN_BUDGET}
