@@ -130,10 +130,11 @@ def phash64(data: bytes) -> int:
     )
     counts = np.diff(bounds)
     if n >= PHASH_CHUNKS:
-        # every chunk non-empty → one reduceat over exact int64 sums
-        # (uint8 would overflow; float64 holds sums ≤ 255·n exactly, so
-        # the result is bit-identical to per-slice .mean())
-        sums = np.add.reduceat(b.astype(np.int64), bounds[:-1])
+        # every chunk non-empty → one reduceat accumulating straight
+        # into int64 (dtype=, no 8× astype copy of the payload; uint8
+        # accumulation would overflow).  float64 holds sums ≤ 255·n
+        # exactly, so the division is bit-identical to per-slice .mean()
+        sums = np.add.reduceat(b, bounds[:-1], dtype=np.int64)
         means = sums / counts
     else:
         means = np.array(

@@ -478,18 +478,23 @@ def _kmeans_unit(x: "np.ndarray", k: int) -> "np.ndarray":
     return cent
 
 
-def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct IVF candidates (probe_id, vec_id, pu, u) — the recall/
-    candidate-fraction surface the bench reports on; qz12_ivf re-ranks
-    it exactly.  See qz12_ivf for the plan shape."""
+def _ivf_train(spark: SparkSession, sf_dir: str):
+    """Shared IVF front-matter: (unit, sample, x, cent, pid, pu,
+    top_clusters).  Factored so ivf_candidates and ivfpq_candidates use
+    the IDENTICAL sample, quantizer seed and probe set STRUCTURALLY —
+    their candidate membership cannot drift apart by a copy-paste edit
+    (the property tests/test_dedup_similarity.py's membership gate
+    checks on real data).
+
+    ONE bounded collect feeds both the quantizer sample and the probe
+    set (probes are the N_PROBES lowest vec_ids, a prefix of the
+    lowest-IVF_TRAIN_SAMPLE sample) — a first cut ran the full-corpus
+    mapInPandas assignment a second time just to read 10 probe rows.
+    """
     corpus = _corpus(spark, sf_dir)
     n = corpus.count()  # parquet-metadata count; one cheap job
     k, nprobe = ivf_params(n)
     unit = _unit(corpus)
-    # ONE bounded collect feeds both the quantizer sample and the probe
-    # set (probes are the N_PROBES lowest vec_ids, a prefix of the
-    # lowest-IVF_TRAIN_SAMPLE sample) — a first cut ran the full-corpus
-    # mapInPandas assignment a second time just to read 10 probe rows.
     sample = (
         corpus.orderBy("vec_id")
         .limit(max(IVF_TRAIN_SAMPLE, N_PROBES))
@@ -500,6 +505,17 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         [[r["nrm"]] for r in sample]
     )
     cent = _kmeans_unit(x, k)
+    pid = [r["vec_id"] for r in sample[:N_PROBES]]
+    pu = x[:N_PROBES]
+    top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :nprobe]
+    return unit, sample, x, cent, pid, pu, top_clusters
+
+
+def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct IVF candidates (probe_id, vec_id, pu, u) — the recall/
+    candidate-fraction surface the bench reports on; qz12_ivf re-ranks
+    it exactly.  See qz12_ivf for the plan shape."""
+    unit, sample, x, cent, pid, pu, top_clusters = _ivf_train(spark, sf_dir)
     bc_cent = spark.sparkContext.broadcast(cent)
 
     def assign(batches):  # pragma: no cover - executed on executors
@@ -520,9 +536,6 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clustered = unit.mapInPandas(assign, "vec_id long, cluster int, u array<double>")
 
-    pid = [r["vec_id"] for r in sample[:N_PROBES]]
-    pu = x[:N_PROBES]
-    top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :nprobe]
     probe_buckets = spark.createDataFrame(
         [
             (int(p), int(c), [float(x) for x in vec])
@@ -682,25 +695,13 @@ def _pq_train(resid: "np.ndarray", m: int, ks: int) -> "np.ndarray":
 def ivfpq_candidates(spark: SparkSession, sf_dir: str):
     """IVF-PQ candidate stream + trained quantizers: (cand, pid, pu,
     cent, books).  ``cand`` carries (probe_id, vec_id, cluster, 16-byte
-    code) — factored out of :func:`qz12_ivfpq` so the bench's
-    candidate-fraction report MEASURES this stream (|cand|) instead of
-    assuming identity with IVF's; the identity is expected (same sample,
-    k-means seed and nprobe as ``ivf_candidates``) and the measurement
-    is what keeps that claim honest if any of those ever drift."""
-    corpus = _corpus(spark, sf_dir)
-    n = corpus.count()  # parquet-metadata count; one cheap job
-    k, nprobe = ivf_params(n)
-    unit = _unit(corpus)
-    sample = (
-        corpus.orderBy("vec_id")
-        .limit(max(IVF_TRAIN_SAMPLE, N_PROBES))
-        .select("vec_id", "v", "nrm")
-        .collect()
-    )
-    x = np.asarray([r["v"] for r in sample]) / np.asarray(
-        [[r["nrm"]] for r in sample]
-    )
-    cent = _kmeans_unit(x, k)
+    code).  Built on :func:`_ivf_train`, so candidate MEMBERSHIP is
+    structurally identical to ``ivf_candidates`` (same sample,
+    quantizer seed, probe set and nprobe by shared code, not by
+    copy-paste discipline) — PQ only changes how candidates are
+    SCORED.  The membership identity is additionally gated on real
+    data by the pytest membership test."""
+    unit, sample, x, cent, pid_l, pu, top_clusters = _ivf_train(spark, sf_dir)
     books = _pq_train(x - cent[(x @ cent.T).argmax(1)], PQ_M, PQ_KS)
     bc_cent = spark.sparkContext.broadcast(cent)
     bc_books = spark.sparkContext.broadcast(books)
@@ -733,9 +734,7 @@ def ivfpq_candidates(spark: SparkSession, sf_dir: str):
 
     encoded = unit.mapInPandas(encode, "vec_id long, cluster int, code binary")
 
-    pid = np.array([r["vec_id"] for r in sample[:N_PROBES]])
-    pu = x[:N_PROBES]
-    top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :nprobe]
+    pid = np.array(pid_l)
     probe_buckets = spark.createDataFrame(
         [(int(p), int(c)) for p, row in zip(pid, top_clusters) for c in row],
         "probe_id long, cluster int",
@@ -979,12 +978,12 @@ def candidate_fractions(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             ann_lsh_candidates(spark, sf_dir).count() / topk_denom, 4
         ),
         "qz12_ivf": ivf_frac,
-        # measured from IVF-PQ's OWN candidate stream; expected equal to
-        # qz12_ivf (same sample/seeds/nprobe) and the pytest gate
-        # asserts that equality as a real check, not a tautology
-        "qz12_ivfpq": round(
-            ivfpq_candidates(spark, sf_dir)[0].count() / topk_denom, 4
-        ),
+        # STRUCTURALLY ivf's fraction: both candidate streams derive
+        # from _ivf_train's shared quantizer/probe set, so membership is
+        # identical by construction (PQ changes scoring only) — gated on
+        # real data by the pytest membership test, and counting it again
+        # here would re-train PQ + re-encode the corpus for nothing
+        "qz12_ivfpq": ivf_frac,
         "qz11_embedding_neardup_lsh": round(
             embedding_lsh_candidates(spark, sf_dir).count() / pair_denom, 4
         ),

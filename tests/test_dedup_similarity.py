@@ -127,6 +127,26 @@ def test_ann_candidate_fractions_bounded(spark, sf_dir):
     assert 0 < fracs["qz11_minhash_lsh"] <= 0.05, fracs
 
 
+def test_ivfpq_candidate_membership_equals_ivf(spark, sf_dir):
+    """The bench reports ivf's candidate fraction for ivfpq on the
+    grounds that both streams derive from _ivf_train's shared
+    quantizer/probe set — this gate checks the actual (probe, vec)
+    membership identity on real data, so any future drift in either
+    path's sampling or assignment trips here rather than silently
+    falsifying the published fraction."""
+    ivf = {
+        (r["probe_id"], r["vec_id"])
+        for r in sim.ivf_candidates(spark, sf_dir).select("probe_id", "vec_id").collect()
+    }
+    pq = {
+        (r["probe_id"], r["vec_id"])
+        for r in sim.ivfpq_candidates(spark, sf_dir)[0]
+        .select("probe_id", "vec_id")
+        .collect()
+    }
+    assert ivf == pq
+
+
 @pytest.fixture(scope="module")
 def planted_dir(spark, tmp_path_factory):
     """Synthetic clustered corpus: 2,000 vectors, the 10 probe vectors
