@@ -89,3 +89,79 @@ def write_clustered(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+
+
+def zorder_key(
+    specs: list[tuple[str, float, float]], bits: int = 16
+):
+    """Z-order (Morton) key column from N (col, lo, hi) specs.
+
+    Each column is min/max-scaled to a ``bits``-bit integer bucket and
+    the buckets' bits are INTERLEAVED, so nearby z-values are nearby in
+    EVERY clustered dimension at once — the multi-column generalization
+    of single-key range clustering (Delta/Iceberg's OPTIMIZE ZORDER
+    uses the same construction).  Pure codegen'd column arithmetic:
+    N·bits shift/mask/or terms, no UDF, no shuffle of its own.
+
+    (lo, hi) come from the caller (table stats or domain knowledge) —
+    the scaling must be FIXED so the layout is stable across
+    incremental writes; deriving it from each batch's min/max would
+    re-grid every write.  Values outside [lo, hi] clamp to the edge
+    buckets.
+    """
+    from pyspark.sql import functions as F
+
+    mask = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, (col, lo, hi) in enumerate(specs):
+        scaled = (F.col(col).cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        )
+        bucket = F.least(
+            F.lit(mask),
+            F.greatest(F.lit(0), F.floor(scaled * mask).cast("long")),
+        )
+        for i in range(bits):
+            # bit i of this column lands at interleaved position
+            # i*len(specs) + j
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                    i * len(specs) + j,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    specs: list[tuple[str, float, float]],
+    partitions: int | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Multi-column clustered parquet layout via a Z-order key.
+
+    Like :func:`write_clustered` but selective predicates on ANY of the
+    clustered columns prune files: each file covers one z-range, which
+    is a bounded hyper-rectangle neighborhood in every dimension, so
+    every file's per-column min/max stats are tight in every clustered
+    column simultaneously — single-key range clustering gives that for
+    the leading column only.  The z column is dropped before writing
+    (it is derivable; the layout, not the value, is the product).
+    Asserted in tests/test_bucketing.py: per-file spans on BOTH
+    clustered columns must be small fractions of their domains.
+    """
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    out = (
+        df.withColumn("__z", zorder_key(specs))
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

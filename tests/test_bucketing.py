@@ -101,3 +101,56 @@ def test_clustered_write_disjoint_ranges_and_pruning(spark, tmp_path):
         .distinct()
     )
     assert probe.count() == 1
+
+
+def test_zorder_bounds_both_dimensions(spark, tmp_path):
+    """Z-ordered files must have tight per-file min/max stats in BOTH
+    clustered columns (each file ≈ one z hyper-rectangle, modulo files
+    straddling quadrant seams), where single-key clustering leaves the
+    non-leading column spanning its whole domain in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from frizzle_spark.sources.bucketed import write_clustered, write_zordered
+    from frizzle_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def spans(path, col, domain):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            out.append((max(maxs) - min(mins)) / domain)
+        return out
+
+    zpath = str(tmp_path / "events_z")
+    write_zordered(
+        ev, zpath, [("user_id", 0, 149), ("value", 0.01, 490.02)], partitions=16
+    )
+    u_spans = spans(zpath, "user_id", 149.0)
+    v_spans = spans(zpath, "value", 490.0)
+    assert len(u_spans) >= 8
+    # most files sit inside one z quadrant: bounded in BOTH dims at once
+    assert sum(s <= 0.6 for s in u_spans) / len(u_spans) >= 0.75, u_spans
+    assert sum(s <= 0.6 for s in v_spans) / len(v_spans) >= 0.75, v_spans
+
+    # the single-key baseline: clustering by user_id alone does nothing
+    # for value — its per-file spans must be materially wider than the
+    # z-ordered layout's
+    cpath = str(tmp_path / "events_c")
+    write_clustered(ev, cpath, ["user_id"], partitions=16)
+    cv = spans(cpath, "value", 490.0)
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    assert med(cv) > 1.5 * med(v_spans), (med(cv), med(v_spans))
