@@ -114,18 +114,17 @@ def main() -> None:
         print(f"# stream_rps computation failed: {ex}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Field ORDER is part of the contract: scalars (metric/value/sf) and
-    # the small quality blocks come FIRST so a tail-truncated capture of
-    # this line still parses the headline numbers — BENCH_r02's parsed
-    # field was null because the per-query map preceded the total and
-    # the driver's tail cut it (VERDICT r2 'Next round' #5).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 3)
+    # Line 1: the full record (every per-query time + all runs) for
+    # anyone reading complete stdout.
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "runs_per_query": n_runs,
                 "n_queries_ok": len(timings),
                 "n_queries_err": len(errors),
@@ -138,6 +137,32 @@ def main() -> None:
             }
         )
     )
+    # LAST line: a self-contained compact summary, ≤1,500 chars by
+    # construction (scalars + 10 slowest + the small quality blocks).
+    # The driver archives only the LAST 2,000 characters of stdout, so
+    # the big line above gets its head cut and parses as nothing —
+    # BENCH_r05's `parsed` was null and 26 per-query times were lost to
+    # the record (VERDICT r5 'Performance').  This line survives any
+    # tail-truncation ≥ its own length and carries the headline numbers.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "total_s": total,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "stream_rows_per_sec": stream_rps,
+        "slowest": [[k, v] for k, v in slowest],
+        "recall": recall,
+        "candidate_fraction": candidate_fraction,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # never let the summary outgrow the archive
+        compact["slowest"] = compact["slowest"][:5]
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
