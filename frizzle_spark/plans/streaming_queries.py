@@ -29,12 +29,25 @@ from pyspark.sql.types import (
 
 from frizzle_spark.plans.registry import query
 from frizzle_spark.sources.tables import (
+    enable_nanos_scan,
     events_raw_schema,
     load_table,
     normalize_events_ts,
 )
 
 SUFFIX = b"|ok"
+
+
+def _stable_suffix(sf_dir: str) -> str:
+    """Deterministic memory-table suffix for a dataset dir.
+
+    Python's salted ``hash()`` differs run-to-run under hash
+    randomization, which made leftover memory-table names impossible to
+    correlate across driver runs (ADVICE r5); md5 is stable.
+    """
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:6]
 
 _ROUTING_ORACLE = """
     SELECT CASE WHEN event_type = 'error' OR value < 10
@@ -86,7 +99,7 @@ def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frizzle_spark.streaming.pipeline import FileReplaySource, ParquetSink, Pipeline
     from frizzle_spark.streaming.transforms import sep_transformer
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enable_nanos_scan(spark)
 
     def to_envelope(df: DataFrame) -> DataFrame:
         return normalize_events_ts(df).select(
@@ -140,7 +153,7 @@ def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from frizzle_spark.streaming.analytics import interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enable_nanos_scan(spark)
 
     # State-partition sizing: every shuffle partition of a stateful
     # streaming query materializes its own state store (open, checkpoint,
@@ -180,7 +193,14 @@ def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("b_user", "user_id")
 
     out = interval_join(clicks, buys).select("click_id", "buy_id")
-    name = f"qz16_ij_{abs(hash(sf_dir)) % 99999}"
+    name = f"qz16_ij_{_stable_suffix(sf_dir)}"
+    # HAZARD, documented: shuffle.partitions is SESSION-global.  The
+    # override below (state-store sizing) is restored in `finally`, but
+    # a concurrent query planned on the same session inside that window
+    # would pick up the streaming value.  Acceptable here because the
+    # registry/bench/driver run queries sequentially on one session; a
+    # multi-tenant deployment should set this per-stream via a dedicated
+    # session (spark.newSession()) instead.
     spark.conf.set("spark.sql.shuffle.partitions", state_parts)
     try:
         q = (
@@ -317,7 +337,7 @@ def qz13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frizzle_spark.streaming.analytics import streaming_dedup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enable_nanos_scan(spark)
     raw = (
         spark.readStream.schema(events_raw_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
@@ -332,7 +352,9 @@ def qz13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
     prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    name = f"qz13_dedup_{abs(hash(sf_dir)) % 99999}"
+    name = f"qz13_dedup_{_stable_suffix(sf_dir)}"
+    # Same session-global shuffle.partitions hazard + sequential-run
+    # justification as qz16_interval_join above.
     spark.conf.set("spark.sql.shuffle.partitions", state_parts)
     try:
         q = (

@@ -379,7 +379,7 @@ def _bm25_oracle() -> str:
                {terms} AS s
         FROM tf, stats
     )
-    ORDER BY s DESC, doc_id
+    ORDER BY round(s, 6) DESC, doc_id
     LIMIT {BM25_TOPK}
 """
 
@@ -444,12 +444,17 @@ def qz14_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = term(0)
     for i in range(1, nt):
         score = score + term(i)
+    # Top-k selection runs on the ROUNDED score (ADVICE r5): the raw
+    # Spark-vs-DuckDB scores can differ by 1 ulp of libm ln, and two
+    # docs straddling the k-th boundary within that ulp would make the
+    # engines pick different row sets.  round(,6) annihilates the
+    # divergence, so it must be the selection key, not just the
+    # published value.
     return (
         base.crossJoin(F.broadcast(stats))
-        .select("doc_id", score.alias("s"))
-        .orderBy(F.desc("s"), "doc_id")
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOPK)
-        .select("doc_id", F.round("s", 6).alias("bm25"))
     )
 
 

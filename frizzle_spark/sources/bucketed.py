@@ -111,6 +111,24 @@ def zorder_key(
     """
     from pyspark.sql import functions as F
 
+    # Guard rails (ADVICE r5): Spark's shiftleft wraps its shift amount
+    # mod 64, so bits*len(specs) > 64 would silently interleave bits on
+    # top of each other — a corrupted clustering layout with no error.
+    # And a degenerate (lo == hi) spec divides by zero → NaN → NULL
+    # buckets that greatest() coerces to bucket 0, quietly destroying
+    # that dimension's locality.  Both must fail loudly.
+    if bits * len(specs) > 64:
+        raise ValueError(
+            f"zorder_key: bits*len(specs) = {bits}*{len(specs)} exceeds the "
+            f"64-bit key; pass bits<={64 // len(specs)} for {len(specs)} columns"
+        )
+    for col, lo, hi in specs:
+        if not float(hi) > float(lo):
+            raise ValueError(
+                f"zorder_key: degenerate range for {col!r}: lo={lo} hi={hi} "
+                "(need hi > lo; fix the spec or drop the column)"
+            )
+
     mask = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for j, (col, lo, hi) in enumerate(specs):
