@@ -146,6 +146,20 @@ class KafkaSource:
         return self.to_envelope(reader.load())
 
 
+# the spark-sql-kinesis connector's fixed wire schema (what
+# reader.load() yields — the OSS kinesis-sql connector's documented
+# record shape)
+KINESIS_WIRE_SCHEMA = StructType(
+    [
+        StructField("data", BinaryType()),
+        StructField("streamName", StringType()),
+        StructField("partitionKey", StringType()),
+        StructField("sequenceNumber", StringType()),
+        StructField("approximateArrivalTimestamp", TimestampType()),
+    ]
+)
+
+
 @dataclass(frozen=True)
 class KinesisSource:
     """Kinesis ecosystem source (declared type, frizzle.go:33-34; impl in
@@ -153,7 +167,12 @@ class KinesisSource:
     delegates to an external connector).  Requires the spark-sql-kinesis
     connector on the classpath (``--packages``); OSS Spark core does not
     bundle one, so ``load`` raises a clear error when it is absent.
-    Envelope mapping: partitionKey→id, data→data, approximateArrivalTimestamp→ts.
+
+    Mirrors :class:`KafkaSource`'s split: ``reader_options`` and
+    ``to_envelope`` are connector-independent and unit-tested against a
+    static DataFrame with ``KINESIS_WIRE_SCHEMA`` — only the ``load()``
+    wire-up needs the connector jar.  Envelope mapping: partitionKey→id,
+    data→data, approximateArrivalTimestamp→ts.
     """
 
     stream_name: str
@@ -161,15 +180,29 @@ class KinesisSource:
     endpoint: str | None = None
     options: dict[str, str] = field(default_factory=dict)
 
-    def load(self, spark: SparkSession) -> DataFrame:
-        reader = (
-            spark.readStream.format("kinesis")
-            .option("streamName", self.stream_name)
-            .option("region", self.region)
+    def reader_options(self) -> dict[str, str]:
+        """The exact option set handed to the kinesis DataStreamReader."""
+        opts = {
+            "streamName": self.stream_name,
+            "region": self.region,
+            **({"endpointUrl": self.endpoint} if self.endpoint else {}),
+            **self.options,
+        }
+        return opts
+
+    @staticmethod
+    def to_envelope(df: DataFrame) -> DataFrame:
+        """Kinesis wire record → frizzle ENVELOPE (msg.go:15-20 mapping)."""
+        return df.select(
+            F.col("partitionKey").cast("string").alias("id"),
+            F.col("data").alias("data"),
+            F.col("approximateArrivalTimestamp").alias("ts"),
+            F.lit(None).cast("string").alias("dest"),
         )
-        if self.endpoint:
-            reader = reader.option("endpointUrl", self.endpoint)
-        for k, v in self.options.items():
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.readStream.format("kinesis")
+        for k, v in self.reader_options().items():
             reader = reader.option(k, v)
         try:
             df = reader.load()
@@ -178,12 +211,7 @@ class KinesisSource:
                 "Kinesis needs the spark-sql-kinesis connector on the "
                 "classpath (spark-submit --packages ...); not bundled here"
             ) from exc
-        return df.select(
-            F.col("partitionKey").cast("string").alias("id"),
-            F.col("data").alias("data"),
-            F.col("approximateArrivalTimestamp").alias("ts"),
-            F.lit(None).cast("string").alias("dest"),
-        )
+        return self.to_envelope(df)
 
 
 @dataclass(frozen=True)
