@@ -26,9 +26,25 @@ referenced by URI — documented here as the 100 TB pattern.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
+
+REAL_DECODE_ENV = "FRIZZLE_REAL_DECODE"
+
+
+def real_decode_enabled() -> bool:
+    """Opt-in gate for the REAL decode path (``FRIZZLE_REAL_DECODE=1``).
+
+    Read DRIVER-side at plan-build time and captured into kernel
+    closures (``make_decode_kernel`` / ``make_phash_kernel``) — reading
+    it on executors would be unreliable, since reused Python workers
+    keep the environment the daemon started with.  The deterministic
+    stub stays the default: the q15 oracles mirror the stub byte
+    functions, and no imaging behavior changes unless explicitly asked.
+    """
+    return os.environ.get(REAL_DECODE_ENV) == "1"
 
 MEDIA_META_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, "
@@ -53,21 +69,155 @@ def _fake_dims(data: bytes) -> tuple[int, int]:
     return 16 + int(h[:4], 16) % 64, 16 + int(h[4:8], 16) % 64
 
 
+# ---------------------------------------------------------------- real decode
+# A genuinely-decoded path for binary PNM images (P5 grayscale / P6 RGB,
+# maxval ≤ 255) — pure numpy, no imaging libraries needed.  STRICT
+# validation (magic + integer header + exact raster length) means
+# content sniffing cannot misfire on arbitrary blobs, so the kernels can
+# fall back to the deterministic stub per-row without ambiguity.
+
+
+def decode_pnm(data: bytes):
+    """Binary PNM (P5/P6, maxval ≤ 255) → (gray float64 (h, w), w, h).
+
+    Header grammar per the netpbm spec: magic, then width/height/maxval
+    as ASCII ints separated by whitespace, ``#`` comments allowed
+    between tokens, one whitespace byte before the raster.  P6 raster is
+    RGB triplets; grayscale is ITU-R BT.601 luma.  Raises ``ValueError``
+    on anything malformed — callers that want sniffing use
+    :func:`try_decode_gray`.
+    """
+    import numpy as np
+
+    magic = data[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PNM: magic {magic!r}")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i >= len(data):
+            raise ValueError("truncated PNM header")
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tok = data[i:j]
+        if not tok.isdigit():
+            raise ValueError(f"bad PNM header token {tok!r}")
+        tokens.append(int(tok))
+        i = j
+    if i >= len(data) or not data[i : i + 1].isspace():
+        raise ValueError("missing whitespace before PNM raster")
+    i += 1
+    w, h, maxval = tokens
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        raise ValueError(f"unsupported PNM dims/maxval: {w}x{h} max {maxval}")
+    channels = 3 if magic == b"P6" else 1
+    need = w * h * channels
+    raster = data[i:]
+    if len(raster) != need:
+        raise ValueError(f"PNM raster length {len(raster)} != expected {need}")
+    px = np.frombuffer(raster, dtype=np.uint8).astype(np.float64)
+    if channels == 3:
+        px = px.reshape(h, w, 3)
+        gray = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    else:
+        gray = px.reshape(h, w)
+    return gray, w, h
+
+
+def try_decode_gray(data: bytes):
+    """Strict-sniffing decode: (gray, w, h) for a valid binary PNM of at
+    least thumbnail size, else None (→ caller uses the stub path)."""
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    try:
+        gray, w, h = decode_pnm(data)
+    except ValueError:
+        return None
+    if h < THUMB_H or w < THUMB_W:  # too small for block-mean thumbnailing
+        return None
+    return gray, w, h
+
+
+THUMB_H, THUMB_W = 8, 9  # dHash grid: 8 rows × 9 cols → 8×8 gradient bits
+
+
+def gray_thumbnail(gray, out_h: int = THUMB_H, out_w: int = THUMB_W):
+    """Block-mean downsample to (out_h, out_w) — two ``add.reduceat``
+    passes (cols then rows) + one element-wise divide; no per-pixel
+    Python.  Requires gray.shape ≥ (out_h, out_w)."""
+    import numpy as np
+
+    h, w = gray.shape
+    rb = (np.arange(out_h) * h) // out_h
+    cb = (np.arange(out_w) * w) // out_w
+    cell = np.add.reduceat(np.add.reduceat(gray, cb, axis=1), rb, axis=0)
+    counts = np.outer(np.diff(np.append(rb, h)), np.diff(np.append(cb, w)))
+    return cell / counts
+
+
+def phash64_gray(gray) -> int:
+    """Image dHash: 8×9 block-mean thumbnail, bit (r·8+c) =
+    t[r, c+1] > t[r, c] — the standard difference-hash over genuinely
+    decoded pixels; band/hamming machinery downstream is identical to
+    the byte-domain :func:`phash64`."""
+    import numpy as np
+
+    t = gray_thumbnail(gray)
+    bits = t[:, 1:] > t[:, :-1]  # (8, 8)
+    acc = np.uint64(0)
+    for k in np.nonzero(bits.reshape(-1))[0]:
+        acc |= np.uint64(1) << np.uint64(k)
+    return int(acc.astype(np.int64))
+
+
 def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, payload, media_type) → typed metadata."""
-    for pdf in batches:
-        data = pdf["payload"]
-        dims = data.map(lambda b: _fake_dims(bytes(b)))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": data.map(len).astype("int64"),
-                "width": dims.map(lambda d: d[0]).astype("int64"),
-                "height": dims.map(lambda d: d[1]).astype("int64"),
-                "fingerprint": data.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-            }
-        )
+    """mapInPandas kernel: (doc_id, payload, media_type) → typed metadata
+    (deterministic-stub dims; see ``make_decode_kernel`` for the real
+    path)."""
+    yield from make_decode_kernel(real=False)(batches)
+
+
+def make_decode_kernel(real: bool | None = None):
+    """Decode-kernel factory; ``real`` is resolved DRIVER-side (default:
+    the FRIZZLE_REAL_DECODE gate) and closure-captured so executors
+    can't disagree with the plan.  Real path: valid binary PNM payloads
+    get their true header dims; everything else keeps the stub dims —
+    per-row strict sniffing, so mixed corpora behave sensibly."""
+    if real is None:
+        real = real_decode_enabled()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dims(b: bytes) -> tuple[int, int]:
+            if real:
+                got = try_decode_gray(b)
+                if got is not None:
+                    return got[1], got[2]
+            return _fake_dims(b)
+
+        for pdf in batches:
+            data = pdf["payload"]
+            d = data.map(lambda b: dims(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": data.map(len).astype("int64"),
+                    "width": d.map(lambda x: x[0]).astype("int64"),
+                    "height": d.map(lambda x: x[1]).astype("int64"),
+                    "fingerprint": data.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return kernel
 
 
 def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,25 +301,66 @@ def phash64(data: bytes) -> int:
 
 
 def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, payload) → (doc_id, phash int64)."""
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "phash": pdf["payload"].map(lambda b: phash64(bytes(b))),
-            }
-        )
+    """mapInPandas kernel: (doc_id, payload) → (doc_id, phash int64)
+    (byte-domain dHash; see ``make_phash_kernel`` for the real path)."""
+    yield from make_phash_kernel(real=False)(batches)
+
+
+def make_phash_kernel(real: bool | None = None):
+    """Phash-kernel factory, same driver-side ``real`` resolution as
+    :func:`make_decode_kernel`.  Real path: valid PNM payloads hash via
+    the decoded-thumbnail dHash (:func:`phash64_gray`); other payloads
+    keep the byte-domain dHash, so the signature column type and the
+    banding guarantees downstream are identical either way."""
+    if real is None:
+        real = real_decode_enabled()
+
+    def hash_one(b: bytes) -> int:
+        if real:
+            got = try_decode_gray(b)
+            if got is not None:
+                return phash64_gray(got[0])
+        return phash64(b)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["payload"].map(lambda b: hash_one(bytes(b))),
+                }
+            )
+
+    return kernel
 
 
 def resize_image(data: bytes, width: int, height: int) -> bytes:
-    """Real image resize — requires an imaging library not present in
-    this container.  The plumbing (signature, typed stub) is the
-    committed surface; decode stays behind this seam."""
+    """Image resize behind the decode seam.
+
+    Binary PNM payloads (P5/P6) resize FOR REAL — pure-numpy decode +
+    block-mean downsample — and return a P5 grayscale image of the
+    requested dims (valid netpbm output, re-decodable by
+    :func:`decode_pnm`).  Other formats still need an imaging library
+    this container doesn't ship, and raise with that guidance.
+    """
+    if data[:2] in (b"P5", b"P6"):
+        import numpy as np
+
+        gray, w, h = decode_pnm(data)
+        if height > h or width > w:
+            raise ValueError(
+                f"resize_image: upscaling {w}x{h} → {width}x{height} not "
+                "supported by the block-mean path"
+            )
+        thumb = gray_thumbnail(gray, out_h=height, out_w=width)
+        raster = np.clip(np.rint(thumb), 0, 255).astype(np.uint8).tobytes()
+        return b"P5\n%d %d\n255\n" % (width, height) + raster
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image resize requires PIL; container has no imaging libs "
-            "(decode is stubbed deterministically — see module docstring)"
+            "image resize for non-PNM formats requires PIL; container has "
+            "no imaging libs (PNM decodes for real; other media use the "
+            "deterministic stub — see module docstring)"
         ) from e
-    raise NotImplementedError("real decode path not exercised in this container")
+    raise NotImplementedError("non-PNM decode path not exercised in this container")

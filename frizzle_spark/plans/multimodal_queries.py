@@ -22,9 +22,9 @@ from pyspark.sql import functions as F
 from frizzle_spark.functions.multimodal import (
     FRAME_SCHEMA,
     MEDIA_META_SCHEMA,
-    decode_media_batch,
     extract_features_batch,
-    phash_batch,
+    make_decode_kernel,
+    make_phash_kernel,
     sample_frames_batch,
 )
 from frizzle_spark.plans.registry import query
@@ -65,9 +65,14 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode stage: binary payload → typed metadata via mapInPandas."""
+    """Decode stage: binary payload → typed metadata via mapInPandas.
+
+    The kernel's real-vs-stub dispatch resolves here, driver-side, via
+    the FRIZZLE_REAL_DECODE gate (default stub — matches the oracle);
+    PNM payloads decode for real when enabled.
+    """
     return media_table(spark, sf_dir).mapInPandas(
-        decode_media_batch, MEDIA_META_SCHEMA
+        make_decode_kernel(), MEDIA_META_SCHEMA
     )
 
 
@@ -160,7 +165,7 @@ def qz15_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy-differential, planted-edit, and exhaustive-recall gates).
     """
     sig = media_table(spark, sf_dir).mapInPandas(
-        phash_batch, "doc_id long, phash long"
+        make_phash_kernel(), "doc_id long, phash long"
     )
     bands = sig.select(
         "doc_id",

@@ -79,3 +79,146 @@ def test_phash_neardup_exhaustive_recall_within_threshold(spark, sf_dir):
         for r in REGISTRY["qz15_phash_neardup"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- real decode
+# VERDICT r5 'Next round' #4: one real image behind the decode seam —
+# a pure-numpy binary-PNM path (FRIZZLE_REAL_DECODE=1 opt-in; the
+# deterministic stub stays the default and the oracles are unchanged).
+
+
+def _ppm(w: int, h: int, f):
+    """Build a binary P6 image; f(x, y) → (r, g, b)."""
+    raster = bytearray()
+    for y in range(h):
+        for x in range(w):
+            raster += bytes(f(x, y))
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + bytes(raster)
+
+
+def _gradient(x, y):
+    return ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)
+
+
+def test_decode_pnm_real_dims_and_luma():
+    from frizzle_spark.functions.multimodal import decode_pnm
+
+    img = _ppm(32, 24, _gradient)
+    gray, w, h = decode_pnm(img)
+    assert (w, h) == (32, 24) and gray.shape == (24, 32)
+    r, g, b = _gradient(5, 3)
+    assert abs(gray[3, 5] - (0.299 * r + 0.587 * g + 0.114 * b)) < 1e-9
+    # P5 grayscale parses too
+    p5 = b"P5\n4 2\n255\n" + bytes(range(8))
+    gray5, w5, h5 = decode_pnm(p5)
+    assert (w5, h5) == (4, 2) and gray5[1, 3] == 7.0
+
+
+def test_decode_pnm_strict_sniffing_rejects_invalid():
+    """try_decode_gray must never claim a non-image: wrong magic, bad
+    header tokens, and raster-length mismatch all fall back to None."""
+    from frizzle_spark.functions.multimodal import try_decode_gray
+
+    good = _ppm(16, 16, _gradient)
+    assert try_decode_gray(good) is not None
+    assert try_decode_gray(b"plain document text") is None
+    assert try_decode_gray(b"P6 is a nice format to talk about") is None
+    assert try_decode_gray(good[:-1]) is None  # truncated raster
+    assert try_decode_gray(_ppm(4, 4, _gradient)) is None  # below thumb size
+
+
+def test_real_decode_kernel_reports_header_dims(spark):
+    """Seam proof, decode stage: with the real flag captured at
+    plan-build, a genuinely decoded PNM reports its TRUE header dims
+    through the unchanged MEDIA_META_SCHEMA, while a non-image row in
+    the same batch keeps stub dims."""
+    from frizzle_spark.functions.multimodal import (
+        MEDIA_META_SCHEMA,
+        _fake_dims,
+        make_decode_kernel,
+    )
+
+    img = _ppm(40, 20, _gradient)
+    txt = b"not an image at all"
+    df = spark.createDataFrame(
+        [(1, bytearray(img), "image"), (2, bytearray(txt), "image")],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(make_decode_kernel(True), MEDIA_META_SCHEMA).collect()
+    }
+    assert (out[1]["width"], out[1]["height"]) == (40, 20)
+    assert (out[2]["width"], out[2]["height"]) == _fake_dims(txt)
+    assert out[1]["n_bytes"] == len(img)
+
+
+def test_real_decode_phash_locality_and_schema(spark):
+    """Seam proof, phash stage: dHash over genuinely decoded pixels —
+    a small brightness patch stays within the banding threshold, an
+    unrelated image lands far, and the Spark kernel with the captured
+    real flag matches the driver-side numpy computation exactly."""
+    from frizzle_spark.functions.multimodal import (
+        decode_pnm,
+        make_phash_kernel,
+        phash64_gray,
+    )
+    from frizzle_spark.plans.multimodal_queries import PHASH_HAM_MAX
+
+    base = _ppm(64, 48, _gradient)
+    patched = _ppm(
+        64,
+        48,
+        lambda x, y: tuple(
+            min(255, c + 40) if (30 <= x < 34 and 10 <= y < 14) else c
+            for c in _gradient(x, y)
+        ),
+    )
+    other = _ppm(64, 48, lambda x, y: ((x * x + 13 * y) % 256,) * 3)
+
+    h = {name: phash64_gray(decode_pnm(img)[0]) for name, img in
+         [("base", base), ("patched", patched), ("other", other)]}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(h["base"], h["patched"]) <= PHASH_HAM_MAX
+    assert ham(h["base"], h["other"]) >= 16
+
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(patched)), (3, bytearray(other))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["phash"]
+        for r in df.mapInPandas(
+            make_phash_kernel(True), "doc_id long, phash long"
+        ).collect()
+    }
+    assert got == {1: h["base"], 2: h["patched"], 3: h["other"]}
+
+
+def test_resize_image_real_pnm_round_trip():
+    """resize_image now does a REAL resize for PNM: output is a valid
+    P5 of the requested dims whose pixels are the block means."""
+    from frizzle_spark.functions.multimodal import decode_pnm, resize_image
+
+    img = _ppm(32, 24, _gradient)
+    out = resize_image(img, 8, 6)
+    gray, w, h = decode_pnm(out)
+    assert (w, h) == (8, 6)
+    src = decode_pnm(img)[0]
+    import numpy as np
+
+    want = round(float(np.rint(src[0:4, 0:4].mean())))
+    assert abs(gray[0, 0] - want) <= 1.0
+    with pytest.raises(ValueError, match="upscal"):
+        resize_image(img, 64, 64)
+
+
+def test_real_decode_default_off(monkeypatch):
+    """With the env unset the factories resolve to the stub — the
+    oracle-checked q15 behavior is unchanged by default."""
+    from frizzle_spark.functions import multimodal as mm
+
+    monkeypatch.delenv(mm.REAL_DECODE_ENV, raising=False)
+    assert mm.real_decode_enabled() is False
+    monkeypatch.setenv(mm.REAL_DECODE_ENV, "1")
+    assert mm.real_decode_enabled() is True
