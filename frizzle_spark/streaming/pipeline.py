@@ -304,6 +304,11 @@ class MemorySink:
             self.sent.setdefault(row["dest"], []).append(row)
 
 
+class CompactionInProgressError(RuntimeError):
+    """Raised when a compact() run loses the lock race to a concurrent
+    compaction of the same base_path (the clean-loser outcome)."""
+
+
 class ParquetSink:
     """Durable sink: one parquet dir per destination (partition-parallel).
 
@@ -356,6 +361,8 @@ class ParquetSink:
     # ``read_current`` is the manifest-aware reader; the next compact()
     # run garbage-collects whatever a crash left behind.
     _MANIFEST = "_compaction_manifest.json"
+    _LOCK = "_compaction.lock"
+    LOCK_TTL_SECONDS = 3600.0
 
     def _fs(self, spark: SparkSession):
         """(jvm, hadoop FileSystem, Path ctor) for base_path's scheme —
@@ -409,6 +416,50 @@ class ParquetSink:
             live |= F.col("_batch").isin([int(g) for g in m["live_gens"]])
         return df.where(live)
 
+    def _acquire_lock(self, spark: SparkSession) -> None:
+        """Best-effort mutual exclusion for compact() runs.
+
+        Two compactions interleaving on one base_path would both append
+        into the SAME new generation dir (append mode) and then commit
+        it — duplicating every folded row inside a live generation, the
+        one corruption the crash-window protocol cannot undo.  The lock
+        makes the second runner a CLEAN LOSER instead: atomic
+        create-if-absent of ``_compaction.lock`` (exact on HDFS/local;
+        best-effort on object stores whose create is not conditional —
+        there, run compact from a single maintenance scheduler, the same
+        operational rule Delta/Iceberg state for their non-locking
+        stores).  A crash leaves a stale lock; holders older than
+        ``LOCK_TTL_SECONDS`` are broken and taken over.
+        """
+        import time
+
+        _, fs, Path = self._fs(spark)
+        p = Path(f"{self.base_path}/{self._LOCK}")
+        if fs.exists(p):
+            age_s = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
+            if age_s < self.LOCK_TTL_SECONDS:
+                raise CompactionInProgressError(
+                    f"another compact() holds {self.base_path}/{self._LOCK} "
+                    f"(age {age_s:.0f}s < ttl {self.LOCK_TTL_SECONDS:.0f}s); "
+                    "this run loses cleanly — retry after it finishes, or "
+                    "delete the lock if its holder is known dead"
+                )
+            fs.delete(p, False)  # stale: break it and take over
+        try:
+            out = fs.create(p, False)  # overwrite=False → atomic loser
+            try:
+                out.write(bytearray(b"compact"))
+            finally:
+                out.close()
+        except Exception as exc:
+            raise CompactionInProgressError(
+                f"lost the race for {self.base_path}/{self._LOCK}: {exc}"
+            ) from exc
+
+    def _release_lock(self, spark: SparkSession) -> None:
+        _, fs, Path = self._fs(spark)
+        fs.delete(Path(f"{self.base_path}/{self._LOCK}"), False)
+
     def compact(
         self,
         spark: SparkSession,
@@ -439,7 +490,24 @@ class ParquetSink:
         only after the upstream pipeline's checkpoint has committed its
         final batch — folding a batch that later replays would
         resurrect it as a duplicate of the compacted copy.
+
+        Concurrent compact() calls on one base_path: exactly one
+        proceeds; the others raise :class:`CompactionInProgressError`
+        (see ``_acquire_lock`` — two interleaved runs would otherwise
+        both append into the same generation dir and commit duplicates).
         """
+        self._acquire_lock(spark)
+        try:
+            self._compact_locked(spark, target_rows_per_file, max_batch)
+        finally:
+            self._release_lock(spark)
+
+    def _compact_locked(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int,
+        max_batch: int | None,
+    ) -> None:
         _, fs, Path = self._fs(spark)
         m = self._read_manifest(spark)
         folded, live_gens = set(m["folded"]), set(m["live_gens"])
