@@ -1,0 +1,134 @@
+"""Content-defined chunking (CDC) over the ``documents`` table.
+
+Fixed-size chunking breaks catastrophically under insertion: one byte
+added at the front shifts every later boundary, so every downstream
+chunk fingerprint changes and chunk-level dedup finds nothing.  CDC
+places boundaries where a ROLLING HASH of the last W bytes hits a
+divisor condition — boundaries are a function of local content, so an
+edit only disturbs the chunk it lands in and cutting re-synchronizes
+immediately after (the LBFS construction, Muthitacharoen et al.,
+SOSP 2001; the same scheme underlying rsync/borg/restic dedup).  For a
+training-data pipeline this is the chunk-level complement to the Q11
+document-level dedup family: near-identical documents that differ by an
+insertion still share almost all chunk fingerprints.
+
+Spark shape: one ``mapInPandas`` pass — numpy Buzhash (cyclic-rotation
+rolling hash, vectorized as W shifted XOR folds per document, no
+per-byte Python), boundary selection, md5 per chunk.  Map-side only:
+the corpus is read once, no shuffle is introduced, and the emitted
+stream carries (doc_id, idx, len, fp) — four scalars per chunk, never
+the text.  At 100 TB the chunk stream feeds the exact-dedup hash
+groupBy (q11_exact_dedup's shape) at ~1/64th the row width of the
+documents themselves.
+
+The reference has no chunking of any kind (its transforms are
+byte-suffix append/strip, transform.go:8-14) — north-star extension
+per SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frizzle_spark.plans.registry import query
+from frizzle_spark.sources.tables import load_table
+
+CDC_WINDOW = 16  # rolling-hash window bytes
+CDC_DIVISOR = 64  # boundary when hash % divisor == 0 → ~64-byte average
+CDC_MIN = 32  # chunk length floor (suppresses boundary clusters)
+CDC_MAX = 256  # chunk length ceiling (bounds worst-case chunk size)
+
+# deterministic Buzhash byte table, fixed across sessions/executors
+_BUZ = np.random.RandomState(97).randint(0, 2**63, size=256, dtype=np.int64).view(
+    np.uint64
+)
+
+
+def _rot64(x: np.ndarray, k: int) -> np.ndarray:
+    k %= 64
+    if k == 0:
+        return x
+    return (x << np.uint64(k)) | (x >> np.uint64(64 - k))
+
+
+def cdc_boundaries(data: bytes) -> list[int]:
+    """Chunk END offsets for one payload (last entry == len(data)).
+
+    Buzhash over the trailing ``CDC_WINDOW`` bytes at each position,
+    candidate cut after positions where ``hash % CDC_DIVISOR == 0``,
+    then a sequential min/max sweep: candidates closer than ``CDC_MIN``
+    to the previous cut are skipped, gaps longer than ``CDC_MAX`` force
+    a cut.  Pure numpy for the hash (W shifted XOR folds), Python only
+    over the ~n/DIVISOR candidates.
+    """
+    n = len(data)
+    if n == 0:
+        return []
+    if n <= CDC_MIN:
+        return [n]
+    b = np.frombuffer(data, dtype=np.uint8)
+    w = CDC_WINDOW
+    acc = np.zeros(n - w + 1, dtype=np.uint64)
+    for j in range(w):
+        acc ^= _rot64(_BUZ[b[j : n - w + 1 + j]], w - 1 - j)
+    # window starting at s covers [s, s+w) → candidate cut AFTER byte
+    # e = s + w - 1, i.e. boundary offset e + 1
+    cand = (np.nonzero(acc % np.uint64(CDC_DIVISOR) == 0)[0] + w).tolist()
+    cuts: list[int] = []
+    last = 0
+    for c in cand:
+        while c - last > CDC_MAX:
+            cuts.append(last + CDC_MAX)
+            last += CDC_MAX
+        if c - last >= CDC_MIN:
+            cuts.append(c)
+            last = c
+    while n - last > CDC_MAX:
+        cuts.append(last + CDC_MAX)
+        last += CDC_MAX
+    if last < n:
+        cuts.append(n)
+    return cuts
+
+
+def cdc_chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) → one row per chunk."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "chunk_idx": [],
+            "chunk_len": [],
+            "chunk_fp": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            prev = 0
+            for i, cut in enumerate(cdc_boundaries(data)):
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(i)
+                out["chunk_len"].append(cut - prev)
+                out["chunk_fp"].append(hashlib.md5(data[prev:cut]).hexdigest())
+                prev = cut
+        yield pd.DataFrame(out)
+
+
+@query("qz14_cdc_chunk", oracle=None)
+def qz14_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk fingerprints for every document — the
+    edit-stable chunk stream that chunk-level dedup joins on (module
+    docstring has the design).  Rows-only at the driver; pytest gates
+    the reassembly partition, the min/max bounds, the insertion-
+    stability property CDC exists for (vs fixed-size chunking), and a
+    Spark-vs-driver-numpy differential.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")).mapInPandas(
+        cdc_chunk_batch,
+        "doc_id long, chunk_idx long, chunk_len long, chunk_fp string",
+    )

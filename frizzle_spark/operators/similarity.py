@@ -628,6 +628,96 @@ def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQ8_TRAIN_SAMPLE = 512  # rows collected to fit the per-dim quantizer
+
+
+def _sq8_train(spark: SparkSession, sf_dir: str):
+    """Per-dimension affine int8 quantizer fitted on a bounded sample +
+    the probe set: (lo[dim], scale[dim], probe ids, probe unit vecs)."""
+    corpus = _corpus(spark, sf_dir)
+    sample = (
+        corpus.orderBy("vec_id")
+        .limit(max(SQ8_TRAIN_SAMPLE, N_PROBES))
+        .select("vec_id", "v", "nrm")
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in sample]) / np.asarray(
+        [[r["nrm"]] for r in sample]
+    )
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    scale = np.maximum((hi - lo) / 255.0, 1e-9)
+    pid = [r["vec_id"] for r in sample[:N_PROBES]]
+    pu = x[:N_PROBES]
+    return lo, scale, pid, pu
+
+
+@query("qz12_sq8", oracle=None)
+def qz12_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat scalar-quantized (SQ8) top-k: brute-force scan over int8
+    codes — the 4×-memory tier between raw-vector exactness and
+    IVF-PQ's 32× compression (the standard SQ8 flat index of the
+    Johnson/Douze/Jégou GPU-similarity line, arXiv:1702.08734 §4).
+
+    Encode: per-dimension affine quantizer (lo/scale fitted on a
+    bounded sample) maps each unit vector to 64 uint8 codes — 8× less
+    than the float64 arrays, 4× less than float32, so a 100 TB raw
+    corpus becomes a 12.5 TB code stream that scans at memory-bandwidth
+    speed.  Score: asymmetric — the probe stays full-precision and
+    folds the quantizer into itself (A = pu·scale, b = pu·lo), so each
+    Arrow batch costs ONE uint8→GEMM with no per-row dequantization.
+    Per-batch top-k prune (numpy argpartition) bounds the shuffle to
+    ~batches·|probes|·k rows; the window then takes the global top-k.
+    Map-side scan, candidate fraction 1.0 BY DESIGN — this is the
+    no-index tier for corpora that fit as codes but not as floats;
+    LSH/IVF cut the scan, SQ8 cuts the bytes.
+
+    Rows-only at the driver; pytest gates recall vs q12_cosine_topk
+    (quantization-noise-limited, ≥0.8 on the random corpus) and exact
+    recovery of planted cos≈0.95 neighbors.
+    """
+    lo, scale, pid, pu = _sq8_train(spark, sf_dir)
+    A = pu * scale  # (P, D): probe folded into the quantizer
+    b = pu @ lo  # (P,)
+    bc = spark.sparkContext.broadcast((A, b, np.asarray(pid, dtype=np.int64)))
+    unit = _unit(_corpus(spark, sf_dir))
+
+    def encode_and_scan(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        A_, b_, pid_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["u"].map(np.asarray))
+            codes = np.clip(np.rint((u - lo) / scale), 0, 255).astype(np.uint8)
+            # one GEMM over the uint8 codes per batch (float32 promote)
+            s = A_.astype(np.float32) @ codes.T.astype(np.float32) + b_[:, None]
+            vec_ids = pdf["vec_id"].to_numpy()
+            k = min(TOP_K + 1, s.shape[1])  # +1 absorbs the self-match
+            part = np.argpartition(-s, k - 1, axis=1)[:, :k]
+            rows = {
+                "probe_id": np.repeat(pid_, k),
+                "vec_id": vec_ids[part.ravel()],
+                "score": np.take_along_axis(s, part, axis=1).ravel().astype(np.float64),
+            }
+            yield pd.DataFrame(rows)
+
+    scanned = unit.mapInPandas(
+        encode_and_scan, "probe_id long, vec_id long, score double"
+    ).where(F.col("vec_id") != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scanned.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("score", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def _qd_subset_index(pool: int, max_flips: int) -> "np.ndarray":
     """(S, max_flips) index matrix of all flip subsets of sizes 0..max_flips
     over a pool of ``pool`` margin-sorted bit slots, padded with -1 —

@@ -470,6 +470,43 @@ def qz9_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("qz9_hll_mergeable", oracle=None)
+def qz9_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — the 100 TB re-aggregation pattern.
+
+    ``approx_count_distinct`` gives one number; at warehouse scale the
+    asset is the SKETCH: per-slice Datasketches HLL objects
+    (``hll_sketch_agg``) that roll up to ANY coarser grain via
+    ``hll_union_agg`` WITHOUT rescanning the fact table — per-day
+    sketches answer per-month distincts, per-source sketches answer
+    global, each merge touching kilobytes instead of terabytes.
+
+    Here: one sketch of user_id per event_type, then the ALL row is
+    produced by merging those per-type sketches (a second pass over K
+    sketch rows, NOT over the events).  Pytest gates ≤5% relative error
+    vs exact distincts AND the merge identity: the union-of-sketches
+    estimate must equal sketching the whole table directly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_type_rows = per_type.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    )
+    merged = per_type.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
+    ).select(
+        F.lit("ALL").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    )
+    return per_type_rows.unionByName(merged)
+
+
 # --------------------------------------------------------------------------
 # Q8c — JSON scalar functions over events.props (§2.2 scalar row: the
 # payload-at-the-edge pattern of §1.2 — opaque payload upgraded to typed

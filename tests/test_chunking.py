@@ -1,0 +1,113 @@
+"""Content-defined chunking gates (operators/chunking.py).
+
+The defining property under test: boundaries are a function of LOCAL
+content, so an insertion disturbs only the chunk it lands in and the
+cut positions re-synchronize right after — fixed-size chunking loses
+every chunk downstream of the edit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from frizzle_spark.operators.chunking import (
+    CDC_DIVISOR,
+    CDC_MAX,
+    CDC_MIN,
+    cdc_boundaries,
+    cdc_chunk_batch,
+)
+from frizzle_spark.plans.registry import REGISTRY
+
+
+def _doc(n: int, seed: int = 11) -> bytes:
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(n))
+
+
+def _fps(data: bytes) -> list[str]:
+    prev, out = 0, []
+    for cut in cdc_boundaries(data):
+        out.append(hashlib.md5(data[prev:cut]).hexdigest())
+        prev = cut
+    return out
+
+
+def test_boundaries_partition_and_bounds():
+    data = _doc(8192)
+    cuts = cdc_boundaries(data)
+    assert cuts[-1] == len(data)
+    assert cuts == sorted(set(cuts)), "cuts must be strictly increasing"
+    lens = [b - a for a, b in zip([0] + cuts[:-1], cuts)]
+    assert all(ln <= CDC_MAX for ln in lens)
+    # min bound holds for every chunk except the unavoidable final tail
+    assert all(ln >= CDC_MIN for ln in lens[:-1])
+    # average tracks the divisor target (loose band: min/max clamp it)
+    avg = len(data) / len(lens)
+    assert CDC_DIVISOR / 2 <= avg <= CDC_MAX, avg
+    # deterministic
+    assert cdc_boundaries(data) == cuts
+    # edges
+    assert cdc_boundaries(b"") == []
+    assert cdc_boundaries(b"xy") == [2]
+
+
+def test_insertion_stability_beats_fixed_chunking():
+    """One byte inserted mid-document: CDC re-synchronizes (most chunk
+    fingerprints survive), fixed-size chunking loses everything after
+    the edit point."""
+    base = _doc(6144)
+    pos = 1000
+    edited = base[:pos] + b"\x7f" + base[pos:]
+
+    cdc_shared = len(set(_fps(base)) & set(_fps(edited)))
+    cdc_total = len(_fps(base))
+    assert cdc_shared / cdc_total >= 0.7, f"CDC kept {cdc_shared}/{cdc_total}"
+
+    def fixed_fps(data: bytes) -> list[str]:
+        return [
+            hashlib.md5(data[i : i + CDC_DIVISOR]).hexdigest()
+            for i in range(0, len(data), CDC_DIVISOR)
+        ]
+
+    fixed_shared = len(set(fixed_fps(base)) & set(fixed_fps(edited)))
+    # fixed chunking keeps only the prefix before the edit (~pos/64 of
+    # ~6144/64 chunks) — CDC must beat it decisively
+    assert cdc_shared / cdc_total > 2 * fixed_shared / len(fixed_fps(base))
+
+
+def test_spark_kernel_matches_driver_numpy(spark, sf_dir):
+    """The Spark mapInPandas stream must equal a driver-side
+    recomputation over the same payload bytes, row for row."""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    want = []
+    for r in docs.select("doc_id", F.encode("text", "UTF-8").alias("p")).collect():
+        data = bytes(r["p"])
+        prev = 0
+        for i, cut in enumerate(cdc_boundaries(data)):
+            want.append(
+                (r["doc_id"], i, cut - prev, hashlib.md5(data[prev:cut]).hexdigest())
+            )
+            prev = cut
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["chunk_len"], r["chunk_fp"])
+        for r in docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .mapInPandas(
+            cdc_chunk_batch,
+            "doc_id long, chunk_idx long, chunk_len long, chunk_fp string",
+        )
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_registry_query_shape(spark, sf_dir):
+    df = REGISTRY["qz14_cdc_chunk"].fn(spark, sf_dir)
+    assert df.columns == ["doc_id", "chunk_idx", "chunk_len", "chunk_fp"]
+    n_docs = df.select("doc_id").distinct().count()
+    assert n_docs == 500  # every sf0.01 document chunked

@@ -521,3 +521,32 @@ def test_decontaminate_flags_planted_passage(spark, tmp_path):
     }
     assert 11 in out and out[11] >= 1, f"planted contamination missed: {out}"
     assert 12 not in out, f"clean doc falsely flagged: {out}"
+
+
+def test_sq8_recall_near_exact(spark, sf_dir):
+    """Flat SQ8 scans everything but scores from int8 codes, so its only
+    loss is quantization noise — measured recall 1.0 at sf0.01 AND
+    sf0.1 (per-dim affine error ~1e-3 per dot, below the rank-5 score
+    gaps even on the random corpus); gate with slack for train-sample
+    sensitivity.  The dequantized score must also track exact cosine
+    tightly for every returned pair."""
+    exact_df = REGISTRY["q12_cosine_topk"].fn(spark, sf_dir).collect()
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in exact_df}
+    exact_cos = {(r["probe_id"], r["neighbor_id"]): r["cos_sim"] for r in exact_df}
+    rows = REGISTRY["qz12_sq8"].fn(spark, sf_dir).collect()
+    got = {(r["probe_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"sq8 recall {recall:.2f}"
+    for r in rows:
+        key = (r["probe_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cos_sim"] - exact_cos[key]) < 0.01, (key, r["cos_sim"])
+
+
+def test_sq8_planted_neighbors_recovered(spark, planted_dir):
+    """On the planted corpus the cos≈0.95 duplicates are far above the
+    quantization noise floor — SQ8 must recover all of them."""
+    found = _topk_pairs(spark, planted_dir, "qz12_sq8")
+    planted = {(i, 1000 + i) for i in range(10)}
+    hit = sum(p in found for p in planted)
+    assert hit == 10, f"sq8: {hit}/10 planted pairs found"

@@ -50,6 +50,36 @@ def test_approx_distinct_tolerance(spark, sf_dir):
         assert abs(approx[k] - v) <= max(2, 0.05 * v), (k, approx[k], v)
 
 
+def test_hll_mergeable_accuracy_and_merge_identity(spark, sf_dir):
+    """qz9_hll_mergeable: per-scope estimates within 5% of exact, and
+    the defining property — the ALL row built by MERGING per-type
+    sketches must equal sketching the whole table directly (sketch
+    union ≡ data union; re-aggregation without rescanning)."""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.sources.tables import load_table
+
+    got = {
+        r["scope"]: (r["approx_users"], r["n_events"])
+        for r in REGISTRY["qz9_hll_mergeable"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    for scope, n in exact.items():
+        assert abs(got[scope][0] - n) <= max(2, 0.05 * n), (scope, got[scope], n)
+    assert got["ALL"][1] == ev.count()
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).collect()[0]["n"]
+    assert got["ALL"][0] == direct, "sketch-merge must equal direct sketching"
+
+
 def test_approx_percentile_tolerance(spark, sf_dir):
     exact = {
         r["event_type"]: (r["p50"], r["p90"])
