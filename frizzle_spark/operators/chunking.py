@@ -118,6 +118,69 @@ def cdc_chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+CHUNK_DEDUP_MIN_SHARED = 3  # pairs must share at least this many chunks
+CHUNK_HOT_FP_CAP = 50  # fps in more docs than this are boilerplate: skip
+
+
+@query("qz11_chunk_dedup", oracle=None)
+def qz11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate detection via shared content-defined chunks —
+    catches CONTAINMENT and partial overlap that whole-document
+    fingerprints (q14_fingerprint) and even shingle-Jaccard miss when a
+    long common span hides inside otherwise-different documents (the
+    quote/boilerplate/mirror shape of web corpora).
+
+    Plan: the map-side CDC chunk stream, per-doc fp dedup, then an
+    equi-JOIN on chunk_fp — the same banded-join discipline as the
+    whole Q11 family: pairs come from hash buckets, never an all-pairs
+    scan.  Two skew guards make it 100 TB-safe: (a) hot fingerprints
+    appearing in more than ``CHUNK_HOT_FP_CAP`` docs are dropped before
+    the join (boilerplate chunks generate quadratic pair blowup and
+    carry no dedup signal — the standard 'stop chunk' rule, same role
+    as stopwords in shingling); (b) the join carries (fp, doc_id) pairs
+    only — two scalars — and aggregates straight to (doc pair, shared
+    count).  Output: pairs sharing ≥ ``CHUNK_DEDUP_MIN_SHARED`` chunks
+    with their overlap coefficient (shared / min(chunk count)).
+
+    Rows-only at the driver (rolling-hash boundaries are not
+    SQL-expressible); pytest plants a shared span inside otherwise-
+    different documents and gates detection + non-detection + a
+    recomputation differential.
+    """
+    chunks = qz14_cdc_chunk(spark, sf_dir).select("doc_id", "chunk_fp").distinct()
+    hot = (
+        chunks.groupBy("chunk_fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > CHUNK_HOT_FP_CAP)
+        .select("chunk_fp")
+    )
+    cold = chunks.join(F.broadcast(hot), "chunk_fp", "left_anti")
+    per_doc = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    a = cold.select(F.col("doc_id").alias("doc_a"), "chunk_fp")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "chunk_fp")
+    pairs = (
+        a.join(b, "chunk_fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .where(F.col("shared_chunks") >= CHUNK_DEDUP_MIN_SHARED)
+    )
+    # per_doc is corpus-sized (one row per document) — the SMALL side
+    # here is the filtered pair set, so THAT is what broadcasts; the
+    # chunk-count table streams through map-side.
+    na = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("na"))
+    nb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("nb"))
+    with_na = na.join(F.broadcast(pairs), "doc_a")
+    return nb.join(F.broadcast(with_na), "doc_b").select(
+        "doc_a",
+        "doc_b",
+        "shared_chunks",
+        F.round(
+            F.col("shared_chunks") / F.least(F.col("na"), F.col("nb")), 6
+        ).alias("overlap"),
+    )
+
+
 @query("qz14_cdc_chunk", oracle=None)
 def qz14_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk fingerprints for every document — the

@@ -111,3 +111,48 @@ def test_registry_query_shape(spark, sf_dir):
     assert df.columns == ["doc_id", "chunk_idx", "chunk_len", "chunk_fp"]
     n_docs = df.select("doc_id").distinct().count()
     assert n_docs == 500  # every sf0.01 document chunked
+
+
+def test_chunk_dedup_finds_partial_overlap_and_containment(spark, tmp_path):
+    """qz11_chunk_dedup: a 1.2KB span shared inside otherwise-different
+    documents and a full containment pair must both surface; unrelated
+    docs must not pair.  Shared counts are verified against a
+    driver-side recomputation over the same kernel."""
+    import string
+
+    rng = random.Random(42)
+
+    def text(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+    span = text(1200)
+    docs = {i: text(3000) for i in range(10)}
+    docs[100] = text(1500) + span + text(1500)
+    docs[101] = text(400) + span + text(2600)
+    docs[102] = text(2000)
+    docs[103] = docs[102][500:1700]  # fully contained in 102
+
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en", f"src{i % 3}", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    rows = REGISTRY["qz11_chunk_dedup"].fn(spark, out).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (100, 101) in got, got.keys()
+    assert (102, 103) in got, got.keys()
+    # containment: nearly all of 103's chunks live in 102
+    assert got[(102, 103)]["overlap"] >= 0.6, got[(102, 103)]
+    assert all(p in {(100, 101), (102, 103)} for p in got), got.keys()
+
+    # differential: shared counts equal a driver-side recomputation
+    fps = {i: set(_fps(t.encode())) for i, t in docs.items()}
+    for (a, b), r in got.items():
+        assert r["shared_chunks"] == len(fps[a] & fps[b]), (a, b)
+
+
+def test_chunk_dedup_runs_on_testdata(spark, sf_dir):
+    df = REGISTRY["qz11_chunk_dedup"].fn(spark, sf_dir)
+    assert df.columns == ["doc_a", "doc_b", "shared_chunks", "overlap"]
+    assert df.count() >= 0
