@@ -147,37 +147,77 @@ def qz11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     different documents and gates detection + non-detection + a
     recomputation differential.
     """
-    chunks = qz14_cdc_chunk(spark, sf_dir).select("doc_id", "chunk_fp").distinct()
-    hot = (
+    # Single-pass shape: Spark re-executes an unpersisted subplan once
+    # PER CONSUMER, and a first cut consumed the chunk stream five times
+    # (hot filter, cold join, per-doc counts, both self-join sides) —
+    # five full Arrow-kernel corpus passes.  Instead the kernel output
+    # aggregates ONCE to (chunk_fp → doc set); everything else derives
+    # from that fp-grouped table: the hot-fp rule becomes a size()
+    # filter, per-doc cold-chunk counts come from exploding the kept
+    # lists, and candidate pairs expand IN-ROW (sorted set → ordered
+    # 2-combinations, ≤ C(cap,2) structs per fp) — no self-join at all.
+    # Caveat, stated for the >10⁹-doc regime: collect_set's agg buffer
+    # for a boilerplate fp grows with its doc count until the filter
+    # drops it (8 bytes × docs; an 1M-doc stop chunk = one 8 MB buffer
+    # row).  Corpora hot enough to care should run the two-pass variant
+    # (count-distinct prepass + broadcast anti join) and pay a second
+    # kernel pass for O(1) buffers.
+    chunks = qz14_cdc_chunk(spark, sf_dir).select("doc_id", "chunk_fp")
+    lists = (
         chunks.groupBy("chunk_fp")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .where(F.col("n_docs") > CHUNK_HOT_FP_CAP)
-        .select("chunk_fp")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .where(F.size("docs") <= CHUNK_HOT_FP_CAP)
+        .select(F.array_sort("docs").alias("docs"))
     )
-    cold = chunks.join(F.broadcast(hot), "chunk_fp", "left_anti")
-    per_doc = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    a = cold.select(F.col("doc_id").alias("doc_a"), "chunk_fp")
-    b = cold.select(F.col("doc_id").alias("doc_b"), "chunk_fp")
+    per_doc = (
+        lists.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+    )
+    ds = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "chunk_fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        lists.where(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_chunks"))
         .where(F.col("shared_chunks") >= CHUNK_DEDUP_MIN_SHARED)
     )
-    # per_doc is corpus-sized (one row per document) — the SMALL side
-    # here is the filtered pair set, so THAT is what broadcasts; the
-    # chunk-count table streams through map-side.
-    na = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("na"))
-    nb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("nb"))
-    with_na = na.join(F.broadcast(pairs), "doc_a")
-    return nb.join(F.broadcast(with_na), "doc_b").select(
+    # per_doc is corpus-sized (one row per document) — the SMALL side is
+    # the filtered pair set, so THAT broadcasts and the chunk-count
+    # table streams map-side, ONCE: the overlap denominator only needs
+    # min(na, nb), so each pair melts into two (pair, doc) probes, one
+    # broadcast join tags them with n_chunks, and a re-group takes the
+    # min — instead of two separate per-side stat joins that would
+    # execute the per_doc subplan twice.  Net: the kernel appears twice
+    # in the plan (pairs branch + per-doc-count branch, sharing an
+    # identical fp-grouping exchange that AQE's exchange reuse can
+    # collapse at runtime), down from five — gated in test_plan_quality.
+    melted = pairs.select(
         "doc_a",
         "doc_b",
         "shared_chunks",
-        F.round(
-            F.col("shared_chunks") / F.least(F.col("na"), F.col("nb")), 6
-        ).alias("overlap"),
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
+    return (
+        per_doc.join(F.broadcast(melted), "doc_id")
+        .groupBy("doc_a", "doc_b", "shared_chunks")
+        .agg(F.min("n_chunks").alias("mn"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_chunks",
+            F.round(F.col("shared_chunks") / F.col("mn"), 6).alias("overlap"),
+        )
     )
 
 

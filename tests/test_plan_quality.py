@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import pytest
 
-import frizzle_spark.plans.joins_extra  # noqa: F401 - populate registry
+import frizzle_spark.operators.chunking  # noqa: F401 - populate registry
+import frizzle_spark.plans.joins_extra  # noqa: F401
 import frizzle_spark.plans.multimodal_queries  # noqa: F401
 import frizzle_spark.plans.relational  # noqa: F401
 import frizzle_spark.operators.similarity  # noqa: F401
@@ -226,3 +227,51 @@ def test_source_cap_uses_window_group_limit(plan_of):
     per group (and prune map-side before the shuffle) instead of
     materializing and fully sorting every source's rows."""
     assert "WindowGroupLimit" in plan_of("qz22_source_cap")
+
+
+def test_cdc_chunk_is_map_only(plan_of):
+    """qz14_cdc_chunk must introduce NO shuffle: scan → project →
+    Arrow-kernel fan-out, embarrassingly parallel end to end."""
+    plan = plan_of("qz14_cdc_chunk")
+    phys = plan[plan.rindex("== Physical Plan ==") :]
+    assert "Exchange" not in phys, "CDC chunking must stay map-side"
+    assert "MapInPandas" in phys
+
+
+def test_chunk_dedup_single_join_bounded_kernel_runs(plan_of):
+    """qz11_chunk_dedup: candidate pairs expand IN-ROW from fp-grouped
+    doc lists (no self-join), the one real join streams the corpus-
+    sized chunk-count table against the BROADCAST pair set, and the
+    Arrow kernel may appear at most twice (pairs branch + per-doc-count
+    branch) — a first cut consumed the chunk stream five times, five
+    full corpus passes."""
+    plan = plan_of("qz11_chunk_dedup")
+    phys = plan[plan.rindex("== Physical Plan ==") :]
+    assert phys.count("MapInPandas") <= 2, "chunk kernel must not fan out"
+    assert phys.count("BroadcastHashJoin") == 1, "exactly the stats join"
+    assert "SortMergeJoin" not in phys, "pair-stat join must broadcast"
+    assert "CartesianProduct" not in phys
+
+
+def test_sq8_single_exchange_for_topk(plan_of):
+    """qz12_sq8 is a flat scan: one Arrow kernel over the corpus, then
+    exactly ONE exchange (the probe-partitioned window top-k over the
+    per-batch-pruned candidate stream).  More exchanges would mean the
+    corpus itself is being reshuffled."""
+    plan = plan_of("qz12_sq8")
+    phys = plan[plan.rindex("== Physical Plan ==") :]
+    assert "MapInPandas" in phys
+    assert phys.count("Exchange hashpartitioning") == 1, phys.count("Exchange")
+    assert "Join" not in phys, "flat scan has no join"
+
+
+def test_hll_mergeable_partial_final_aggregation(plan_of):
+    """qz9_hll_mergeable: both aggregations must be two-phase (map-side
+    partial sketches, one narrow shuffle of sketch bytes) — the whole
+    point of a mergeable sketch is that the exchange carries kilobyte
+    sketches, not user ids."""
+    plan = plan_of("qz9_hll_mergeable")
+    phys = plan[plan.rindex("== Physical Plan ==") :]
+    assert "partialhllsketchagg" in phys.lower().replace("_", ""), phys[:500]
+    assert "ObjectHashAggregate" in phys or "HashAggregate" in phys
+    assert "CartesianProduct" not in phys and "SortMergeJoin" not in phys
