@@ -538,6 +538,76 @@ def qz14_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- unigram language-model scoring ----------------------------------------
+
+LM_VOCAB = 500  # top-V corpus words form the unigram model; rest are OOV
+
+
+def _unigram_logprob_oracle() -> str:
+    toks = f"string_split_regex(trim(text), '{T.WS_RE}')"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({toks}) AS w FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_total FROM tok),
+    vocab AS (
+        SELECT w, c FROM (SELECT w, count(*) AS c FROM tok GROUP BY w)
+        ORDER BY c DESC, w LIMIT {LM_VOCAB}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln((coalesce(v.c, 0) + 1.0)
+                        / (s.n_total + {LM_VOCAB} + 1))), 6) AS avg_logprob
+    FROM tok t LEFT JOIN vocab v USING (w), stats s
+    GROUP BY t.doc_id
+"""
+
+
+@query("qz14_unigram_logprob", oracle=_unigram_logprob_oracle())
+def qz14_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-style quality
+    signal data-curation pipelines filter on (CCNet/Gopher lineage:
+    score each document under a corpus-level LM; gibberish, boilerplate
+    and wrong-language text score far below fluent prose).  Here the LM
+    is the corpus' own top-``LM_VOCAB`` unigram distribution with
+    add-one smoothing; the signal is mean token log-probability.
+
+    Scale shape — the same two-narrow-pass discipline as BM25/vocab:
+    pass 1 reduces the token stream to ONE total-count row plus a
+    V-row top-vocabulary (map-side partial counts; TakeOrdered caps at
+    V); pass 2 re-scans, joins the BROADCAST vocabulary + stats onto
+    the exploded tokens (the corpus-sized side never shuffles), and
+    re-aggregates per document — one shuffle keyed by doc_id carrying
+    (doc_id, logprob) pairs.  At 100 TB: two token-stream passes, two
+    narrow shuffles, model ships as a V-row broadcast.
+
+    qz-prefixed but fully oracle-backed via the pytest differential
+    sweep (DuckDB twin of the tokenizer, vocabulary, and smoothing).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("w"))
+    stats = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(LM_VOCAB)
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+        / (F.col("n_total") + F.lit(LM_VOCAB + 1))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+
+
 HH_K = 20  # heavy-hitter report size
 HH_TRACKED = 8192  # sketch capacity per partial (bounds shuffle + memory)
 

@@ -46,3 +46,29 @@ def test_redact_corpus_matches_duckdb(spark, sf_dir):
     FROM documents
     """
     assert_matches(REGISTRY["qz14_redact"].fn(spark, sf_dir), oracle, sf_dir)
+
+
+def test_unigram_logprob_separates_fluent_from_gibberish(spark, tmp_path):
+    """The LM score must order documents sensibly: text made of the
+    corpus' common words scores higher (less negative) than
+    out-of-vocabulary gibberish — the property quality filters rely on."""
+    from frizzle_spark.plans.registry import REGISTRY
+
+    common = "the data pipeline reads the data and writes the data " * 20
+    fluent = "the pipeline reads and writes data " * 10
+    gibberish = "zqxv kjwpf mbrtt ylonq hgfds " * 12
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            (0, common, "en", "src0", len(common)),
+            (1, fluent, "en", "src0", len(fluent)),
+            (2, gibberish, "en", "src0", len(gibberish)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in REGISTRY["qz14_unigram_logprob"].fn(spark, out).collect()
+    }
+    assert got[1] > got[2], got
+    assert got[0] > got[2], got
