@@ -444,3 +444,64 @@ def qz5_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         nxt.isNull().alias("is_current"),
     )
+
+
+TOPK_PER_WINDOW = 3
+
+
+@query(
+    "qz10_windowed_topk",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT date_trunc('day', ts) AS w_start,
+               user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY w_start
+                                     ORDER BY n_events DESC, user_id) AS rnk
+        FROM per_user
+    )
+    SELECT w_start, CAST(rnk AS BIGINT) AS rnk, user_id, n_events, sum_value
+    FROM ranked WHERE rnk <= {TOPK_PER_WINDOW}
+    """,
+)
+def qz10_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K entities per event-time window — the 'trending per hour/
+    day' shape every event-analytics surface needs (leaderboards,
+    hot-key monitoring, per-window heavy users).
+
+    Plan shape: ONE shuffle aggregates (window, user) partials map-side;
+    the rank-and-filter then runs over the already-reduced per-window
+    rows, where Spark's WindowGroupLimit pushes the rnk <= K predicate
+    INTO the window sort, so each partition keeps a K-row heap per
+    window instead of sorting every (window, user) group — the same
+    per-group-top-N discipline gated for qz22_source_cap.  At 100 TB
+    the first aggregation is the only corpus-sized stage; everything
+    after operates on |windows|×|active users| reduced rows.
+
+    qz-prefixed but fully oracle-backed via the pytest differential
+    sweep (date_trunc twin of the 1-day tumbling window).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "user_id", "n_events", "sum_value")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("w_start").orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+    return (
+        per_user.withColumn("rnk", rnk.cast("long"))
+        .where(F.col("rnk") <= TOPK_PER_WINDOW)
+        .select("w_start", "rnk", "user_id", "n_events", "sum_value")
+    )

@@ -275,3 +275,13 @@ def test_hll_mergeable_partial_final_aggregation(plan_of):
     assert "partialhllsketchagg" in phys.lower().replace("_", ""), phys[:500]
     assert "ObjectHashAggregate" in phys or "HashAggregate" in phys
     assert "CartesianProduct" not in phys and "SortMergeJoin" not in phys
+
+
+def test_windowed_topk_uses_window_group_limit(plan_of):
+    """qz10_windowed_topk: the rnk <= K filter must push into the window
+    sort (WindowGroupLimit keeps a K-row heap per window) and the only
+    corpus-sized stage is the first aggregation's exchange."""
+    plan = plan_of("qz10_windowed_topk")
+    phys = plan[plan.rindex("== Physical Plan ==") :]
+    assert "WindowGroupLimit" in phys
+    assert "Join" not in phys and "CartesianProduct" not in phys

@@ -150,3 +150,57 @@ def test_keep_latest_survivor_is_max_ts_per_key(spark, rows):
         if k not in want or (ts, v) > want[k]:
             want[k] = (ts, v)
     assert latest == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_cdc_boundaries_invariants(data):
+    """For ARBITRARY payloads: cuts strictly increase to exactly len,
+    every chunk obeys the max bound, every non-final chunk obeys the
+    min bound, and boundaries are a pure function of the bytes.
+    (Pure-numpy driver-side property — no Spark job per example.)"""
+    from frizzle_spark.operators.chunking import (
+        CDC_MAX,
+        CDC_MIN,
+        cdc_boundaries,
+    )
+
+    cuts = cdc_boundaries(data)
+    if not data:
+        assert cuts == []
+        return
+    assert cuts[-1] == len(data)
+    assert all(a < b for a, b in zip(cuts, cuts[1:]))
+    lens = [b - a for a, b in zip([0] + cuts[:-1], cuts)]
+    assert all(ln <= CDC_MAX for ln in lens)
+    assert all(ln >= CDC_MIN for ln in lens[:-1]) or len(lens) == 1
+    assert cdc_boundaries(data) == cuts
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.binary(min_size=600, max_size=2048),
+    prefix=st.binary(min_size=1, max_size=64),
+)
+def test_cdc_suffix_boundaries_resynchronize(data, prefix):
+    """The CDC contract, as a law: prepending arbitrary bytes may only
+    disturb a bounded PREFIX of the chunking — once both versions place
+    a content-determined cut at the same content position beyond the
+    perturbation + one max-chunk + one window span, every later cut is
+    identical (shifted by len(prefix)).  Forced-max cuts can delay
+    agreement, so the law is asserted from the first shared anchor
+    candidate onward."""
+    from frizzle_spark.operators.chunking import (
+        CDC_MAX,
+        CDC_WINDOW,
+        cdc_boundaries,
+    )
+
+    base = set(cdc_boundaries(data))
+    shifted = {c - len(prefix) for c in cdc_boundaries(prefix + data)}
+    horizon = len(prefix) + CDC_MAX + CDC_WINDOW
+    # anchors: cuts both versions agree on beyond the disturbance horizon
+    anchors = sorted(c for c in base & shifted if c > horizon and c < len(data))
+    if anchors:
+        a = anchors[0]
+        assert {c for c in base if c >= a} == {c for c in shifted if c >= a}
