@@ -154,3 +154,19 @@ def test_zorder_bounds_both_dimensions(spark, tmp_path):
     cv = spans(cpath, "value", 490.0)
     med = lambda xs: sorted(xs)[len(xs) // 2]
     assert med(cv) > 1.5 * med(v_spans), (med(cv), med(v_spans))
+
+
+def test_zorder_key_guards_fail_loudly(spark):
+    """ADVICE r5: bits*len(specs) > 64 silently wraps shiftleft (a
+    corrupted layout, no error) and hi <= lo makes NaN buckets collapse
+    to 0 — both must raise instead."""
+    import pytest as _pytest
+
+    from frizzle_spark.sources.bucketed import zorder_key
+
+    with _pytest.raises(ValueError, match="exceeds the 64-bit key"):
+        zorder_key([(f"c{i}", 0.0, 1.0) for i in range(5)], bits=16)
+    with _pytest.raises(ValueError, match="degenerate range"):
+        zorder_key([("a", 0.0, 1.0), ("b", 7.0, 7.0)], bits=16)
+    # the documented safe alternative for many columns still works
+    assert zorder_key([(f"c{i}", 0.0, 1.0) for i in range(5)], bits=12) is not None

@@ -170,3 +170,28 @@ def test_lenient_scan_skips_corrupt_file_strict_raises(spark, orders, tmp_path):
         spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false") == "false"
     )
     os.remove(f"{path}/part-9999-corrupt.parquet")
+
+
+def test_events_raw_schema_does_not_mutate_session(spark, sf_dir):
+    """VERDICT r5 hygiene: the schema GETTER must not leave nanosAsLong
+    set session-wide; scan sites opt in explicitly via
+    enable_nanos_scan, and the scoped getter still returns the same
+    schema a scan under the conf produces."""
+    from frizzle_spark.sources.tables import (
+        _NANOS_CONF,
+        enable_nanos_scan,
+        events_raw_schema,
+    )
+
+    spark.conf.unset(_NANOS_CONF)
+    schema = events_raw_schema(spark, sf_dir)
+    assert spark.conf.get(_NANOS_CONF, None) is None, "getter leaked the conf"
+    # a prior value must be restored, not unset
+    spark.conf.set(_NANOS_CONF, "true")
+    events_raw_schema(spark, sf_dir)
+    assert spark.conf.get(_NANOS_CONF) == "true"
+    # the explicit scan-site opt-in makes the read work with that schema
+    enable_nanos_scan(spark)
+    n = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet").count()
+    assert n > 0
+    spark.conf.unset(_NANOS_CONF)
