@@ -151,3 +151,20 @@ def redact_pii(c: Column) -> Column:
     out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
     return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+# Markup/URL patterns — same dual-dialect discipline as the PII set
+# (java.util.regex and RE2 subsets: classes + repeats only).
+TAG_RE = r"<[^<>]*>"
+URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&*+,;%=-]+"
+
+
+def strip_markup(c: Column) -> Column:
+    """Remove angle-bracket markup and collapse the freed whitespace —
+    the first pass over crawled HTML before any text analysis."""
+    return F.trim(F.regexp_replace(F.regexp_replace(c, TAG_RE, " "), WS_RE, " "))
+
+
+def extract_urls(c: Column) -> Column:
+    """All http(s) URLs in the text, document order."""
+    return F.regexp_extract_all(c, F.lit(URL_RE), 0)

@@ -736,3 +736,49 @@ def qz14_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+# --- markup stripping / link extraction -------------------------------------
+
+
+def _markup_extract_oracle() -> str:
+    return f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(text, '{T.TAG_RE}', ' ', 'g'),
+                                   '{T.WS_RE}', ' ', 'g'))) AS clean_fp,
+           CAST(length(text)
+                - length(regexp_replace(text, '{T.TAG_RE}', '', 'g')) AS BIGINT)
+               AS markup_chars,
+           CAST(len(regexp_extract_all(text, '{T.URL_RE}')) AS BIGINT) AS n_links,
+           regexp_extract_all(text, '{T.URL_RE}') AS links
+    FROM documents
+"""
+
+
+@query("qz14_markup_extract", oracle=_markup_extract_oracle())
+def qz14_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping + link extraction — the first pass a crawled
+    corpus takes before any of the Q14 text analysis applies: remove
+    angle-bracket markup (fingerprinted so the differential check stays
+    narrow), measure how much of the document WAS markup (a strong
+    boilerplate/quality signal: markup_chars ≈ 0 for prose, huge for
+    nav-heavy pages), and pull out the outbound links (the seed stream
+    for crawl frontier / link-graph work).
+
+    Single codegen pass, no shuffle, no UDF — regexp_replace /
+    regexp_extract_all are JVM-side; patterns stay in the shared
+    java-regex∩RE2 subset (functions/text.py) so the DuckDB twin runs
+    the identical strings.  qz-prefixed but fully oracle-backed via the
+    pytest differential sweep.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.md5(T.strip_markup(txt)).alias("clean_fp"),
+        (
+            F.length(txt) - F.length(F.regexp_replace(txt, T.TAG_RE, ""))
+        ).cast("long").alias("markup_chars"),
+        F.size(T.extract_urls(txt)).cast("long").alias("n_links"),
+        T.extract_urls(txt).alias("links"),
+    )

@@ -72,3 +72,43 @@ def test_unigram_logprob_separates_fluent_from_gibberish(spark, tmp_path):
     }
     assert got[1] > got[2], got
     assert got[0] > got[2], got
+
+
+def test_markup_extract_on_planted_html(spark, tmp_path):
+    """qz14_markup_extract on real markup: tags stripped, markup volume
+    counted, links extracted in document order; prose untouched."""
+    from frizzle_spark.plans.registry import REGISTRY
+
+    html = (
+        '<html><body class="x"><h1>Title</h1><p>Real prose here with '
+        '<a href="https://example.com/a">a link</a> and '
+        '<a href="http://other.net/b?q=1">another</a>.</p></body></html>'
+    )
+    prose = "Just plain prose, see https://plain.example.org/doc for more."
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, html, "en", "src0", len(html)), (1, prose, "en", "src0", len(prose))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["qz14_markup_extract"].fn(spark, out).collect()
+    }
+    assert got[0]["markup_chars"] > 80, got[0]
+    assert list(got[0]["links"]) == [
+        "https://example.com/a",
+        "http://other.net/b?q=1",
+    ]
+    assert got[1]["markup_chars"] == 0
+    assert list(got[1]["links"]) == ["https://plain.example.org/doc"]
+
+    from frizzle_spark.functions import text as T
+    import pyspark.sql.functions as F
+
+    clean = (
+        spark.read.parquet(f"{out}/documents.parquet")
+        .where(F.col("doc_id") == 0)
+        .select(T.strip_markup(F.col("text")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert "<" not in clean and "Title" in clean and "Real prose" in clean
