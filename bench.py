@@ -92,7 +92,7 @@ def main() -> None:
         exact_nn = pair(
             REGISTRY["q12_cosine_topk"].fn(spark, sf_dir), "probe_id", "neighbor_id"
         )
-        for q in ("qz12_ann_lsh", "qz12_ivf", "qz12_ivfpq"):
+        for q in ("qz12_ann_lsh", "qz12_ivf", "qz12_ivfpq", "qz12_sq8"):
             approx = pair(REGISTRY[q].fn(spark, sf_dir), "probe_id", "neighbor_id")
             recall[q] = round(len(exact_nn & approx) / len(exact_nn), 4)
         from frizzle_spark.operators.similarity import candidate_fractions

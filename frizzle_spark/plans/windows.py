@@ -505,3 +505,79 @@ def qz10_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOPK_PER_WINDOW)
         .select("w_start", "rnk", "user_id", "n_events", "sum_value")
     )
+
+
+ANOMALY_Z = 2.0  # |z| at or above this flags the hour as anomalous
+
+
+@query(
+    "qz10_rate_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS w_start, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT w_start, event_type, n_events,
+               avg(n_events) OVER tw AS mu,
+               stddev_samp(n_events) OVER tw AS sd
+        FROM hourly
+        WINDOW tw AS (PARTITION BY event_type ORDER BY w_start
+                      RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                            AND INTERVAL 1 HOUR PRECEDING)
+    )
+    SELECT w_start, event_type, n_events,
+           round(mu, 6) AS baseline,
+           round((n_events - mu) / sd, 6) AS z,
+           CAST(abs((n_events - mu) / sd) >= {ANOMALY_Z!r} AS BIGINT) AS anomalous
+    FROM scored
+    WHERE sd IS NOT NULL AND sd > 0
+    """,
+)
+def qz10_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: each (hour, event_type)'s count
+    z-scored against its own TRAILING 24-hour baseline — the on-call
+    'is this stream misbehaving' primitive (spike/drop detection with a
+    self-updating baseline, no fixed thresholds to tune per stream).
+
+    Plan shape: the corpus-sized stage is one aggregation to hourly
+    counts; the z-score is then a RANGE-frame window over the tiny
+    (hours × types) table — order by epoch seconds with a
+    [-24h, -1h) frame, so the baseline NEVER includes the scored hour
+    (a frame that includes 'now' masks the very spike it should flag).
+    At 100 TB only the first aggregation sees raw events; the window
+    runs over |hours|×|types| rows regardless of corpus size.
+
+    qz-prefixed but fully oracle-backed via the pytest differential
+    sweep (DuckDB temporal RANGE frame twin).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("w_start"))
+        .rangeBetween(-24 * 3600, -3600)
+    )
+    scored = hourly.select(
+        "w_start",
+        "event_type",
+        "n_events",
+        F.avg("n_events").over(tw).alias("mu"),
+        F.stddev_samp("n_events").over(tw).alias("sd"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sd")
+    return scored.where(F.col("sd").isNotNull() & (F.col("sd") > 0)).select(
+        "w_start",
+        "event_type",
+        "n_events",
+        F.round("mu", 6).alias("baseline"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) >= ANOMALY_Z).cast("long").alias("anomalous"),
+    )

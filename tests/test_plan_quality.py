@@ -285,3 +285,15 @@ def test_windowed_topk_uses_window_group_limit(plan_of):
     phys = plan[plan.rindex("== Physical Plan ==") :]
     assert "WindowGroupLimit" in phys
     assert "Join" not in phys and "CartesianProduct" not in phys
+
+
+def test_rate_anomaly_window_over_reduced_rows(plan_of):
+    """qz10_rate_anomaly: raw events feed exactly one aggregation
+    exchange; the RANGE-frame window then partitions the already-
+    reduced hourly table — its exchange must hash on event_type, and
+    no join may appear."""
+    plan = plan_of("qz10_rate_anomaly")
+    phys = plan[plan.rindex("== Physical Plan ==") :]
+    assert "RangeFrame" in phys
+    assert "Join" not in phys and "CartesianProduct" not in phys
+    assert phys.count("Exchange hashpartitioning") == 2  # agg + window
