@@ -559,3 +559,144 @@ def q23_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col", "n_rows", "n_nonnull", "min_v", "max_v", "avg_v", "sd_v")
+
+
+PSI_BUCKETS = 10
+
+
+def _drift_oracle() -> str:
+    b = PSI_BUCKETS
+    return f"""
+    WITH base AS (
+        SELECT event_type, epoch(ts) AS e,
+               CAST(floor(value * 100) AS BIGINT) AS iv
+        FROM events
+    ),
+    stats AS (
+        SELECT min(e) AS mn_e, max(e) AS mx_e,
+               min(iv) AS mn_v, max(iv) AS mx_v
+        FROM base
+    ),
+    tagged AS (
+        SELECT event_type,
+               CASE WHEN e < (mn_e + mx_e) // 2 THEN 0 ELSE 1 END AS period,
+               least({b - 1}, ((iv - mn_v) * {b}) // (mx_v - mn_v + 1)) AS bucket
+        FROM base, stats
+    ),
+    grid AS (
+        SELECT t.event_type, p.period, g.bucket
+        FROM (SELECT DISTINCT event_type FROM tagged) t,
+             (SELECT unnest([0, 1]) AS period) p,
+             (SELECT unnest(range({b})) AS bucket) g
+    ),
+    cells AS (
+        SELECT g.event_type, g.period, g.bucket,
+               count(t.event_type) AS n
+        FROM grid g
+        LEFT JOIN tagged t
+          ON t.event_type = g.event_type AND t.period = g.period
+             AND t.bucket = g.bucket
+        GROUP BY 1, 2, 3
+    ),
+    probs AS (
+        SELECT event_type, period, bucket,
+               (n + 0.5) / (sum(n) OVER (PARTITION BY event_type, period)
+                            + {0.5 * b!r}) AS p
+        FROM cells
+    )
+    SELECT a.event_type,
+           round(sum((a.p - z.p) * ln(a.p / z.p)), 6) AS psi
+    FROM probs a JOIN probs z
+      ON a.event_type = z.event_type AND a.bucket = z.bucket
+     AND a.period = 0 AND z.period = 1
+    GROUP BY a.event_type
+"""
+
+
+@query("qz23_drift", oracle=_drift_oracle())
+def qz23_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift profiling: the Population Stability Index of
+    each event stream's ``value`` distribution between the first and
+    second half of the corpus' time span — the monitoring primitive
+    that catches silent upstream changes (a feed that starts emitting
+    in different units, a filter that shifts the mix) before they
+    poison downstream training data.  PSI = Σ_b (p_b−q_b)·ln(p_b/q_b)
+    over {PSI_BUCKETS} equal-width buckets with add-½ smoothing (so
+    empty cells are defined), buckets computed in INTEGER arithmetic
+    over cent-scaled values so both engines bucket bit-identically.
+
+    Scale shape: one pass reduces events to (type, period, bucket)
+    cell counts — map-side partial aggregation, one narrow shuffle; the
+    PSI fold then runs over 2·B rows per stream.  The global min/max
+    stats row is a broadcast; the full cell grid is generated so
+    smoothing sees absent buckets (an outer join against
+    types × periods × buckets, all tiny).
+
+    qz-prefixed but fully oracle-backed via the pytest differential
+    sweep.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = PSI_BUCKETS
+    base = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("e"),
+        F.floor(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    stats = base.agg(
+        F.min("e").alias("mn_e"),
+        F.max("e").alias("mx_e"),
+        F.min("iv").alias("mn_v"),
+        F.max("iv").alias("mx_v"),
+    )
+    tagged = base.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        F.when(
+            F.col("e") < (F.col("mn_e") + F.col("mx_e")) / F.lit(2), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        F.least(
+            F.lit(b - 1),
+            ((F.col("iv") - F.col("mn_v")) * b)
+            / (F.col("mx_v") - F.col("mn_v") + 1),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    counts = tagged.groupBy("event_type", "period", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = (
+        tagged.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("period")))
+        .crossJoin(spark.range(b).select(F.col("id").alias("bucket")))
+    )
+    cells = grid.join(counts, ["event_type", "period", "bucket"], "left").select(
+        "event_type", "period", "bucket", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    tot = Window.partitionBy("event_type", "period")
+    probs = cells.select(
+        "event_type",
+        "period",
+        "bucket",
+        ((F.col("n") + 0.5) / (F.sum("n").over(tot) + 0.5 * b)).alias("p"),
+    )
+    a = probs.where(F.col("period") == 0).select(
+        "event_type", "bucket", F.col("p").alias("pa")
+    )
+    z = probs.where(F.col("period") == 1).select(
+        "event_type", "bucket", F.col("p").alias("pz")
+    )
+    return (
+        a.join(z, ["event_type", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("pa") - F.col("pz")) * F.log(F.col("pa") / F.col("pz"))),
+                6,
+            ).alias("psi")
+        )
+    )

@@ -151,3 +151,46 @@ def test_stratified_sample_fractions(spark, sf_dir):
             assert got == 1.0, (etype, got)
         else:
             assert abs(got - frac) <= 0.06, (etype, got, frac)
+
+
+def test_drift_flags_planted_shift(spark, tmp_path):
+    """qz23_drift must separate a stream whose value distribution
+    SHIFTS between halves (planted: mean jumps 50 in half 2) from a
+    stationary one — the standard PSI reading: <0.1 stable, >0.25
+    action-worthy."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    t0 = dt.datetime(2026, 1, 1)
+    for i in range(4000):
+        ts = t0 + dt.timedelta(minutes=i * 10)
+        half2 = i >= 2000
+        rows.append((i, ts, "stable", 1, float(50 + (i * 7919) % 100) / 2, "{}"))
+        rows.append(
+            (
+                10_000 + i,
+                ts,
+                "drifting",
+                1,
+                float(((i * 104729) % 100) / 2 + (75 if half2 else 0)),
+                "{}",
+            )
+        )
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, event_type string, user_id long,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/events.parquet")
+
+    psi = {
+        r["event_type"]: r["psi"]
+        for r in REGISTRY["qz23_drift"].fn(spark, out).collect()
+    }
+    assert psi["stable"] < 0.1, psi
+    assert psi["drifting"] > 0.25, psi
+    assert psi["drifting"] > 5 * psi["stable"], psi
