@@ -275,3 +275,92 @@ def q19_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(orders, cust, ["o_custkey"]).select(
         "o_orderkey", "c_name", "c_mktsegment"
     )
+
+
+_PIT_ORACLE = """
+    WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS t FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    probes AS (SELECT user_id, t FROM users, days),
+    v AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               event_id, event_type, value
+        FROM events
+    )
+    SELECT p.user_id, p.t AS probe_ts, v.event_id, v.event_type,
+           round(v.value, 6) AS value
+    FROM probes p JOIN v
+      ON p.user_id = v.user_id
+     AND v.valid_from <= p.t AND (v.valid_to > p.t OR v.valid_to IS NULL)
+"""
+
+
+@query("qz16_pit_scd2", oracle=_PIT_ORACLE)
+def qz16_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD-2 version history — the
+    feature-store correctness primitive: 'what was this entity's state
+    at time t', answered WITHOUT leakage from later versions (training
+    features joined naively on key silently read the future; PIT joins
+    are how that bug is kept out of training data).
+
+    Probe set: every (user, day-boundary) over the corpus' span.  The
+    lookup uses the engine's join-free as-of pattern (q16_asof_join):
+    probes and versions UNION into one stream, one shuffle+sort per
+    user over (ts, is-probe, event_id), and last(ignorenulls) pulls
+    each probe's governing version — correct because lead()-built SCD-2
+    intervals are gapless, so the latest version at-or-before t always
+    contains t.  Versions order BEFORE probes at equal ts, making the
+    match boundary exactly ``valid_from <= t``.  At 100 TB: no join,
+    no per-key state beyond the sort, one exchange on user_id.
+
+    The oracle states the same semantics as interval containment
+    against lead()-closed intervals — the declarative spec, while the
+    union+window is the scale plan.  qz-prefixed but fully
+    oracle-backed via the pytest differential sweep.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.date_trunc("day", "ts").alias("t")).distinct()
+    users = ev.select("user_id").distinct()
+    probes = users.crossJoin(F.broadcast(days)).select(
+        "user_id",
+        F.col("t"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    versions = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_probe"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    merged = versions.unionByName(probes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.select(
+        "user_id",
+        "t",
+        "is_probe",
+        F.last("event_id", ignorenulls=True).over(w).alias("v_event_id"),
+        F.last("event_type", ignorenulls=True).over(w).alias("v_event_type"),
+        F.last("value", ignorenulls=True).over(w).alias("v_value"),
+    )
+    return (
+        filled.where((F.col("is_probe") == 1) & F.col("v_event_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("t").alias("probe_ts"),
+            F.col("v_event_id").alias("event_id"),
+            F.col("v_event_type").alias("event_type"),
+            F.round("v_value", 6).alias("value"),
+        )
+    )
