@@ -75,6 +75,38 @@ def scan_parquet_lenient(
     return reader.parquet(path)
 
 
+def scan_parquet_evolving(
+    spark: SparkSession, *paths: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """Schema-evolution-tolerant columnar scan.
+
+    A long-lived dataset's files are written by MANY pipeline versions:
+    columns get added, and old files simply lack them.  The strict scan
+    picks one footer's schema and silently DROPS later columns (or
+    fails, depending on which file wins footer sampling).  Two correct
+    modes, chosen by whether a declared schema exists:
+
+    * ``schema`` given (the production path): every file is read
+      through the declared schema — missing columns come back NULL,
+      extra on-disk columns are pruned, and NO footer sweep happens.
+      At 100 TB this is the only sane default; the catalog owns the
+      schema, not the files.
+    * no ``schema`` (exploration/backfill): ``mergeSchema`` unions all
+      footer schemas.  Correct, but it READS EVERY FOOTER at planning
+      time — O(files) driver-side metadata fetches — so it is the
+      discovery tool, not the steady-state reader.
+
+    Column-type CHANGES (not additions) are out of scope for both
+    modes and should fail loudly — see tests/test_sources_skew.py.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
+
+
 def scan_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC columnar scan (bundled in OSS Spark): predicate pushdown +
     column pruning + stripe skipping, same contract as parquet."""

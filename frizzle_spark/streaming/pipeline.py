@@ -435,16 +435,26 @@ class ParquetSink:
 
         _, fs, Path = self._fs(spark)
         p = Path(f"{self.base_path}/{self._LOCK}")
-        if fs.exists(p):
-            age_s = time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
-            if age_s < self.LOCK_TTL_SECONDS:
-                raise CompactionInProgressError(
-                    f"another compact() holds {self.base_path}/{self._LOCK} "
-                    f"(age {age_s:.0f}s < ttl {self.LOCK_TTL_SECONDS:.0f}s); "
-                    "this run loses cleanly — retry after it finishes, or "
-                    "delete the lock if its holder is known dead"
+        try:
+            if fs.exists(p):
+                age_s = (
+                    time.time() - fs.getFileStatus(p).getModificationTime() / 1000.0
                 )
-            fs.delete(p, False)  # stale: break it and take over
+                if age_s < self.LOCK_TTL_SECONDS:
+                    raise CompactionInProgressError(
+                        f"another compact() holds {self.base_path}/{self._LOCK} "
+                        f"(age {age_s:.0f}s < ttl {self.LOCK_TTL_SECONDS:.0f}s); "
+                        "this run loses cleanly — retry after it finishes, or "
+                        "delete the lock if its holder is known dead"
+                    )
+                fs.delete(p, False)  # stale: break it and take over
+        except CompactionInProgressError:
+            raise
+        except Exception:
+            # the lock vanished between exists/stat (holder just
+            # released) — treat as absent and contend on create below,
+            # whose overwrite=False is the actual atomicity point
+            pass
         try:
             out = fs.create(p, False)  # overwrite=False → atomic loser
             try:

@@ -195,3 +195,33 @@ def test_events_raw_schema_does_not_mutate_session(spark, sf_dir):
     n = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet").count()
     assert n > 0
     spark.conf.unset(_NANOS_CONF)
+
+
+def test_schema_evolution_scan(spark, tmp_path):
+    """scan_parquet_evolving: old files missing a later-added column
+    must read as NULL under a declared schema (no footer sweep), and
+    mergeSchema discovery must union the generations; the strict scan's
+    silent column drop is what both modes exist to prevent."""
+    from frizzle_spark.sources.files import scan_parquet_evolving
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(f"{base}/gen=0")
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)], "id long, name string, score double"
+    ).write.parquet(f"{base}/gen=1")
+
+    declared = "id long, name string, score double"
+    got = scan_parquet_evolving(
+        spark, f"{base}/gen=0", f"{base}/gen=1", schema=declared
+    )
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5, 4: 0.9}
+
+    merged = scan_parquet_evolving(spark, f"{base}/gen=0", f"{base}/gen=1")
+    assert set(merged.columns) == {"id", "name", "score"}
+    assert merged.count() == 4
+    # declared-schema mode also prunes columns the reader doesn't want
+    slim = scan_parquet_evolving(spark, f"{base}/gen=1", schema="id long")
+    assert slim.columns == ["id"]
