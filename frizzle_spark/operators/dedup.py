@@ -527,9 +527,12 @@ def incremental_neardup(
     """
     nsigs = minhash_signatures(shingles_of(new_docs))
     nband = band_buckets(nsigs).withColumnRenamed("doc_id", "new_id")
-    oband = spark.read.parquet(f"{index_base}/bands").withColumnRenamed(
-        "doc_id", "old_id"
-    )
+    # explicit schemas: a partitioned write of an EMPTY corpus leaves no
+    # data files (only _SUCCESS), and schema inference would fail on the
+    # very index an empty first snapshot legitimately produces
+    oband = spark.read.schema("doc_id long, band_hash long, band_id int").parquet(
+        f"{index_base}/bands"
+    ).withColumnRenamed("doc_id", "old_id")
     cand = (
         nband.join(oband, ["band_id", "band_hash"])
         .select("new_id", "old_id")
@@ -538,7 +541,9 @@ def incremental_neardup(
     nsig = sig_array(nsigs).select(
         F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_new")
     )
-    osig = spark.read.parquet(f"{index_base}/signatures").select(
+    osig = spark.read.schema("doc_id long, sig array<long>").parquet(
+        f"{index_base}/signatures"
+    ).select(
         F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
     )
     agree = F.aggregate(

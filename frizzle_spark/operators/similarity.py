@@ -546,6 +546,8 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
         .select("vec_id", "v", "nrm")
         .collect()
     )
+    if not sample:
+        return None
     x = np.asarray([r["v"] for r in sample]) / np.asarray(
         [[r["nrm"]] for r in sample]
     )
@@ -560,7 +562,12 @@ def ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct IVF candidates (probe_id, vec_id, pu, u) — the recall/
     candidate-fraction surface the bench reports on; qz12_ivf re-ranks
     it exactly.  See qz12_ivf for the plan shape."""
-    unit, sample, x, cent, pid, pu, top_clusters = _ivf_train(spark, sf_dir)
+    trained = _ivf_train(spark, sf_dir)
+    if trained is None:  # empty corpus: empty candidate stream
+        return spark.createDataFrame(
+            [], "cluster int, vec_id long, u array<double>, probe_id long, pu array<double>"
+        )
+    unit, sample, x, cent, pid, pu, top_clusters = trained
     bc_cent = spark.sparkContext.broadcast(cent)
 
     def assign(batches):  # pragma: no cover - executed on executors
@@ -631,9 +638,13 @@ def qz12_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQ8_TRAIN_SAMPLE = 512  # rows collected to fit the per-dim quantizer
 
 
+TOPK_SCHEMA = "probe_id long, neighbor_id long, cos_sim double, rank long"
+
+
 def _sq8_train(spark: SparkSession, sf_dir: str):
     """Per-dimension affine int8 quantizer fitted on a bounded sample +
-    the probe set: (lo[dim], scale[dim], probe ids, probe unit vecs)."""
+    the probe set: (lo[dim], scale[dim], probe ids, probe unit vecs).
+    Returns None on an empty corpus (nothing to fit or probe)."""
     corpus = _corpus(spark, sf_dir)
     sample = (
         corpus.orderBy("vec_id")
@@ -641,6 +652,8 @@ def _sq8_train(spark: SparkSession, sf_dir: str):
         .select("vec_id", "v", "nrm")
         .collect()
     )
+    if not sample:
+        return None
     x = np.asarray([r["v"] for r in sample]) / np.asarray(
         [[r["nrm"]] for r in sample]
     )
@@ -675,7 +688,10 @@ def qz12_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantization-noise-limited, ≥0.8 on the random corpus) and exact
     recovery of planted cos≈0.95 neighbors.
     """
-    lo, scale, pid, pu = _sq8_train(spark, sf_dir)
+    trained = _sq8_train(spark, sf_dir)
+    if trained is None:  # empty corpus: empty result, not a crash
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    lo, scale, pid, pu = trained
     A = pu * scale  # (P, D): probe folded into the quantizer
     b = pu @ lo  # (P,)
     bc = spark.sparkContext.broadcast((A, b, np.asarray(pid, dtype=np.int64)))
@@ -836,7 +852,10 @@ def ivfpq_candidates(spark: SparkSession, sf_dir: str):
     copy-paste discipline) — PQ only changes how candidates are
     SCORED.  The membership identity is additionally gated on real
     data by the pytest membership test."""
-    unit, sample, x, cent, pid_l, pu, top_clusters = _ivf_train(spark, sf_dir)
+    trained = _ivf_train(spark, sf_dir)
+    if trained is None:  # empty corpus: caller returns empty result
+        return None
+    unit, sample, x, cent, pid_l, pu, top_clusters = trained
     books = _pq_train(x - cent[(x @ cent.T).argmax(1)], PQ_M, PQ_KS)
     bc_cent = spark.sparkContext.broadcast(cent)
     bc_books = spark.sparkContext.broadcast(books)
@@ -900,7 +919,10 @@ def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector corpus; see SCALE.md round-5).  Rows-only; pytest gates the
     recall floor and the planted-neighbor bar like the other ANN tiers.
     """
-    cand, pid, pu, cent, books = ivfpq_candidates(spark, sf_dir)
+    built = ivfpq_candidates(spark, sf_dir)
+    if built is None:  # empty corpus: empty result, not a crash
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    cand, pid, pu, cent, books = built
     d_sub = pu.shape[1] // PQ_M
     # per-probe scoring constants, all driver-side + broadcast: the ADC
     # base term ⟨p, centroid⟩ for every (probe, cluster) and the PQ LUTs

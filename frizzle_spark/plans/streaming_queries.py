@@ -132,7 +132,11 @@ def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe.start()
     pipe.stop(flush_timeout=300)
 
-    return spark.read.parquet(base).select(
+    try:
+        out = spark.read.parquet(base)
+    except Exception:  # empty replay → the sink wrote no files at all
+        return spark.createDataFrame([], "dest string, id string, payload string")
+    return out.select(
         F.col("dest").cast("string").alias("dest"),
         "id",
         F.decode("data", "UTF-8").alias("payload"),
@@ -291,7 +295,11 @@ def qz13_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe.start()
     pipe.stop(flush_timeout=300)
 
-    return spark.read.parquet(base).select(
+    try:
+        out = spark.read.parquet(base)
+    except Exception:  # empty replay → the sink wrote no files at all
+        return spark.createDataFrame([], "dest string, id string, payload_fp string")
+    return out.select(
         F.col("dest").cast("string").alias("dest"),
         "id",
         F.md5("data").alias("payload_fp"),

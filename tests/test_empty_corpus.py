@@ -1,0 +1,50 @@
+"""Empty-corpus totality: every registry query runs on zero-row tables.
+
+At 100 TB, operators routinely meet empty slices — a new partition, a
+filtered-out day, the first snapshot of an index.  A query that crashes
+on zero rows (driver collect()[0], numpy reductions on empty arrays,
+schema inference over a fileless sink dir) is a pipeline-stopping bug
+that no data-bearing test can catch.  Round-6 sweep found and fixed
+six: IVF/IVF-PQ/SQ8 training on an empty sample, both streaming-bus
+sink readbacks, and the minhash index's partitioned-write readback.
+This test pins all 93 at zero failures forever.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from frizzle_spark.plans.registry import REGISTRY
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(out / f"{t}.parquet"))
+    return str(out)
+
+
+def test_every_query_total_on_empty_corpus(spark, empty_dir):
+    fails = []
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            spec.fn(spark, empty_dir).count()
+        except Exception as ex:  # noqa: BLE001 - report all, then fail once
+            fails.append((name, f"{type(ex).__name__}: {ex}"[:160]))
+    assert not fails, fails
