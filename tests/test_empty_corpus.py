@@ -40,11 +40,31 @@ def empty_dir(sf_dir, tmp_path_factory):
     return str(out)
 
 
-def test_every_query_total_on_empty_corpus(spark, empty_dir):
+@pytest.fixture(scope="module")
+def one_row_dir(sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("one_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 1), str(out / f"{t}.parquet"))
+    return str(out)
+
+
+def _sweep(spark, path):
     fails = []
     for name, spec in sorted(REGISTRY.items()):
         try:
-            spec.fn(spark, empty_dir).count()
+            spec.fn(spark, path).count()
         except Exception as ex:  # noqa: BLE001 - report all, then fail once
             fails.append((name, f"{type(ex).__name__}: {ex}"[:160]))
     assert not fails, fails
+
+
+def test_every_query_total_on_empty_corpus(spark, empty_dir):
+    _sweep(spark, empty_dir)
+
+
+def test_every_query_total_on_one_row_corpus(spark, one_row_dir):
+    """The 1-row edge exercises different failure modes than zero rows:
+    degenerate stddev/variance, single-element quantizer training,
+    self-join emptiness — all must degrade, not crash."""
+    _sweep(spark, one_row_dir)
