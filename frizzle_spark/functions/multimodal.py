@@ -324,10 +324,11 @@ def make_phash_kernel(real: bool | None = None):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            keep = pdf["payload"].notna()  # null payload → no signature
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "phash": pdf["payload"].map(lambda b: hash_one(bytes(b))),
+                    "doc_id": pdf["doc_id"][keep],
+                    "phash": pdf["payload"][keep].map(lambda b: hash_one(bytes(b))),
                 }
             )
 

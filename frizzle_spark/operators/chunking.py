@@ -107,6 +107,8 @@ def cdc_chunk_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "chunk_fp": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:  # null payload → no chunks
+                continue
             data = bytes(payload)
             prev = 0
             for i, cut in enumerate(cdc_boundaries(data)):
@@ -230,7 +232,7 @@ def qz14_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stability property CDC exists for (vs fixed-size chunking), and a
     Spark-vs-driver-numpy differential.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")).mapInPandas(
         cdc_chunk_batch,
         "doc_id long, chunk_idx long, chunk_len long, chunk_fp string",

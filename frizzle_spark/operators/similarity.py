@@ -74,7 +74,14 @@ def lsh_params(n: int) -> tuple[int, int, int]:
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    """(vec_id, v, nrm) similarity corpus.  Rows with a NULL embedding
+    are dropped here, at the boundary: a vector-table row without a
+    vector is not a corpus member, and every downstream numpy kernel
+    would otherwise meet ragged None batches (null-corpus totality
+    sweep, round 6).  The oracles carry the same IS NOT NULL filter."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     v = V.as_double(F.col("embedding"))
     return emb.select("vec_id", v.alias("v")).withColumn("nrm", V.norm(F.col("v")))
 
@@ -101,6 +108,7 @@ def _corpus_size(spark: SparkSession, sf_dir: str) -> int:
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     probes AS (
         SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
@@ -393,6 +401,7 @@ def _pack_blocks(unit: DataFrame, n_rows: int, chunk_rows: int) -> DataFrame:
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
+        WHERE embedding IS NOT NULL
     )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim

@@ -37,8 +37,13 @@ _MEDIA_TYPE_SQL = """
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, payload BINARY, media_type) media table."""
-    docs = load_table(spark, sf_dir, "documents")
+    """documents → (doc_id, payload BINARY, media_type) media table.
+
+    NULL-text documents are dropped at this boundary — a media row
+    without a payload has nothing to decode, and the Arrow kernels
+    would otherwise meet None batches (null-corpus totality sweep,
+    round 6).  The q15 oracles carry the same IS NOT NULL filter."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     src_num = F.substring("source", 4, 10).cast("long")
     media_type = (
         F.when(src_num % 3 == 0, "image")
@@ -61,7 +66,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 64 AS BIGINT) AS width,
            CAST(16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 64 AS BIGINT) AS height,
            md5(text) AS fingerprint
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def q15_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,7 +87,7 @@ def q15_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH media AS (
         SELECT doc_id, md5(text) AS fp,
                octet_length(encode(text)) % 4 AS extra
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(unnest(generate_series(0, extra)) AS BIGINT) AS frame_idx,
@@ -106,7 +111,7 @@ _FEATURES_ORACLE = f"""
     WITH chars AS (
         SELECT doc_id, text, length(text) AS n,
                unnest(generate_series(1, length(text))) AS i
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     classed AS (
         SELECT doc_id, n, ascii(substr(text, i, 1)) % 8 AS k FROM chars

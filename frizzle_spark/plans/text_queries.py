@@ -162,7 +162,7 @@ CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
 _CHUNK_ORACLE = f"""
     WITH w AS (
         SELECT doc_id, string_split_regex(trim(text), '{{WS}}') AS ws
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     s AS (
         SELECT doc_id, ws,
@@ -189,9 +189,10 @@ def qz14_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, so the operator parallelizes per document with zero state.
     qz-prefixed (the driver's 50 oracle slots are spoken for) but fully
     oracle-backed: the differential sweep in tests/test_relational.py
-    hash-checks it against the DuckDB mirror above.
+    hash-checks it against the DuckDB mirror above.  NULL-text docs are
+    dropped (no words → no windows; the oracle filters identically).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     ws = T.words(F.col("text"))
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)

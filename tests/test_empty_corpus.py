@@ -41,6 +41,35 @@ def empty_dir(sf_dir, tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
+def null_dir(sf_dir, tmp_path_factory):
+    """Content-bearing nullable columns nulled on every other row."""
+    import pyarrow as pa
+
+    nullable = {
+        "documents": ["text", "lang", "source"],
+        "events": ["props"],
+        "embeddings": ["embedding"],
+    }
+    out = tmp_path_factory.mktemp("null_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        cols = {}
+        for name in tbl.column_names:
+            col = tbl.column(name)
+            if name in nullable.get(t, []):
+                arr = col.to_pylist()
+                for i in range(0, tbl.num_rows, 2):
+                    arr[i] = None
+                col = pa.array(arr, type=tbl.schema.field(name).type)
+            cols[name] = col
+        schema = pa.schema(
+            [pa.field(f.name, f.type, nullable=True) for f in tbl.schema]
+        )
+        pq.write_table(pa.table(cols, schema=schema), str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
 def one_row_dir(sf_dir, tmp_path_factory):
     out = tmp_path_factory.mktemp("one_sf")
     for t in TABLES:
@@ -68,3 +97,13 @@ def test_every_query_total_on_one_row_corpus(spark, one_row_dir):
     degenerate stddev/variance, single-element quantizer training,
     self-join emptiness — all must degrade, not crash."""
     _sweep(spark, one_row_dir)
+
+
+def test_every_query_total_on_null_heavy_corpus(spark, null_dir):
+    """Half the content columns NULL: the round-6 sweep found 14
+    kernel/training crashes (None in Arrow batches, ragged numpy
+    stacks).  Policy now enforced at the boundaries — null embeddings
+    leave the similarity corpus, null text leaves the media/chunking
+    tables (oracles filter identically) — so the registry must stay
+    total under nulls."""
+    _sweep(spark, null_dir)
