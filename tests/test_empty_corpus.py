@@ -99,6 +99,27 @@ def test_every_query_total_on_one_row_corpus(spark, one_row_dir):
     _sweep(spark, one_row_dir)
 
 
+@pytest.fixture(scope="module")
+def dup_dir(sf_dir, tmp_path_factory):
+    """Every table = its first row repeated 200x: duplicate KEYS and
+    content everywhere — the degenerate-skew edge."""
+    import pyarrow as pa
+
+    out = tmp_path_factory.mktemp("dup_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{sf_dir}/{t}.parquet")
+        one = tbl.slice(0, 1)
+        pq.write_table(pa.concat_tables([one] * 200), str(out / f"{t}.parquet"))
+    return str(out)
+
+
+def test_every_query_total_on_duplicate_heavy_corpus(spark, dup_dir):
+    """All-identical rows (duplicate keys, duplicate content, zero
+    variance): dedup families collapse to one survivor, stddev goes
+    null, every self-join is maximal — nothing may crash."""
+    _sweep(spark, dup_dir)
+
+
 def test_every_query_total_on_null_heavy_corpus(spark, null_dir):
     """Half the content columns NULL: the round-6 sweep found 14
     kernel/training crashes (None in Arrow batches, ragged numpy
