@@ -364,3 +364,86 @@ def qz16_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("v_value", 6).alias("value"),
         )
     )
+
+
+_CDC_MERGE_ORACLE = """
+    WITH latest AS (
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    snapshot AS (
+        SELECT c_custkey AS key, c_name, round(c_acctbal, 2) AS balance
+        FROM customer
+    )
+    SELECT coalesce(s.key, l.user_id) AS key,
+           CASE WHEN l.user_id IS NULL THEN 'unchanged'
+                WHEN s.key IS NULL THEN 'inserted'
+                ELSE 'updated' END AS change,
+           CASE WHEN l.user_id IS NULL THEN s.c_name ELSE s.c_name END AS c_name,
+           CASE WHEN l.user_id IS NULL THEN s.balance
+                ELSE round(l.value, 2) END AS balance
+    FROM snapshot s FULL OUTER JOIN latest l ON s.key = l.user_id
+    WHERE NOT (l.event_type = 'error' AND l.user_id IS NOT NULL)
+       OR l.user_id IS NULL
+"""
+
+
+@query("qz17_cdc_merge", oracle=_CDC_MERGE_ORACLE)
+def qz17_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: apply a changelog to a snapshot — the warehouse upsert
+    primitive (Delta/Iceberg ``MERGE INTO`` semantics) built from core
+    relational pieces, for targets that are plain parquet.
+
+    Changelog = each user's LATEST event (keep-latest window, the
+    standard CDC compaction — intermediate changes per key are
+    superseded): an ``error`` event is a DELETE, anything else UPSERTs
+    the balance; snapshot rows without changes pass through, changelog
+    keys absent from the snapshot INSERT.
+
+    Plan shape: one window over the changelog (compaction — shuffle by
+    key, carries the changelog only, never the snapshot), then ONE full
+    outer join snapshot⋈compacted-changes.  At 100 TB the changelog is
+    normally ≪ snapshot, so the join's snapshot side streams while
+    change resolution is per-row CASE logic — no second pass, no
+    driver-side anything.  Full outer is required (unchanged + inserted
+    + updated all surface); deletes drop in the post-join filter.
+
+    qz-prefixed but fully oracle-backed via the pytest differential
+    sweep.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    snapshot = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        "c_name",
+        F.round("c_acctbal", 2).alias("balance"),
+    )
+    merged = snapshot.join(latest, snapshot["key"] == latest["user_id"], "full_outer")
+    change = (
+        F.when(F.col("user_id").isNull(), "unchanged")
+        .when(F.col("key").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    return (
+        merged.where(
+            ~((F.col("event_type") == "error") & F.col("user_id").isNotNull())
+            | F.col("user_id").isNull()
+        )
+        .select(
+            F.coalesce("key", "user_id").alias("key"),
+            change.alias("change"),
+            "c_name",
+            F.when(F.col("user_id").isNull(), F.col("balance"))
+            .otherwise(F.round("value", 2))
+            .alias("balance"),
+        )
+    )

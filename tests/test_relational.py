@@ -194,3 +194,43 @@ def test_drift_flags_planted_shift(spark, tmp_path):
     assert psi["stable"] < 0.1, psi
     assert psi["drifting"] > 0.25, psi
     assert psi["drifting"] > 5 * psi["stable"], psi
+
+
+def test_cdc_merge_all_four_outcomes(spark, tmp_path):
+    """qz17_cdc_merge on a corpus built to hit every branch: unchanged,
+    updated, deleted (latest=error), and inserted (changelog key absent
+    from the snapshot)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    events = [
+        # user 1: two changes, latest updates balance to 42.0
+        (1, t0, "click", 1, 7.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), "view", 1, 42.0, "{}"),
+        # user 2: latest is error → delete
+        (3, t0, "view", 2, 9.0, "{}"),
+        (4, t0 + dt.timedelta(hours=1), "error", 2, 0.0, "{}"),
+        # user 99: not in snapshot → insert
+        (5, t0, "signup", 99, 5.5, "{}"),
+    ]
+    out = str(tmp_path / "corpus")
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, event_type string, user_id long,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        f"{out}/events.parquet"
+    )
+    spark.createDataFrame(
+        [(1, "Alice", 10.0), (2, "Bob", 20.0), (3, "Carol", 30.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    ).write.parquet(f"{out}/customer.parquet")
+
+    rows = {r["key"]: r for r in REGISTRY["qz17_cdc_merge"].fn(spark, out).collect()}
+    assert rows[1]["change"] == "updated" and rows[1]["balance"] == 42.0
+    assert 2 not in rows, "latest=error must delete the key"
+    assert rows[3]["change"] == "unchanged" and rows[3]["balance"] == 30.0
+    assert rows[99]["change"] == "inserted" and rows[99]["balance"] == 5.5
+    assert rows[99]["c_name"] is None
