@@ -700,3 +700,72 @@ def qz23_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi")
         )
     )
+
+
+@query("qz22_leakage_safe_split", oracle=None)
+def qz22_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: every NEAR-DUPLICATE CLUSTER
+    is assigned to one split as a UNIT — the leakage guard plain
+    hash-splitting lacks.  A val document whose near-duplicate sits in
+    train is contamination: the model has effectively seen the answer,
+    and eval numbers inflate silently.  Splitting by the cluster
+    representative's hash (instead of each doc's own) makes straddling
+    impossible BY CONSTRUCTION, while singleton documents keep exactly
+    the qz22_hash_split assignment semantics (same seed, same bounds,
+    keyed by their own id — which IS their cluster rep).
+
+    Plan shape: the MinHash near-dup pair stream (banded candidates +
+    signature-estimate threshold, the qz11 machinery) feeds
+    ``dedup_clusters`` (pointer-doubling components); docs LEFT-join
+    the tiny cluster map (broadcast — only clustered docs appear in it,
+    a small fraction of any deduplicated corpus) and hash their
+    cluster rep.  One extra broadcast join over qz22_hash_split's
+    zero-exchange plan; the corpus never reshuffles.
+
+    Rows-only at the driver (the cluster step is iterative); the pytest
+    gate asserts the invariant directly — NO near-dup pair straddles
+    splits — plus singleton-assignment equality with qz22_hash_split
+    and determinism.
+    """
+    from frizzle_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_PERMS,
+        _shingles,
+        dedup_clusters,
+        minhash_candidates,
+        minhash_signatures,
+        sig_array,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(_shingles(spark, sf_dir))
+    cand = minhash_candidates(spark, sf_dir, _sigs=sigs)
+    sa = sig_array(sigs)
+    agree = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        cand.join(sa.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1")), "d1")
+        .join(sa.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2")), "d2")
+        .where(agree / F.lit(float(MINHASH_PERMS)) >= JACCARD_THRESHOLD)
+        .select("d1", "d2")
+    )
+    clusters = dedup_clusters(pairs)  # (doc_id, cluster_rep)
+    rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+    h = F.substring(
+        F.md5(F.concat_ws(":", rep.cast("string"), F.lit(str(HASH_SPLIT_SEED)))),
+        1,
+        4,
+    )
+    split = F.when(h < HASH_SPLIT_BOUNDS[0][1], HASH_SPLIT_BOUNDS[0][0])
+    split = split.when(h < HASH_SPLIT_BOUNDS[1][1], HASH_SPLIT_BOUNDS[1][0])
+    return (
+        docs.join(F.broadcast(clusters), "doc_id", "left")
+        .select(
+            "doc_id",
+            split.otherwise("test").alias("split"),
+            rep.alias("cluster_rep"),
+        )
+    )

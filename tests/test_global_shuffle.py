@@ -255,3 +255,41 @@ def test_funnel_matches_simulation_on_random_events(spark, tmp_path):
         for r in REGISTRY["qz10_funnel"].fn(spark, d).collect()
     }
     assert got == want
+
+
+def test_leakage_safe_split_invariants(spark, sf_dir):
+    """qz22_leakage_safe_split: (a) NO near-dup pair straddles splits —
+    the leakage guarantee, checked against the full MinHash pair set;
+    (b) documents in no cluster keep exactly qz22_hash_split's
+    assignment (own-id rep, same seed/bounds); (c) deterministic."""
+    from frizzle_spark.plans.registry import REGISTRY
+
+    split_rows = REGISTRY["qz22_leakage_safe_split"].fn(spark, sf_dir).collect()
+    split = {r["doc_id"]: r["split"] for r in split_rows}
+    rep = {r["doc_id"]: r["cluster_rep"] for r in split_rows}
+
+    pairs = [
+        (r["d1"], r["d2"])
+        for r in REGISTRY["qz11_minhash_lsh"].fn(spark, sf_dir).collect()
+    ]
+    assert pairs, "testdata must contain near-dup pairs for this gate"
+    for d1, d2 in pairs:
+        assert split[d1] == split[d2], (d1, d2, split[d1], split[d2])
+        assert rep[d1] == rep[d2], "near-dup pair must share a cluster rep"
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["qz22_hash_split"].fn(spark, sf_dir).collect()
+    }
+    singles = [d for d in split if rep[d] == d]
+    assert singles, "corpus must contain singleton docs"
+    clustered_elsewhere = [d for d in split if rep[d] != d]
+    assert clustered_elsewhere, "corpus must contain clustered docs"
+    for d in singles:
+        assert split[d] == plain[d], (d, split[d], plain[d])
+
+    again = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["qz22_leakage_safe_split"].fn(spark, sf_dir).collect()
+    }
+    assert again == split
