@@ -21,11 +21,18 @@ from frizzle_spark.sources.tables import TABLES
 
 
 def duck_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
         for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            # driver testdata ships single files; Spark-written test
+            # corpora are directories of part files — glob those so
+            # planted-corpus differentials work against either layout
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )
         return con.execute(sql).df()
     finally:
