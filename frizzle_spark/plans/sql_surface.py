@@ -769,3 +769,51 @@ def qz22_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             rep.alias("cluster_rep"),
         )
     )
+
+
+_SKEW_AGG_ORACLE = """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(max(value), 2) AS max_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query("qz19_skew_agg", oracle=_SKEW_AGG_ORACLE)
+def qz19_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation as a query: partial aggregates on
+    (key, salt), final combine on key — the manual decomposition for
+    when one group holds most of the data and even map-side partial
+    aggregation leaves a single reducer holding the hot key's combine
+    (event_type here has only 5 values over the whole corpus: the
+    maximally-skewed grouping).  Each phase's shuffle carries one row
+    per (key, salt) / per key — never the events.
+
+    avg shows the decomposition rule: it is NOT directly combinable, so
+    it ships as a sum partial + count partial, divided after the final
+    phase (library enforces explicit combiners — operators/skew.py).
+    Identical results to the plain GROUP BY, which IS the oracle;
+    equivalence is also property-tested in tests/test_properties.py.
+    """
+    from frizzle_spark.operators.skew import two_phase_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = two_phase_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": (F.count(F.lit(1)), "sum"),
+            "sum_raw": (F.sum("value"), "sum"),
+            "max_raw": (F.max("value"), "max"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_raw", 2).alias("sum_value"),
+        F.round("max_raw", 2).alias("max_value"),
+        F.round(F.col("sum_raw") / F.col("n_events"), 6).alias("avg_value"),
+    )

@@ -297,3 +297,13 @@ def test_rate_anomaly_window_over_reduced_rows(plan_of):
     assert "RangeFrame" in phys
     assert "Join" not in phys and "CartesianProduct" not in phys
     assert phys.count("Exchange hashpartitioning") == 2  # agg + window
+
+
+def test_skew_agg_two_exchanges_narrow_rows(plan_of):
+    """qz19_skew_agg: exactly two hash exchanges — (key, salt) partial
+    then key-final — and no join; the corpus-sized stage is only the
+    first partial aggregation."""
+    plan = plan_of("qz19_skew_agg")
+    phys = plan[plan.rindex("== Physical Plan ==") :]
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert "Join" not in phys and "CartesianProduct" not in phys
