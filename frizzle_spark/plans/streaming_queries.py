@@ -378,3 +378,63 @@ def qz13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
     return spark.table(name)
+
+
+_STREAM_COUNTS_ORACLE = """
+    SELECT user_id AS key,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query("qz13_stream_counts", oracle=_STREAM_COUNTS_ORACLE)
+def qz13_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator as a query: per-key running
+    (count, sum) via ``applyInPandasWithState`` — the escape hatch for
+    state machines Spark's built-in streaming aggregates can't express
+    (the reference's un-acked tracking, common/unacked.go:10-59, is
+    exactly such hand-rolled per-key state; this is its generalized,
+    executor-distributed form).
+
+    The replay drains in ONE availableNow micro-batch, so update-mode
+    emits exactly one row per key — the final running totals, which
+    equal the batch GROUP BY: that equality makes this the rare custom-
+    stateful query that is FULLY oracle-backed (the multi-batch
+    emission semantics are separately pinned by
+    tests/test_streaming_analytics.py's per-batch equivalence test).
+    State: one (long, double) pair per key, shuffled once on the key;
+    partition sizing follows qz16's state-volume rule.
+    """
+    from frizzle_spark.streaming.analytics import running_counts
+
+    enable_nanos_scan(spark)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = running_counts(
+        normalize_events_ts(raw).select("user_id", "value")
+    )
+    import os
+
+    state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    name = f"qz13_counts_{_stable_suffix(sf_dir)}"
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("qz13_stream_counts: stream did not drain in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+    return spark.table(name)
