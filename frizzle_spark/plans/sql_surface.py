@@ -817,3 +817,121 @@ def qz19_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_raw", 2).alias("max_value"),
         F.round(F.col("sum_raw") / F.col("n_events"), 6).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_expectations — declarative data-quality constraint report
+# ---------------------------------------------------------------------------
+
+_EXPECT_ORACLE = """
+    WITH o AS (
+        SELECT
+            CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_notnull,
+            CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+            CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL
+                                     OR o_totalprice <= 0
+                                     OR o_totalprice > 400000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range,
+            CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL
+                                     OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_set,
+            CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL
+                                     OR o_orderdate > TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_bound
+        FROM orders
+    ),
+    l AS (
+        SELECT CAST(coalesce(sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_pos
+        FROM lineitem
+    ),
+    ri AS (
+        SELECT CAST(count(*) AS BIGINT) AS v_ref
+        FROM lineitem li
+        WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                          WHERE oo.o_orderkey = li.l_orderkey)
+    )
+    SELECT check_name, violations, violations = 0 AS passed FROM (
+        SELECT 'not_null:orders.o_orderkey' AS check_name, v_notnull AS violations FROM o
+        UNION ALL SELECT 'unique:orders.o_orderkey', v_unique FROM o
+        UNION ALL SELECT 'range:orders.o_totalprice(0,400000]', v_range FROM o
+        UNION ALL SELECT 'in_set:orders.o_orderstatus{O,F,P}', v_set FROM o
+        UNION ALL SELECT 'bound:orders.o_orderdate<=2002-01-01', v_bound FROM o
+        UNION ALL SELECT 'positive:lineitem.l_quantity', v_pos FROM l
+        UNION ALL SELECT 'ref:lineitem.l_orderkey->orders', v_ref FROM ri
+    )
+    """
+
+
+@query("qz23_expectations", oracle=_EXPECT_ORACLE)
+def qz23_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (Deequ/Great-Expectations shape): a
+    declarative constraint suite evaluated into one (check, violations,
+    passed) report — the admission gate a 100 TB ingest runs before any
+    downstream query sees the batch.
+
+    Seven committed checks: not-null, key uniqueness, numeric range,
+    accepted value set, date upper bound (orders, ONE aggregate pass —
+    profiling N constraints must not cost N scans), positivity
+    (lineitem, one pass), and referential integrity
+    lineitem.l_orderkey → orders (a left-anti count — at scale AQE
+    picks broadcast/shuffled-hash by orders' size; never row-at-a-time
+    lookups).  The range check is deliberately tuned to FAIL on the
+    corpus (o_totalprice tops out just under 500k) so the report
+    exercises both verdicts.  NULLs count as violations everywhere
+    (each predicate handles NULL explicitly — SQL three-valued logic
+    would silently drop them from a bare sum).
+
+    Fully oracle-backed: the DuckDB twin evaluates the same predicates
+    as scalar subqueries; every violation count is integer-exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    z = F.lit(0).cast("long")
+
+    def viol(cond):  # NULL-safe violation counter
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    wide = orders.agg(
+        viol(F.col("o_orderkey").isNull()).alias("v_notnull"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("v_unique"),
+        viol(
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") <= 0)
+            | (F.col("o_totalprice") > 400000)
+        ).alias("v_range"),
+        viol(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin("O", "F", "P")
+        ).alias("v_set"),
+        viol(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") > F.lit("2002-01-01").cast("timestamp"))
+        ).alias("v_bound"),
+    )
+    orders_checks = wide.select(
+        F.expr(
+            "stack(5,"
+            " 'not_null:orders.o_orderkey', v_notnull,"
+            " 'unique:orders.o_orderkey', v_unique,"
+            " 'range:orders.o_totalprice(0,400000]', v_range,"
+            " 'in_set:orders.o_orderstatus{O,F,P}', v_set,"
+            " 'bound:orders.o_orderdate<=2002-01-01', v_bound"
+            ") as (check_name, violations)"
+        )
+    )
+    li_checks = li.agg(
+        viol(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)).alias("v")
+    ).select(F.lit("positive:lineitem.l_quantity").alias("check_name"), F.col("v").alias("violations"))
+    ref_checks = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .select(
+            F.lit("ref:lineitem.l_orderkey->orders").alias("check_name"),
+            F.coalesce(F.col("v"), z).alias("violations"),
+        )
+    )
+    return (
+        orders_checks.unionByName(li_checks)
+        .unionByName(ref_checks)
+        .select("check_name", "violations", (F.col("violations") == 0).alias("passed"))
+    )

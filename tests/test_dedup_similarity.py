@@ -550,3 +550,55 @@ def test_sq8_planted_neighbors_recovered(spark, planted_dir):
     planted = {(i, 1000 + i) for i in range(10)}
     hit = sum(p in found for p in planted)
     assert hit == 10, f"sq8: {hit}/10 planted pairs found"
+
+
+def test_ppjoin_candidate_reduction(spark, sf_dir):
+    """The prefix join must touch far fewer pairs than the full inverted
+    index — that reduction IS the operator's reason to exist.  At τ=0.8
+    on the sf0.01 corpus: 25 candidates vs 11,533 full-index pairs
+    (461×); gate at 5% with wide slack for corpus drift."""
+    sh = dd._shingles(spark, sf_dir)
+    n_cand = dd.ppjoin_candidates(sh).count()
+    full = (
+        sh.selectExpr("doc_id AS d1", "shingle")
+        .join(sh.selectExpr("doc_id AS d2", "shingle"), "shingle")
+        .where("d1 < d2")
+        .select("d1", "d2")
+        .distinct()
+        .count()
+    )
+    assert n_cand <= 0.05 * full, f"ppjoin candidates {n_cand} vs full {full}"
+
+
+def test_ppjoin_equals_bruteforce_random_sets(spark):
+    """Prefix-lemma safety net beyond the driver corpus: random token
+    sets over a small universe (forcing heavy overlap and boundary-
+    exact Jaccards like exactly 4/5), PPJoin output == python brute
+    force.  A prefix one token too short would drop a pair here."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    universe = [f"t{i}" for i in range(30)]
+    sets = {}
+    for d in range(60):
+        base = rng.sample(universe, rng.randint(5, 20))
+        sets[d] = set(base)
+    # plant boundary pairs: |A∩B|/|A∪B| == exactly 4/5 (8 shared, 2 extra)
+    for d, off in ((100, 0), (102, 1)):
+        shared = universe[off : off + 8]
+        sets[d] = set(shared) | {f"x{d}"}
+        sets[d + 1] = set(shared) | {f"y{d}"}
+    rows = [(d, t) for d, toks in sets.items() for t in toks]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    got = {
+        (r["d1"], r["d2"]) for r in dd.jaccard_join_pairs(sh).collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * dd.PPJOIN_TAU_DEN >= union * dd.PPJOIN_TAU_NUM:
+            want.add((a, b))
+    assert (100, 101) in want and (102, 103) in want  # boundary pairs exist
+    assert got == want, f"missing={want - got} extra={got - want}"

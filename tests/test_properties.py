@@ -204,3 +204,17 @@ def test_cdc_suffix_boundaries_resynchronize(data, prefix):
     if anchors:
         a = anchors[0]
         assert {c for c in base if c >= a} == {c for c in shifted if c >= a}
+
+
+def test_incr_agg_boundary_cutoffs(spark, sf_dir, monkeypatch):
+    """MV-maintenance law: snapshot ⊕ delta must equal full recompute at
+    ANY cutoff — including the degenerate ones (empty snapshot, empty
+    delta).  The oracle sweep pins one interior cutoff; this pins both
+    edges, where a missing full-outer/coalesce would silently drop
+    every group."""
+    import frizzle_spark.plans.joins_extra as jx
+    from tests.oracle import assert_matches
+
+    for cutoff in ("2020-01-01 00:00:00", "2030-01-01 00:00:00"):
+        monkeypatch.setattr(jx, "INCR_CUTOFF", cutoff)
+        assert_matches(jx.qz17_incr_agg(spark, sf_dir), jx._INCR_AGG_ORACLE, sf_dir)
