@@ -1,0 +1,264 @@
+"""Graph analytics over the embedding similarity graph (north-star
+extension; the reference has no graph layer — its only graph-shaped
+notion is the source→sink topology wired in Init, reference
+frizzle.go:97-123).
+
+Two committed operators:
+
+* ``qz12_knn_graph`` — the exact directed k-nearest-neighbor graph over
+  the embedding corpus (every vector → its top-k cosine neighbors),
+  built with the same block-GEMM grid as the exact near-dup scan but
+  emitting per-row LOCAL top-k per grid cell, then one window for the
+  global top-k.  Fully oracle-backed (DuckDB brute-force rank).
+* ``qz25_pagerank`` — PageRank over that kNN graph (Page et al. 1999):
+  density/centrality scoring of corpus items, the classic
+  representativeness signal for coreset selection / curriculum
+  ordering in training-data curation.  Iterative join algebra
+  (Pregel-style), rows-only with a numpy power-iteration differential
+  gate in pytest.
+
+Scale notes: the kNN build shuffles packed block matrices (never row
+pairs) and each grid cell emits at most k candidates per row, so the
+global-top-k window receives O(n·k·B) skinny rows, not n².  PageRank
+state is one double per node; each round is two hash joins on the edge
+list (shuffle by node, then by dst) with ZERO per-round driver actions
+(fixed supersteps; dangling mass folds in as a 1-row broadcast) and
+lineage truncated by localCheckpoint every few rounds.
+At 100 TB the edge list comes from the ANN tier
+(qz12_ivf / qz12_ann_lsh candidates) instead of the exact grid; the
+iteration algebra is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from frizzle_spark.operators.similarity import (
+    NEARDUP_CHUNK_ROWS,
+    _corpus,
+    _corpus_size,
+    _n_blocks,
+    _pack_blocks,
+)
+from frizzle_spark.plans.registry import query
+
+KNN_K = 3
+PR_DAMPING = 0.85
+PR_ITERS = 12  # fixed-point residual ≤ 2·d^t ≈ 0.28 L1 upper bound; the
+# RANKING stabilizes much earlier (GraphX's staticPageRank ships 10 as
+# its documented default operating point)
+PR_CHECKPOINT_EVERY = 4  # truncate lineage / materialize every N rounds
+# (measured sf0.01 sweep: every-2 → 5.4 s, every-3 → 3.2 s, every-4 →
+# 2.9 s, every-6 → 4.1 s — and at ~12 unmaterialized rounds Catalyst's
+# tree-string printer stack-overflows, so deep no-checkpoint plans are
+# off the table entirely)
+
+_KNN_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+        FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rank
+        FROM scored
+    )
+    SELECT src, dst, round(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
+def knn_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """Exact directed kNN edge list (src, dst, cos_sim, rank).
+
+    Block-GEMM grid (upper-triangle of block pairs — the only shuffle
+    carries packed matrices), but unlike the threshold scan each cell
+    emits per-row LOCAL top-k in BOTH directions (A-rows vs B and
+    B-rows vs A; the diagonal cell reuses one GEMM for both).  The
+    global top-k per source then needs only a window over O(n·k·B)
+    candidate rows.  Local-then-global is lossless: every global
+    top-k neighbor of a row is the cell-local top-k of some cell.
+    """
+    corpus = _corpus(spark, sf_dir)
+    unit = corpus.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
+    )
+    n = _corpus_size(spark, sf_dir)
+    packed = _pack_blocks(unit, n, NEARDUP_CHUNK_ROWS)
+    a = packed.select(
+        F.col("blk").alias("b1"), F.col("ids").alias("ids1"), F.col("mat").alias("m1")
+    )
+    b = packed.select(
+        F.col("blk").alias("b2"), F.col("ids").alias("ids2"), F.col("mat").alias("m2")
+    )
+    n_blocks = _n_blocks(n, NEARDUP_CHUNK_ROWS)
+    n_tasks = min(
+        n_blocks * (n_blocks + 1) // 2, spark.sparkContext.defaultParallelism
+    )
+    grid = a.join(b, F.col("b1") <= F.col("b2")).repartition(n_tasks)
+
+    def local_topk(batches):  # pragma: no cover - executed on executors
+        import numpy as np
+        import pandas as pd
+
+        def emit(ids_q, ids_c, sims, out):
+            kk = min(k, sims.shape[1])
+            if kk == 0:
+                return
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = part.ravel()
+            vals = sims[rows, cols]
+            keep = np.isfinite(vals)  # masked self-loops in tiny blocks
+            out.append(
+                pd.DataFrame(
+                    {
+                        "src": np.repeat(ids_q, kk)[keep],
+                        "dst": ids_c[cols][keep],
+                        "cos_sim": vals[keep],
+                    }
+                )
+            )
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ids1 = np.asarray(row.ids1, dtype=np.int64)
+                ids2 = np.asarray(row.ids2, dtype=np.int64)
+                m1 = np.asarray(row.m1, dtype=np.float64).reshape(len(ids1), -1)
+                m2 = np.asarray(row.m2, dtype=np.float64).reshape(len(ids2), -1)
+                sims = m1 @ m2.T
+                if row.b1 == row.b2:
+                    np.fill_diagonal(sims, -np.inf)  # no self-loops
+                    emit(ids1, ids2, sims, out)
+                else:
+                    emit(ids1, ids2, sims, out)
+                    emit(ids2, ids1, sims.T, out)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = grid.mapInPandas(local_topk, schema="src long, dst long, cos_sim double")
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+@query("qz12_knn_graph", oracle=_KNN_ORACLE)
+def qz12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact directed top-{KNN_K} cosine neighbor graph for EVERY corpus
+    vector (q12_cosine_topk generalized from 10 probes to all n, without
+    the broadcast-probe shortcut).  Fully oracle-backed against the
+    DuckDB brute-force ranking."""
+    return knn_edges(spark, sf_dir)
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    n_iter: int = PR_ITERS,
+    checkpoint_every: int = PR_CHECKPOINT_EVERY,
+) -> DataFrame:
+    """Static (fixed-iteration) PageRank over an (src, dst) edge
+    DataFrame — GraphX ``staticPageRank`` semantics, as join algebra.
+
+    Per round: contributions = edges ⋈ ranks (shuffle by node) →
+    groupBy dst (shuffle by dst) → left-outer back onto the node set.
+    State is (node, rank) — two columns per node.  Fixed iteration
+    count, ZERO per-round driver actions: dangling mass is folded in
+    via one pre-computed dangling-node flag column (their rank re-
+    spreads uniformly), and lineage is truncated by ``localCheckpoint``
+    every ``checkpoint_every`` rounds — between checkpoints the rounds
+    fuse into one multi-join job, trading lineage depth for job-launch
+    overhead (measured 3× fewer jobs at equal shuffle volume).
+
+    Fixed iterations rather than a tolerance loop is deliberate: the
+    result is DETERMINISTIC (hash-stable run to run), the residual has
+    a closed-form bound (‖r_t − r*‖₁ ≤ 2·d^t), and at 100 TB a
+    convergence probe per round would serialize an extra driver action
+    into every superstep.  Σrank = 1 every round (teleport + dangling
+    redistribution keep it stochastic).
+    """
+    # Materialize the edge list ONCE — it feeds every superstep, and an
+    # unmaterialized edge plan (here: the kNN GEMM grid) would otherwise
+    # recompute per round.  At 100 TB the equivalent is writing the edge
+    # list to storage before iterating.
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (node, deg) with deg NULL ⇔ dangling — one table drives both the
+    # contribution split and the dangling-mass fold, no per-round action
+    nd = nodes.join(
+        outdeg, nodes["node"] == outdeg["src"], "left_outer"
+    ).select("node", "deg").localCheckpoint()
+    ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for it in range(n_iter):
+        # mass of dangling nodes this round, as a 1-row broadcast join
+        # (stays inside the job — not a .collect())
+        dmass = ranks.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
+        )
+        contrib = (
+            e.join(
+                ranks.where(F.col("deg").isNotNull()),
+                e["src"] == F.col("node"),
+            )
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nd.join(contrib, nd["node"] == contrib["dst"], "left_outer")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank")
+
+
+@query("qz25_pagerank", oracle=None)
+def qz25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact kNN similarity graph — which
+    corpus items sit in dense, well-connected neighborhoods (high rank)
+    vs isolated periphery (rank → teleport floor).  Rows-only
+    (iterative algorithm, not single-statement SQL); pytest gates:
+    numpy power-iteration differential running the IDENTICAL fixed
+    supersteps on identical edges, Σrank = 1, and a hub-vs-chain
+    synthetic graph.  Ranks are rounded to 9dp — float-sum noise lives
+    at ~1e-15, far below the rounding grid, so output is hash-stable
+    across runs."""
+    edges = knn_edges(spark, sf_dir)
+    return pagerank(edges).select("node", F.round("rank", 9).alias("rank"))

@@ -1,0 +1,81 @@
+"""Graph-analytics gates: the kNN graph is oracle-swept automatically
+(test_relational.test_oracle_match); here we pin PageRank against a
+numpy power iteration running the IDENTICAL supersteps, plus structural
+invariants on synthetic graphs (hub centrality, dangling-mass
+redistribution, stochasticity)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from frizzle_spark.operators.graph import (
+    KNN_K,
+    PR_DAMPING,
+    PR_ITERS,
+    knn_edges,
+    pagerank,
+)
+
+
+def _numpy_pagerank(edges, n_iter=PR_ITERS, d=PR_DAMPING):
+    """Reference power iteration — same supersteps as operators.graph."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = r[deg == 0].sum()
+        c = np.zeros(n)
+        for s, t in edges:
+            c[idx[t]] += r[idx[s]] / deg[idx[s]]
+        r = (1 - d) / n + d * (c + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_on_knn_graph(spark, sf_dir):
+    e = knn_edges(spark, sf_dir)
+    pairs = [(r["src"], r["dst"]) for r in e.select("src", "dst").collect()]
+    want = _numpy_pagerank(pairs)
+    got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    assert set(got) == set(want)
+    worst = max(abs(got[v] - want[v]) for v in want)
+    assert worst < 1e-12, f"max |spark - numpy| = {worst:.3e}"
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_beats_periphery(spark):
+    """Star + chain: the hub every spoke points at must out-rank every
+    spoke, and a two-hop feeder chain ranks between."""
+    edges = [(i, 0) for i in range(1, 8)] + [(100, 1), (101, 100)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    assert got[0] == max(got.values())
+    assert got[1] > got[101]  # fed spoke beats unfed feeder
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Node 0 is dangling (no out-edges).  Its mass must re-spread, not
+    vanish: Σrank stays 1 and the numpy twin agrees exactly."""
+    edges = [(1, 0), (2, 0), (1, 2), (2, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    want = _numpy_pagerank(edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
+def test_knn_graph_degree_invariant(spark, sf_dir):
+    """Every corpus vector emits exactly k edges with ranks 1..k (the
+    corpus is larger than k everywhere), and no self-loops."""
+    rows = knn_edges(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r["rank"])
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, KNN_K + 1)), (src, ranks)

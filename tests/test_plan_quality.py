@@ -17,6 +17,7 @@ import frizzle_spark.plans.joins_extra  # noqa: F401
 import frizzle_spark.plans.multimodal_queries  # noqa: F401
 import frizzle_spark.plans.relational  # noqa: F401
 import frizzle_spark.operators.similarity  # noqa: F401
+import frizzle_spark.operators.graph  # noqa: F401
 import frizzle_spark.plans.sql_surface  # noqa: F401
 import frizzle_spark.plans.text_queries  # noqa: F401
 import frizzle_spark.plans.windows  # noqa: F401
