@@ -935,3 +935,211 @@ def qz23_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ref_checks)
         .select("check_name", "violations", (F.col("violations") == 0).alias("passed"))
     )
+
+
+# ---------------------------------------------------------------------------
+# qz22_weighted_sample — deterministic weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_N = 200
+WEIGHTED_SAMPLE_SEED = 17
+_TWO60 = float(1 << 60)
+
+_WEIGHTED_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(greatest(coalesce(n_chars, 1), 1) AS BIGINT) AS weight,
+               round(
+                   ln((('0x' || substring(
+                            md5(CAST(doc_id AS VARCHAR) || ':{WEIGHTED_SAMPLE_SEED}'),
+                            1, 15))::UBIGINT + 1) / {_TWO60})
+                   / greatest(coalesce(n_chars, 1), 1), 6) AS es_key
+        FROM documents
+    )
+    SELECT doc_id, source, weight, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_N}
+    """
+
+
+@query("qz22_weighted_sample", oracle=_WEIGHTED_ORACLE)
+def qz22_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — pick
+    {WEIGHTED_SAMPLE_N} documents with probability proportional to
+    length (the quality/importance-weighted corpus subset every
+    curriculum or rebalancing pass needs), reproducible on any engine.
+
+    Algorithm A-Res (Efraimidis & Spirakis, IPL 2006): each item draws
+    u ∈ (0,1] and ranks by u^(1/w) — equivalently by ln(u)/w, which is
+    monotone and numerically tamer.  u comes from the md5 hex prefix
+    (the repo's engine-stable uniform — same construction as
+    qz22_hash_split / token_budget), so the "random" draw is a pure
+    function of (doc_id, seed) and both engines compute the identical
+    key.  The key is rounded to 6dp BEFORE the top-N with doc_id as
+    tiebreak — selection never rides a last-ulp libm ln divergence
+    (the qz14_bm25 lesson, ADVICE r5).
+
+    Plan: one codegen pass for the key, then TakeOrderedAndProject —
+    a per-partition heap of N + one N-row driver merge, NO global sort
+    shuffle.  At 100 TB that is the difference between a top-N and
+    sorting the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.greatest(F.coalesce(F.col("n_chars"), F.lit(1)), F.lit(1)).cast("long")
+    hex15 = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.lit(str(WEIGHTED_SAMPLE_SEED))
+            )
+        ),
+        1,
+        15,
+    )
+    u = (F.conv(hex15, 16, 10).cast("long") + 1) / F.lit(_TWO60)
+    key = F.round(F.log(u) / w, 6)
+    return (
+        docs.select("doc_id", "source", w.alias("weight"), key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz23_correlation — grouped correlation/regression from exact moments
+# ---------------------------------------------------------------------------
+
+_CORR_T0 = "2024-01-01 00:00:00"
+
+_CORR_ORACLE = f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM (
+            SELECT event_type,
+                   CAST(datediff('second', TIMESTAMP '{_CORR_T0}', ts) AS BIGINT) AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        )
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                          * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)),
+                          0.0), 6) AS corr_xy,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM m
+    """
+
+
+@query("qz23_correlation", oracle=_CORR_ORACLE)
+def qz23_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream correlation + least-squares trend of value vs time —
+    the "is this metric drifting with time" profiling pass, computed
+    from EXACT integer moments so two engines agree bit-for-bit.
+
+    Float aggregation order is nondeterministic under parallel sums, so
+    corr()/regr_slope() built-ins can differ in the last ulp run-to-run
+    and engine-to-engine.  Instead: x = whole seconds since {_CORR_T0}
+    (≤2.6e6, so Σx² ≤ ~1.4e16 stays in int64), y = integer cents; the
+    five moments are exact BIGINT sums (order-independent), and
+    corr/slope/intercept are then the same correctly-rounded IEEE
+    double expression over identical integers on both engines.  One
+    aggregate pass, map-side combinable — the moments ARE the mergeable
+    sketch, the same algebra qz17_incr_agg merges across snapshots.
+    Degenerate groups (zero variance) yield NULL via nullif, not an
+    ANSI division error.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lit(_CORR_T0).cast("timestamp"))
+    ).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    m = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    cov_n = n * sxy - sx * sy
+    var_x = F.greatest(n * sxx - sx * sx, F.lit(0.0))
+    var_y = F.greatest(n * syy - sy * sy, F.lit(0.0))
+    slope = cov_n / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            cov_n / F.nullif(F.sqrt(var_x) * F.sqrt(var_y), F.lit(0.0)), 6
+        ).alias("corr_xy"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz23_dup_profile — per-source corpus-health duplication report
+# ---------------------------------------------------------------------------
+
+_DUP_PROFILE_ORACLE = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_rows,
+           round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
+               AS dup_rate
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY source
+    """
+
+
+@query("qz23_dup_profile", oracle=_DUP_PROFILE_ORACLE)
+def qz23_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate report — the corpus-health number a
+    curation pipeline tracks per ingest source (a source whose dup_rate
+    jumps is re-crawling itself or replaying a feed).
+
+    One aggregate pass: exact distinct on the 128-bit content hash
+    inside the same groupBy as the row count (hash first, so the
+    distinct shuffles 16-byte fingerprints, never document text).
+    Fully oracle-backed.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        docs.select("source", F.md5(F.encode("text", "UTF-8")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_rows"),
+            F.round(
+                1.0 - F.countDistinct("fp") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )

@@ -783,3 +783,97 @@ def qz14_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.extract_urls(txt)).cast("long").alias("n_links"),
         T.extract_urls(txt).alias("links"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz14_tfidf_keywords — per-document keyword extraction by tf-idf
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_TERMS = 3
+
+_TFIDF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+        WHERE trim(text) <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY term
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * (ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                                 / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0),
+                     6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_TERMS}
+    """
+
+
+@query("qz14_tfidf_keywords", oracle=_TFIDF_ORACLE)
+def qz14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_TERMS} tf-idf keywords per document — the classic
+    document-signature / tagging pass (Salton & Buckley 1988 weighting,
+    smoothed idf = ln((N+1)/(df+1)) + 1 so no term hits idf 0).
+
+    Plan: one (doc, term) count shuffle for tf; term document-frequency
+    is a VOCABULARY-sized aggregate that joins back broadcast (a natural
+    corpus has ~1e5-1e7 terms — always the small side against a 100 TB
+    token stream); N is a 1-row broadcast; per-doc top-k is
+    WindowGroupLimit (rank pushed into the shuffle, never a full sort
+    per group).  Scores are rounded BEFORE the rank so selection never
+    rides a last-ulp ln divergence between engines (the bm25 lesson).
+    Fully oracle-backed via the pytest differential sweep.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + 1.0)
+                        / (F.col("df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )

@@ -308,3 +308,81 @@ def test_skew_agg_two_exchanges_narrow_rows(plan_of):
     phys = plan[plan.rindex("== Physical Plan ==") :]
     assert phys.count("Exchange hashpartitioning") == 2
     assert "Join" not in phys and "CartesianProduct" not in phys
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime-filter machinery for the 100 TB fact⋈filtered-dim shape:
+    when the dim side carries a selective predicate and broadcast is
+    off (too big to broadcast at scale), Catalyst should inject a bloom
+    filter — build `bloom_filter_agg` over the dim keys, apply
+    `might_contain` on the fact scan — so the big side is pruned
+    BEFORE the shuffle.  Thresholds are scoped down because the local
+    corpus is tiny; at production scale the defaults (10 MB creation /
+    10 GB application) gate it to exactly this shape."""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.sources.tables import load_table
+
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter built on the dim side"
+        assert "might_contain" in plan, "bloom filter not applied to the fact side"
+        assert j.count() > 0  # and the filtered plan still answers
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Hive-layout complement to the bloom-filter gate: when the fact
+    table is directory-partitioned on the join key and the dim side
+    carries a filter on another column, Catalyst must inject a
+    dynamicpruning#N subquery into the fact SCAN — at 100 TB this skips
+    whole partition directories at file-listing time, before any IO.
+    (The dim must be a real scan — a local-relation dim defeats DPP's
+    benefit estimation; that shape is itself pinned here by contrast.)"""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.sources.tables import load_table
+
+    d = str(tmp_path)
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").parquet(
+        f"{d}/ev"
+    )
+    spark.createDataFrame(
+        [(t, i) for i, t in enumerate(["purchase", "signup", "view", "click", "error"])],
+        "event_type string, type_id long",
+    ).write.parquet(f"{d}/dim")
+    part = spark.read.parquet(f"{d}/ev")
+    dim = spark.read.parquet(f"{d}/dim").where(F.col("type_id") == 0)
+    j = part.join(dim, "event_type").agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP subquery not injected"
+    # and the pruned plan still answers exactly: only 'purchase' rows
+    want = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert j.collect()[0]["n"] == want

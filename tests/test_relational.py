@@ -235,3 +235,45 @@ def test_cdc_merge_all_four_outcomes(spark, tmp_path):
     assert rows[3]["change"] == "unchanged" and rows[3]["balance"] == 30.0
     assert rows[99]["change"] == "inserted" and rows[99]["balance"] == 5.5
     assert rows[99]["c_name"] is None
+
+
+def test_weighted_sample_heavy_doc_always_included(spark, tmp_path):
+    """A-Res law: a document whose weight dwarfs the rest is (for any
+    fixed seed, deterministically) in the sample — its key ln(u)/w sits
+    at ~-1e-9 while unit-weight keys sit near -1."""
+    out = str(tmp_path / "wcorpus")
+    rows = [(i, f"text {i}", "en", "src", 1) for i in range(300)]
+    rows.append((9999, "whale", "en", "src", 10**9))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+    got = {r["doc_id"] for r in REGISTRY["qz22_weighted_sample"].fn(spark, out).collect()}
+    assert 9999 in got
+    assert len(got) == 200
+
+
+def test_correlation_exact_linear_series(spark, tmp_path):
+    """y = 2x + 5 exactly (in cents) ⇒ corr 1.0 and slope 2·cents after
+    rounding; a sign-flipped stream gives corr -1.  Pins the moment
+    algebra end-to-end on data where the answer is closed-form."""
+    import datetime as dt
+
+    out = str(tmp_path / "ccorpus")
+    t0 = dt.datetime(2024, 1, 1)
+    ev = []
+    for i in range(100):
+        ts = t0 + dt.timedelta(seconds=i * 60)
+        ev.append((i, ts, 1, "up", (2 * (i * 60) + 5) / 100.0, "{}"))
+        ev.append((1000 + i, ts, 2, "down", (-3 * (i * 60) + 7) / 100.0, "{}"))
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        f"{out}/events.parquet"
+    )
+    rows = {r["event_type"]: r for r in REGISTRY["qz23_correlation"].fn(spark, out).collect()}
+    assert rows["up"]["corr_xy"] == 1.0 and rows["up"]["slope"] == 2.0
+    assert rows["down"]["corr_xy"] == -1.0 and rows["down"]["slope"] == -3.0
