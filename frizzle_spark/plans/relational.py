@@ -801,3 +801,52 @@ def q5_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz8_hof_battery — the remaining array higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qz8_hof_battery",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(ws, w -> length(w) > 5)) AS BIGINT) AS n_long,
+           len(list_filter(ws, w -> w LIKE 's%')) > 0               AS any_s,
+           len(list_filter(ws, w -> length(w) = 0)) = 0             AS all_nonempty,
+           CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_len,
+           list_sort(ws)[1]                                         AS alpha_first,
+           array_to_string(list_reverse_sort(ws)[1:2], ' ')         AS alpha_last_two
+    FROM t
+    """,
+)
+def qz8_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array higher-order functions q8_array_map leaves out:
+    ``filter`` / ``exists`` / ``forall`` / ``transform``+``array_max``
+    / ``sort_array`` both directions — completing the §2.2 scalar-fn
+    row's lambda surface.  All JVM codegen (lambdas compile into the
+    same whole-stage span as ordinary expressions — zero Python), so
+    the battery is one map-only pass at any scale.  Fully
+    oracle-backed (DuckDB list_* twins).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select("doc_id", ws.alias("ws"))
+    return t.select(
+        "doc_id",
+        F.size(F.filter("ws", lambda w: F.length(w) > 5)).cast("long").alias("n_long"),
+        F.exists("ws", lambda w: w.startswith("s")).alias("any_s"),
+        F.forall("ws", lambda w: F.length(w) != 0).alias("all_nonempty"),
+        F.array_max(F.transform("ws", lambda w: F.length(w).cast("long"))).alias(
+            "max_len"
+        ),
+        F.sort_array("ws").getItem(0).alias("alpha_first"),
+        F.concat_ws(" ", F.slice(F.sort_array("ws", asc=False), 1, 2)).alias(
+            "alpha_last_two"
+        ),
+    )

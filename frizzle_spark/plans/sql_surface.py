@@ -1143,3 +1143,105 @@ def qz23_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qz22_score_calibrate — cross-source score calibration by quantile rank
+# ---------------------------------------------------------------------------
+
+_CALIBRATE_ORACLE = """
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id), 6) AS pct_in_source
+    FROM documents
+    """
+
+
+@query("qz22_score_calibrate", oracle=_CALIBRATE_ORACLE)
+def qz22_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: replace each document's raw
+    quality signal with its QUANTILE RANK within its own source.  Raw
+    scores are not comparable across heterogeneous sources (a mid-tier
+    web page outscores a top-tier forum post on absolute features);
+    rank-normalizing per source makes one global keep-threshold
+    meaningful — the standard fix before mixture sampling.
+
+    percent_rank = (rank-1)/(n-1) is an exact rational of integers, so
+    both engines agree bit-for-bit; doc_id breaks ordering ties
+    deterministically.  One shuffle by source; skewed source sizes are
+    AQE's problem, not a plan rewrite.  Fully oracle-backed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_in_source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz10_lateness_audit — per-key out-of-orderness (watermark sizing input)
+# ---------------------------------------------------------------------------
+
+_LATENESS_ORACLE = """
+    WITH lagged AS (
+        SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS high_water
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CASE WHEN ts < high_water THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_out_of_order,
+           CAST(coalesce(max(CASE WHEN ts < high_water
+                                  THEN datediff('second', ts, high_water) END), 0)
+                AS BIGINT) AS max_lateness_s
+    FROM lagged
+    GROUP BY user_id
+    """
+
+
+@query("qz10_lateness_audit", oracle=_LATENESS_ORACLE)
+def qz10_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How disordered is the stream, per key?  For each event: is its
+    event-time BEHIND the running high-water mark of what already
+    arrived (arrival order = event_id), and by how many seconds.  The
+    per-key max lateness IS the number that sizes
+    ``withWatermark``/``dropDuplicatesWithinWatermark`` delays — set
+    the watermark below it and those events silently drop; far above
+    it and state lingers.  Measured, not guessed (the SCALE.md
+    state-sizing rule made executable).
+
+    One window per user_id (shuffle by key — never a global ordering
+    window) + one groupBy on the same key, which AQE collapses onto the
+    window's partitioning.  Lateness in whole seconds is integer-exact
+    on both engines.  Fully oracle-backed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    z = F.lit(0).cast("long")
+    lateness_s = (
+        F.unix_timestamp("high_water") - F.unix_timestamp("ts")
+    ).cast("long")
+    return (
+        ev.select("user_id", "ts", F.max("ts").over(w).alias("high_water"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < F.col("high_water"), 1).otherwise(0)), z
+            ).cast("long").alias("n_out_of_order"),
+            F.coalesce(
+                F.max(F.when(F.col("ts") < F.col("high_water"), lateness_s)), z
+            ).cast("long").alias("max_lateness_s"),
+        )
+    )

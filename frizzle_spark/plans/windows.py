@@ -581,3 +581,55 @@ def qz10_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) >= ANOMALY_Z).cast("long").alias("anomalous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz5_forward_fill — last-observation-carried-forward per key
+# ---------------------------------------------------------------------------
+
+_FFILL_ORACLE = """
+    WITH masked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE round(value, 2) END AS reading
+        FROM events
+    )
+    SELECT user_id, event_id, reading,
+           last_value(reading IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled
+    FROM masked
+    """
+
+
+@query("qz5_forward_fill", oracle=_FFILL_ORACLE)
+def qz5_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward) per key:
+    the time-series repair primitive for sensor gaps / failed readings.
+    Here ``error`` events mask their value to NULL and each key's gap
+    inherits the latest non-null reading at or before it (leading gaps
+    stay NULL — LOCF never invents data).
+
+    ``last(..., ignorenulls=True)`` over a running per-key frame is the
+    whole operator — one shuffle by user_id, sort within partition,
+    single window pass; DuckDB's ``last_value(x IGNORE NULLS)`` is the
+    exact twin.  (ts, event_id) ordering makes the fill deterministic
+    under equal timestamps.  Fully oracle-backed.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    reading = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.round("value", 2)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", reading.alias("reading"))
+        .withColumn("filled", F.last("reading", ignorenulls=True).over(w))
+        .drop("ts")
+    )

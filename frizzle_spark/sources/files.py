@@ -132,3 +132,28 @@ def scan_avro(spark: SparkSession, path: str) -> DataFrame:
             "(spark-submit --packages org.apache.spark:spark-avro_2.13:...); "
             "not bundled in OSS Spark"
         ) from exc
+
+
+def scan_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media ingestion: Spark's ``binaryFile`` source reads a
+    directory of opaque files into (path, modificationTime, length,
+    content binary) — the entry point that turns a crawl dump of
+    images/audio into the Q15 multimodal table shape
+    (content → ``media`` column + typed metadata; see
+    plans/multimodal_queries.py).
+
+    Scale notes: each file becomes one row read by whatever task owns
+    it — no splitting, so MANY SMALL FILES is the failure mode
+    (driver-side file listing + one task per tiny file).  Production
+    pattern: binaryFile-ingest ONCE, immediately rewrite as parquet
+    with the binary payload inline (≤ a few MB each) or as pointers,
+    then all downstream passes scan parquet.  ``pathGlobFilter``
+    pushes the extension filter into the LISTING, not a post-scan
+    filter.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

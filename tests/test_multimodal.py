@@ -222,3 +222,32 @@ def test_real_decode_default_off(monkeypatch):
     assert mm.real_decode_enabled() is False
     monkeypatch.setenv(mm.REAL_DECODE_ENV, "1")
     assert mm.real_decode_enabled() is True
+
+
+def test_binary_file_ingestion_feeds_media_pipeline(spark, tmp_path):
+    """binaryFile → multimodal-table shape → dHash kernel end-to-end:
+    drop raw files in a directory, ingest with pathGlobFilter pushed
+    into the listing, and run the real phash kernel over the ingested
+    content — the crawl-dump entry path for Q15."""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.functions.multimodal import make_phash_kernel
+    from frizzle_spark.sources.files import scan_binary_files
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    payloads = {f"img_{i}.bin": bytes([i]) * (64 + i) for i in range(5)}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+    (d / "ignore.txt").write_text("not media")
+
+    df = scan_binary_files(spark, str(d), glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 5  # the .txt never entered the listing
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rows}
+    assert got == payloads
+    media = df.select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("payload")
+    )
+    hashed = media.mapInPandas(make_phash_kernel(), "doc_id long, phash long")
+    assert hashed.where("phash IS NOT NULL").count() == 5

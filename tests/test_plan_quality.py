@@ -386,3 +386,34 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         .count()
     )
     assert j.collect()[0]["n"] == want
+
+
+def test_weighted_sample_is_take_ordered(plan_of):
+    """Weighted sampling must be a top-N heap (TakeOrderedAndProject),
+    never a global sort shuffle."""
+    plan = plan_of("qz22_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_tfidf_topk_uses_window_group_limit_and_broadcasts(plan_of):
+    """Per-doc top-3 must push the rank limit into the shuffle
+    (WindowGroupLimit) and the vocabulary df join must broadcast."""
+    plan = plan_of("qz14_tfidf_keywords")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lateness_audit_single_exchange(plan_of):
+    """Window and groupBy share the user_id key — AQE must plan ONE
+    exchange, not two."""
+    plan = plan_of("qz10_lateness_audit")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+
+
+def test_forward_fill_single_exchange(plan_of):
+    """LOCF is one window pass: exactly one hash exchange by key."""
+    plan = plan_of("qz5_forward_fill")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("Exchange hashpartitioning") == 1, phys
