@@ -438,3 +438,69 @@ def qz13_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
     return spark.table(name)
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def run_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """qz13_stream_counts on Spark 4's ``transformWithStateInPandas``
+    (state v2) — same per-key running totals, same single-batch
+    availableNow replay, same batch-GROUP-BY oracle, but through the
+    successor stateful API with named ValueState on a RocksDB store.
+    Running BOTH APIs against one oracle pins that the custom-state
+    surface migrates without semantic drift (applyInPandasWithState is
+    the legacy path).
+
+    NOT a registry query: the state-v2 Python protocol needs
+    ``google.protobuf``, which this sandbox does not ship — the pytest
+    gate import-skips when protobuf is absent (the same env-gated
+    posture as the live-Kafka round-trip; registry queries must stay
+    total).  RocksDB matters at 100 TB independent of the API: state
+    lives off-heap with incremental changelog checkpointing, so
+    key-state volume is bounded by disk, not executor heap.  The
+    provider conf is scoped to this query and restored.
+    """
+    from frizzle_spark.streaming.analytics import running_counts_tws
+
+    enable_nanos_scan(spark)
+    raw = (
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = running_counts_tws(
+        normalize_events_ts(raw).select("user_id", "value")
+    )
+    import os
+
+    state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prior_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    name = f"qz13_tws_{_stable_suffix(sf_dir)}"
+    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("run_stream_tws: stream did not drain in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        if prior_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior_provider
+            )
+    return spark.table(name)

@@ -164,3 +164,46 @@ def interval_join(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, "inner")
+
+
+def running_counts_tws(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """The same running (count, sum) state machine as
+    :func:`running_counts`, on Spark 4's ``transformWithStateInPandas``
+    — the successor stateful API (SPARK-49564 "state v2"): named state
+    variables (value/list/map) instead of one opaque tuple, optional
+    per-state TTL, event/processing-time timers, and a RocksDB-backed
+    store.  Keeping both operators pins that the engine's custom-state
+    surface survives the API migration with identical semantics (the
+    pytest gate runs them against the same replay and the same batch
+    GROUP BY oracle).
+
+    Requires the RocksDB state-store provider — the caller scopes
+    ``spark.sql.streaming.stateStore.providerClass`` for the query (the
+    HDFS-backed default store does not support state v2).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            prev = self._totals.get() if self._totals.exists() else None
+            n, total = prev if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_events": [n], "sum_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningCounts(),
+        outputStructType="key long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -258,3 +258,19 @@ def test_interval_join_rocksdb_processing_time_trigger(spark, replay_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_stream_tws_matches_batch_oracle(spark, sf_dir):
+    """State-v2 (transformWithStateInPandas) twin of the stream_counts
+    gate: same replay, same batch GROUP BY oracle.  The v2 Python
+    protocol needs google.protobuf, which the sandbox does not ship —
+    import-skip mirrors the live-Kafka posture; wherever protobuf
+    exists this runs for real against RocksDB."""
+    pytest.importorskip("google.protobuf")
+    from frizzle_spark.plans.streaming_queries import (
+        _STREAM_COUNTS_ORACLE,
+        run_stream_tws,
+    )
+    from tests.oracle import assert_matches
+
+    assert_matches(run_stream_tws(spark, sf_dir), _STREAM_COUNTS_ORACLE, sf_dir)
