@@ -1,0 +1,170 @@
+"""Persisted ANN index: the IVF inverted lists written to parquet as a
+PARTITION LAYOUT, so probing is a partition-pruned scan (north-star
+extension; the reference persists nothing — its whole state is
+in-memory channels, reference basic/source.go:34-53).
+
+The in-session ANN tiers (operators/similarity.py) re-derive the
+quantizer and re-assign the corpus per query.  That is the right shape
+for a one-shot query, and the wrong one for a serving corpus searched
+thousands of times: at 100 TB you build the index ONCE —
+
+* ``index/centroids.parquet`` — K rows (cluster, centroid); K ≈ √n, so
+  even a billion-vector corpus stores ~30k small rows — always
+  collectable, always broadcastable;
+* ``index/lists/cluster=<c>/…`` — the corpus unit vectors written
+  ``partitionBy("cluster")``: the inverted list IS the directory
+  layout, exactly the same mechanism as the minhash band index
+  (operators/dedup.materialize_minhash_index) and the hive-layout
+  pruning gates.
+
+and every search is: nearest-nprobe clusters computed driver-side
+against the tiny centroid table, then ONE scan whose
+``cluster IN (…)`` predicate prunes to nprobe directories at
+file-listing time (the pytest gate asserts the scan's PartitionFilters
+and that only the probed directories' files are read).  Search cost is
+O(nprobe/K of the corpus) in IO, not just in compute.
+
+Same quantizer, same assignment kernel, same re-ranking as qz12_ivf —
+the pytest gate checks a from-index search returns the IDENTICAL
+result set as the in-session IVF query at equal parameters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from frizzle_spark.functions import vectors as V
+from frizzle_spark.operators.similarity import (
+    TOP_K,
+    _ivf_train,
+)
+
+
+def materialize_ivf_index(spark: SparkSession, sf_dir: str, base_path: str) -> dict:
+    """Build and persist the IVF index for the sf_dir embedding corpus.
+
+    Returns the metadata dict also written to ``index_meta.json``
+    (k, nprobe, n_vectors, dim).  Training is the SAME bounded-sample
+    deterministic k-means as the in-session tier (similarity._ivf_train)
+    so an index built today reproduces the session query bit-for-bit.
+    """
+    trained = _ivf_train(spark, sf_dir)
+    os.makedirs(base_path, exist_ok=True)
+    if trained is None:  # empty corpus → empty but well-formed index
+        meta = {"k": 0, "nprobe": 0, "n_vectors": 0, "dim": 0}
+        with open(os.path.join(base_path, "index_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        return meta
+    unit, sample, x, cent, pid, pu, top_clusters = trained
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def assign(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        c = bc_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["u"].map(np.asarray))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": (u @ c.T).argmax(axis=1).astype(np.int32),
+                    "u": pdf["u"],
+                }
+            )
+
+    clustered = unit.mapInPandas(assign, "vec_id long, cluster int, u array<double>")
+    clustered.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(base_path, "lists")
+    )
+    cent_rows = [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)]
+    spark.createDataFrame(
+        cent_rows, "cluster int, centroid array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(base_path, "centroids"))
+    nprobe = top_clusters.shape[1]
+    meta = {
+        "k": int(len(cent)),
+        "nprobe": int(nprobe),
+        "n_vectors": int(unit.count()),
+        "dim": int(cent.shape[1]),
+    }
+    with open(os.path.join(base_path, "index_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def probed_lists_scan(
+    spark: SparkSession, base_path: str, probe_vecs: "np.ndarray", nprobe: int
+) -> tuple[DataFrame, "np.ndarray"]:
+    """(pruned lists scan, per-probe cluster matrix).  Exposed so the
+    pruning pytest gate can inspect the scan before the join."""
+    cent_rows = (
+        spark.read.parquet(os.path.join(base_path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cent = np.asarray([r["centroid"] for r in cent_rows])
+    top_clusters = np.argsort(-(probe_vecs @ cent.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in top_clusters for c in row})
+    lists = spark.read.parquet(os.path.join(base_path, "lists"))
+    return lists.where(F.col("cluster").isin(wanted)), top_clusters
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    base_path: str,
+    probes: DataFrame,
+    k: int = TOP_K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Top-k cosine search against the persisted index.
+
+    ``probes``: (probe_id long, pu array<double>) unit query vectors.
+    Plan: centroids collected (K ≈ √n rows), probe→cluster routing
+    computed driver-side, lists scan pruned to the probed partitions,
+    broadcast hash join probes⋈lists on cluster, numpy-free JVM dot
+    re-ranking — identical scoring to qz12_ivf.
+    """
+    with open(os.path.join(base_path, "index_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta["k"] == 0:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cos_sim double, rank long"
+        )
+    if nprobe is None:
+        nprobe = meta["nprobe"]
+    probe_rows = probes.collect()  # bounded: probe sets are small by contract
+    pids = [r["probe_id"] for r in probe_rows]
+    pu = np.asarray([r["pu"] for r in probe_rows])
+    pruned, top_clusters = probed_lists_scan(spark, base_path, pu, nprobe)
+    probe_buckets = spark.createDataFrame(
+        [
+            (int(p), int(c), [float(v) for v in vec])
+            for p, vec, row in zip(pids, pu, top_clusters)
+            for c in row
+        ],
+        "probe_id long, cluster int, pu array<double>",
+    )
+    scored = (
+        pruned.join(F.broadcast(probe_buckets), "cluster")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos_sim", V.dot(F.col("pu"), F.col("u")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

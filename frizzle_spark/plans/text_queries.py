@@ -877,3 +877,92 @@ def qz14_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOP_TERMS)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# qz14_classifier_score — linear quality-classifier scoring (model inference
+# as codegen)
+# ---------------------------------------------------------------------------
+
+# Stand-in for published fastText-style quality-classifier weights
+# (the CCNet/FineWeb "model filter" stage): fixed public constants over
+# interpretable features, so inference is reproducible on any engine.
+CLF_WEIGHTS = (2.0, -8.0, 0.35, -0.15)
+CLF_BIAS = -1.2
+
+_CLF_ORACLE = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               round(len(regexp_extract_all(lower(text), '{T.LANG_STOPWORDS["en"]}'))
+                     / CAST(len(string_split_regex(trim(text), '{T.WS_RE}')) AS DOUBLE),
+                     6) AS f_stop,
+               round(len(regexp_extract_all(text, '{T.PUNCT_RE}'))
+                     / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_punct,
+               round(ln(1.0 + len(string_split_regex(trim(text), '{T.WS_RE}'))), 6)
+                   AS f_logwc,
+               round(list_sum(list_transform(string_split_regex(trim(text), '{T.WS_RE}'),
+                                             w -> length(w)))
+                     / CAST(len(string_split_regex(trim(text), '{T.WS_RE}')) AS DOUBLE),
+                     6) AS f_aww
+        FROM documents
+        WHERE text IS NOT NULL
+    )
+    SELECT doc_id, f_stop, f_punct, f_logwc, f_aww,
+           round(1.0 / (1.0 + exp(-({CLF_WEIGHTS[0]} * f_stop
+                                     + {CLF_WEIGHTS[1]} * f_punct
+                                     + {CLF_WEIGHTS[2]} * f_logwc
+                                     + {CLF_WEIGHTS[3]} * f_aww
+                                     + {CLF_BIAS}))), 6) AS clf_score
+    FROM feats
+    """
+
+
+@query("qz14_classifier_score", oracle=_CLF_ORACLE)
+def qz14_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference as a map-only pass: a linear quality classifier
+    (the fastText-filter stage every public LLM-data pipeline runs —
+    CCNet, RedPajama, FineWeb) scored entirely in whole-stage codegen.
+
+    Features (stopword ratio, punctuation density, log word count,
+    mean word length) are each rounded to 6dp BEFORE the dot product so
+    both engines feed the sigmoid identical doubles; weights live in a
+    broadcast-style literal array and the dot product is
+    ``zip_with`` + ``aggregate`` — the exact shape a real exported
+    linear model (N weights instead of 4) would use, with the weights
+    array coming from a broadcast variable instead of a literal.  No
+    UDF, no Python: scoring a 100 TB corpus is one scan at IO speed.
+    Fully oracle-backed.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    txt = F.col("text")
+    ws = T.words(txt)
+    wc = F.size(ws).cast("double")
+    f_stop = F.round(T.stopword_count(txt, "en") / wc, 6)
+    f_punct = F.round(
+        T.punct_count(txt) / F.greatest(F.length(txt), F.lit(1)).cast("double"), 6
+    )
+    f_logwc = F.round(F.log(1.0 + wc), 6)
+    f_aww = F.round(
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        / wc,
+        6,
+    )
+    feats = docs.select(
+        "doc_id",
+        f_stop.alias("f_stop"),
+        f_punct.alias("f_punct"),
+        f_logwc.alias("f_logwc"),
+        f_aww.alias("f_aww"),
+    )
+    x = F.array("f_stop", "f_punct", "f_logwc", "f_aww")
+    w = F.array(*[F.lit(v) for v in CLF_WEIGHTS])
+    z = F.aggregate(
+        F.zip_with(x, w, lambda xi, wi: xi * wi),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) + F.lit(CLF_BIAS)
+    return feats.withColumn("clf_score", F.round(1.0 / (1.0 + F.exp(-z)), 6))

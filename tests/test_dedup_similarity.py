@@ -602,3 +602,48 @@ def test_ppjoin_equals_bruteforce_random_sets(spark):
             want.add((a, b))
     assert (100, 101) in want and (102, 103) in want  # boundary pairs exist
     assert got == want, f"missing={want - got} extra={got - want}"
+
+
+def test_persisted_ivf_index_matches_session_ivf(spark, sf_dir, tmp_path):
+    """Index-once / search-many: a search against the parquet-persisted
+    IVF index must return the IDENTICAL result set as the in-session
+    qz12_ivf query (same deterministic quantizer, same probes, same
+    re-ranking), and the lists scan must actually prune — only the
+    probed cluster directories' files may be read."""
+    from frizzle_spark.operators import ann_index as ai
+    from frizzle_spark.operators.similarity import _ivf_train
+
+    base = str(tmp_path / "ivf_index")
+    meta = ai.materialize_ivf_index(spark, sf_dir, base)
+    assert meta["k"] > 0 and meta["nprobe"] > 0
+
+    trained = _ivf_train(spark, sf_dir)
+    unit, sample, x, cent, pid, pu, top_clusters = trained
+    probes = spark.createDataFrame(
+        [(int(p), [float(v) for v in vec]) for p, vec in zip(pid, pu)],
+        "probe_id long, pu array<double>",
+    )
+    got = {
+        (r["probe_id"], r["neighbor_id"], r["rank"])
+        for r in ai.search_ivf_index(spark, base, probes).collect()
+    }
+    want = {
+        (r["probe_id"], r["neighbor_id"], r["rank"])
+        for r in REGISTRY["qz12_ivf"].fn(spark, sf_dir).collect()
+    }
+    assert got == want, f"index vs session drift: {got ^ want}"
+
+    # pruning: the scan must carry a PartitionFilter on cluster (the
+    # directory-skip mechanism; DataFrame.inputFiles() ignores pushed
+    # filters so it can't witness this), the probed set must be a
+    # strict subset of all lists, and the pruned scan's row count must
+    # equal reading ONLY the probed directories off disk.
+    pruned, top = ai.probed_lists_scan(spark, base, pu, meta["nprobe"])
+    wanted = {int(c) for row in top for c in row}
+    assert len(wanted) < meta["k"], "probe set degenerately covers every list"
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan, plan
+    direct = sum(
+        spark.read.parquet(f"{base}/lists/cluster={c}").count() for c in wanted
+    )
+    assert pruned.count() == direct
