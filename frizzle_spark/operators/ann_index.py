@@ -168,3 +168,50 @@ def search_ivf_index(
             "rank",
         )
     )
+
+
+def assign_clusters(
+    spark: SparkSession, base_path: str, vecs: DataFrame
+) -> DataFrame:
+    """(vec_id, u) → (vec_id, cluster, u) against the PERSISTED
+    centroids — the same broadcast-GEMM assignment kernel the build
+    uses, reusable for both batch appends and streaming foreachBatch."""
+    cent_rows = (
+        spark.read.parquet(os.path.join(base_path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cent = np.asarray([r["centroid"] for r in cent_rows])
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def assign(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        c = bc_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["u"].map(np.asarray))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": (u @ c.T).argmax(axis=1).astype(np.int32),
+                    "u": pdf["u"],
+                }
+            )
+
+    return vecs.mapInPandas(assign, "vec_id long, cluster int, u array<double>")
+
+
+def append_to_ivf_index(spark: SparkSession, base_path: str, vecs: DataFrame) -> None:
+    """Incremental index maintenance: route new vectors to their
+    inverted lists and APPEND — the quantizer is frozen (the standard
+    IVF posture: re-train only on drift, never per ingest), so an
+    append touches exactly the partitions the new vectors land in and
+    never rewrites existing lists.  Works identically as the body of a
+    ``foreachBatch`` streaming sink — that is the streaming-ingest
+    test's exact wiring (embeddings arrive on a stream, the index
+    stays searchable throughout)."""
+    assign_clusters(spark, base_path, vecs).write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(os.path.join(base_path, "lists"))

@@ -647,3 +647,61 @@ def test_persisted_ivf_index_matches_session_ivf(spark, sf_dir, tmp_path):
         spark.read.parquet(f"{base}/lists/cluster={c}").count() for c in wanted
     )
     assert pruned.count() == direct
+
+
+def test_streaming_ingest_into_persisted_index(spark, sf_dir, tmp_path):
+    """Index stays searchable while a stream appends: build the index,
+    replay a batch of NEW vectors (near-duplicates of existing corpus
+    members, planted at cos ≈ 1) through a foreachBatch sink that
+    routes them to their inverted lists, then search — every planted
+    vector must surface as its twin's top neighbor.  The quantizer is
+    frozen (standard IVF ingest posture: retrain on drift, never per
+    batch)."""
+    import numpy as np
+
+    from frizzle_spark.operators import ann_index as ai
+    from frizzle_spark.operators.similarity import _corpus
+
+    base = str(tmp_path / "ivf_stream")
+    meta = ai.materialize_ivf_index(spark, sf_dir, base)
+    assert meta["k"] > 0
+
+    # planted twins of the 5 lowest-id corpus vectors
+    twin_of = {}
+    rows = (
+        _corpus(spark, sf_dir).orderBy("vec_id").limit(5).collect()
+    )
+    new_rows = []
+    for i, r in enumerate(rows):
+        u = np.asarray(r["v"]) / r["nrm"]
+        nid = 10_000_000 + i
+        twin_of[nid] = r["vec_id"]
+        new_rows.append((nid, [float(x) for x in u]))
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    spark.createDataFrame(new_rows, "vec_id long, u array<double>").write.parquet(
+        str(src_dir / "batch1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema("vec_id long, u array<double>")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, _bid: ai.append_to_ivf_index(spark, base, bdf)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    probes = spark.createDataFrame(
+        [(nid, u) for nid, u in new_rows], "probe_id long, pu array<double>"
+    )
+    got = ai.search_ivf_index(spark, base, probes).collect()
+    top1 = {r["probe_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    for nid, twin in twin_of.items():
+        assert top1.get(nid) == twin, (nid, twin, top1.get(nid))
