@@ -850,3 +850,118 @@ def qz8_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alpha_last_two"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz8_variant / qz8_try_errors / qz8_collation — Spark 4 SQL-surface tier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qz8_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(NULL AS BIGINT) AS missing,
+           json_extract(props, '$.k') IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def qz8_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary-encoded variant, then typed path
+    extraction with ``variant_get`` / ``try_variant_get`` — the
+    schema-on-read upgrade over string-walking ``get_json_object``
+    (q8_json_props keeps the legacy path for contrast).  VARIANT's
+    binary encoding parses each document ONCE however many paths are
+    read, and shredded storage gives it a columnar future — the right
+    default for a 100 TB props column with evolving keys.  The missing
+    path goes through ``try_variant_get`` (NULL, not an ANSI error).
+    Fully oracle-backed via DuckDB's json_extract twins.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.absent.path", "bigint").alias("missing"),
+        F.variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+    )
+
+
+@query(
+    "qz8_try_errors",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN round(value, 2) - round(value, 2) = 0 THEN NULL
+                ELSE value / (round(value, 2) - round(value, 2)) END AS div0,
+           TRY_CAST(event_type AS BIGINT) AS bad_int,
+           TRY_CAST(event_type AS TIMESTAMP) AS bad_ts,
+           CAST(NULL AS VARCHAR) AS oob_elem,
+           TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS good_int
+    FROM events
+    """,
+)
+def qz8_try_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-safe scalar surface: Spark 4 runs with ANSI mode ON, so
+    division by zero / bad casts / out-of-bounds access THROW by
+    default — correct for catching corruption, wrong inside a curation
+    cascade that must be total over dirty data.  ``try_divide`` /
+    ``try_cast`` / ``try_to_timestamp`` / ``try_element_at`` are the
+    sanctioned per-expression escape hatches: NULL on failure, error
+    elsewhere, no session-wide ANSI downgrade.  Every failure mode here
+    is exercised on real columns (zero denominator, non-numeric and
+    non-temporal casts, index past the array end) next to one success
+    path proving try_* is not NULL-happy.  Fully oracle-backed.
+    """
+    ev = _t(spark, sf_dir, "events")
+    zero = F.round("value", 2) - F.round("value", 2)
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), zero).alias("div0"),
+        F.col("event_type").try_cast("bigint").alias("bad_int"),
+        F.try_to_timestamp(F.col("event_type")).alias("bad_ts"),
+        F.try_element_at(F.split("event_type", "-"), F.lit(99)).alias("oob_elem"),
+        F.col("user_id").cast("string").try_cast("bigint").alias("good_int"),
+    )
+
+
+@query(
+    "qz8_collation",
+    oracle="""
+    WITH mangled AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src_mixed
+        FROM documents
+    )
+    SELECT CAST(count(DISTINCT lower(src_mixed)) AS BIGINT) AS n_sources_ci,
+           CAST(count(DISTINCT src_mixed) AS BIGINT) AS n_sources_cs,
+           CAST(coalesce(sum(CASE WHEN lower(src_mixed) = 'src1' THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_src1_ci
+    FROM mangled
+    """,
+)
+def qz8_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: case-insensitive comparison and DISTINCT via
+    the ``UTF8_LCASE`` collation on the COLUMN, not via scattering
+    ``lower()`` into every predicate — the engine-level answer to
+    mixed-case source labels / dedup keys.  The corpus is deterministic
+    so the case noise is injected (upper() on even doc_ids); the
+    collated distinct-count then recovers the true source count while
+    the binary-collation count sees the doubled key space.  The oracle
+    expresses the same semantics through lower() — for ASCII the two
+    are exactly equivalent, which is what makes this oracle-checkable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return docs.select(mixed.alias("src_mixed"), ci.alias("src_ci")).agg(
+        F.countDistinct("src_ci").alias("n_sources_ci"),
+        F.countDistinct("src_mixed").alias("n_sources_cs"),
+        F.coalesce(
+            F.sum(F.when(F.col("src_ci") == F.lit("src1"), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_src1_ci"),
+    )
