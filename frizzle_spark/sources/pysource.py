@@ -1,0 +1,155 @@
+"""Custom connector on Spark 4's Python Data Source API — the modern
+way to add a source WITHOUT a JVM jar, and therefore the answer this
+engine gives to the reference's pluggable-Source interface
+(reference msg.go:22-31: ``Receive() <-chan Msg`` + viper config) for
+ecosystems that ship no Spark connector: implement
+``DataSource``/``DataSourceReader`` in Python, register it on the
+session, and `spark.read.format("frizzle_events")` plans it like any
+scan — partitioned, schema'd, filter-aware.
+
+``FrizzleEventsDataSource`` is a deterministic synthetic event
+generator (the O2 in-memory demo source re-imagined as a connector):
+
+* **batch**: options ``n_rows``/``n_users``/``seed``/``n_partitions``;
+  each InputPartition generates ITS slice on an executor — nothing
+  materializes on the driver, so `n_rows=10^12` would fan out like any
+  table scan;
+* **filter pushdown**: equality on ``event_type`` is accepted in
+  ``pushFilters`` and applied inside the generator — rows that would
+  fail the predicate are never even built (the Python-source analogue
+  of parquet predicate pushdown; the gate asserts both the row set and
+  the accepted-filter handshake);
+* **streaming**: ``DataSourceStreamReader`` with integer offsets —
+  micro-batches of ``batch_rows`` per trigger, exactly-once via the
+  offset log (replayable: partitions(start, end) regenerates the same
+  rows for the same range, which is precisely the contract Spark's
+  offset-based recovery needs).
+
+Rows derive from md5(seed, i) only — same (options → table) function
+on every executor, every retry, every engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    InputPartition,
+)
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+_T0 = datetime(2024, 1, 1)
+
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _row(seed: int, i: int, n_users: int):
+    h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+    user = int(h[:8], 16) % n_users
+    etype = EVENT_TYPES[int(h[8:10], 16) % len(EVENT_TYPES)]
+    value = round(int(h[10:16], 16) % 50_000 / 100.0, 2)
+    props = '{"k": %d}' % (int(h[16:18], 16) % 100)
+    return (i, _T0 + timedelta(seconds=7 * i), user, etype, value, props)
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_users = int(options.get("n_users", 50))
+        self.seed = int(options.get("seed", 7))
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.etype_filter: str | None = None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("event_type",)
+                and isinstance(f.value, str)
+            ):
+                self.etype_filter = f.value  # accepted → applied in read()
+            else:
+                yield f  # unsupported → Spark keeps its own Filter node
+
+    def partitions(self):
+        step = -(-self.n_rows // self.n_partitions)
+        return [
+            _Slice(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            row = _row(self.seed, i, self.n_users)
+            if self.etype_filter is not None and row[3] != self.etype_filter:
+                continue
+            yield row
+
+
+class _StreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_users = int(options.get("n_users", 50))
+        self.seed = int(options.get("seed", 7))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def latestOffset(self):
+        # the generator's "topic head" advances batch_rows per poll,
+        # capped at the configured corpus size
+        if not hasattr(self, "_head"):
+            self._head = 0
+        self._head = min(self.n_rows, self._head + self.batch_rows)
+        return {"idx": self._head}
+
+    def partitions(self, start, end):
+        return [_Slice(int(start["idx"]), int(end["idx"]))]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            yield _row(self.seed, i, self.n_users)
+
+    def commit(self, end):
+        pass
+
+
+class FrizzleEventsDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "frizzle_events"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return _Reader(self.options)
+
+    def streamReader(self, schema):
+        return _StreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the connector on a session (idempotent).
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` — a
+    Python reader that merely DEFINES pushFilters() raises at planning
+    time when the flag is off (Spark's guard against silently ignoring
+    an implemented pushdown), so the flag travels with the connector.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FrizzleEventsDataSource)
