@@ -153,3 +153,112 @@ def register(spark) -> None:
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FrizzleEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write side: a manifest-committed JSON sink with two-phase commit — the
+# Python-API analogue of the reference's pluggable Sink
+# (reference msg.go:33-37) with the delivery guarantee frizzle tracks
+# per-message (Ack/Fail) expressed the Spark way: per-TASK temp files +
+# a driver-side atomic manifest publish (commit) or cleanup (abort).
+# ---------------------------------------------------------------------------
+
+import json as _json
+import uuid as _uuid
+
+from pyspark.sql.datasource import (  # noqa: E402 - grouped with writer code
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _PartMessage(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class _JsonSinkWriter(DataSourceWriter):
+    """Tasks write to ``<path>/_tmp/<uuid>.jsonl`` and report the file
+    in their commit message; ONLY the driver's ``commit`` publishes the
+    manifest listing exactly the reported files.  A failed/duplicate
+    task attempt leaves at most an orphan temp file that no reader
+    ever sees — readers trust the manifest, not the directory listing
+    (the same generation protocol as streaming/pipeline.ParquetSink's
+    compaction manifest)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("frizzle_json_sink requires .option('path', ...)")
+        self.fail_on_value = options.get("fail_on_value")
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import os
+
+        os.makedirs(os.path.join(self.path, "_tmp"), exist_ok=True)
+        fname = os.path.join(self.path, "_tmp", f"{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                d = row.asDict(recursive=True)
+                if self.fail_on_value is not None and str(
+                    d.get("event_id")
+                ) == str(self.fail_on_value):
+                    raise RuntimeError(
+                        f"injected task failure at event_id={self.fail_on_value}"
+                    )
+                for k, v in d.items():
+                    if hasattr(v, "isoformat"):
+                        d[k] = v.isoformat()
+                fh.write(_json.dumps(d, sort_keys=True) + "\n")
+                n += 1
+        return _PartMessage(fname, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        files, total = [], 0
+        for m in messages:
+            final = os.path.join(self.path, os.path.basename(m.filename))
+            os.replace(m.filename, final)
+            files.append(os.path.basename(final))
+            total += m.n_rows
+        manifest = {"files": sorted(files), "n_rows": total}
+        tmp = os.path.join(self.path, "_manifest.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+
+class FrizzleJsonSinkDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "frizzle_json_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonSinkWriter(self.options)
+
+
+def read_json_sink(path: str) -> list[dict]:
+    """Reader honoring the manifest — files outside it don't exist."""
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    rows = []
+    for fname in manifest["files"]:
+        with open(os.path.join(path, fname)) as fh:
+            rows.extend(_json.loads(line) for line in fh)
+    assert len(rows) == manifest["n_rows"], "manifest/file drift"
+    return rows
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(FrizzleJsonSinkDataSource)

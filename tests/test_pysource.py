@@ -89,3 +89,45 @@ def test_stream_read_drains_deterministically(spark, tmp_path):
         spark.read.format("frizzle_events").option("n_rows", 300).load().collect()
     )
     assert sorted(got) == sorted(batch)
+
+
+def test_json_sink_two_phase_commit(spark, tmp_path):
+    """Write side: per-task temp files + driver manifest publish.
+    Success → manifest lists exactly the committed files and the
+    read-back equals the input; injected task failure → the job
+    raises, NO manifest appears, and readers (who trust only the
+    manifest) see nothing."""
+    import os
+
+    import pytest as _pytest
+
+    from frizzle_spark.sources.pysource import read_json_sink, register_sink
+
+    register_sink(spark)
+    register(spark)
+    src = (
+        spark.read.format("frizzle_events")
+        .option("n_rows", 200)
+        .option("n_partitions", 4)
+        .load()
+    )
+    good = str(tmp_path / "sink_ok")
+    src.write.format("frizzle_json_sink").option("path", good).mode("append").save()
+    rows = read_json_sink(good)
+    assert len(rows) == 200
+    assert {r["event_id"] for r in rows} == set(range(200))
+    want = {r["event_id"]: r["value"] for r in src.collect()}
+    assert all(want[r["event_id"]] == r["value"] for r in rows)
+
+    bad = str(tmp_path / "sink_fail")
+    with _pytest.raises(Exception):
+        (
+            src.write.format("frizzle_json_sink")
+            .option("path", bad)
+            .option("fail_on_value", "150")
+            .mode("append")
+            .save()
+        )
+    assert not os.path.exists(os.path.join(bad, "manifest.json"))
+    with _pytest.raises(FileNotFoundError):
+        read_json_sink(bad)
