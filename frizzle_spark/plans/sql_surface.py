@@ -1245,3 +1245,48 @@ def qz10_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("max_lateness_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qz20_recursive_cte — WITH RECURSIVE (Spark 4) date spine + zero-fill
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE bounds AS (
+        SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+        FROM {events}
+    ),
+    spine(d) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY FROM spine, bounds WHERE d < hi
+    ),
+    daily AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS n
+        FROM {events} GROUP BY date_trunc('day', ts)
+    )
+    SELECT s.d, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily c ON s.d = c.d
+    """
+
+
+@query("qz20_recursive_cte", oracle=_RECURSIVE_SQL.format(events="events"))
+def qz20_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` (new in Spark 4): a data-dependent date spine
+    — anchor at the corpus' first day, recurse one day at a time until
+    the last — left-joined against daily counts with zero-fill.  The
+    IDENTICAL SQL text runs on DuckDB, which is the whole point: the
+    recursive-CTE surface is engine-portable, not a Spark dialect
+    trick.
+
+    Scale posture: each recursion level is one Spark job over the
+    accumulated frontier, so recursive CTEs are for BOUNDED-DEPTH,
+    data-dependent recursion (hierarchies, closures, spines — depth ≤
+    ``spark.sql.cteRecursionLevelLimit``, default 100); an unbounded
+    arithmetic series belongs to ``sequence()`` (q10_gap_fill shows
+    that shape) and iterative graph algebra belongs to the
+    checkpoint-loop operators (dedup_clusters, pagerank).  Fully
+    oracle-backed.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_rec_events")
+    return spark.sql(_RECURSIVE_SQL.format(events="v_rec_events"))

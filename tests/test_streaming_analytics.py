@@ -274,3 +274,48 @@ def test_stream_tws_matches_batch_oracle(spark, sf_dir):
     from tests.oracle import assert_matches
 
     assert_matches(run_stream_tws(spark, sf_dir), _STREAM_COUNTS_ORACLE, sf_dir)
+
+
+def test_state_data_source_audits_checkpoint(spark, tmp_path):
+    """Streaming-state observability: Spark's state data source reads a
+    query's CHECKPOINTED state as a DataFrame — the ops surface for
+    inspecting (and debugging) the bus's per-key state without
+    replaying the stream.  The statestore rows must equal the
+    aggregates the query emitted, and state-metadata must name the
+    operator and its store."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(210)],
+        "event_id long, user_id long, value double",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).parquet(src)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_audit_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    emitted = {r["user_id"]: r["n"] for r in spark.table("state_audit_sink").collect()}
+    state = spark.read.format("statestore").load(ckpt)
+    # key/value are structs whose field names come from the operator's
+    # internal schema — index positionally (key[0]=group key, value[0]=
+    # the single aggregate) so the gate doesn't depend on them
+    got = {r["key"][0]: r["value"][0] for r in state.collect()}
+    assert got == emitted == {u: 30 for u in range(7)}
+
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1
+    assert md[0]["operatorName"] == "stateStoreSave"
+    assert md[0]["numPartitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
