@@ -1290,3 +1290,91 @@ def qz20_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("v_rec_events")
     return spark.sql(_RECURSIVE_SQL.format(events="v_rec_events"))
+
+
+# ---------------------------------------------------------------------------
+# qz21_sql_udf — SQL-defined scalar functions (Spark 4 CREATE FUNCTION)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qz21_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+           CAST(coalesce(sum(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def qz21_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 ``CREATE FUNCTION … RETURN expr``):
+    business logic named ONCE in the catalog and inlined by Catalyst at
+    plan time — unlike a Python UDF there is no serialization boundary,
+    no worker round-trip, and full optimizer visibility (the plan is
+    indistinguishable from writing the expression inline, which is
+    exactly what the oracle does).  The right tool for shared
+    expression libraries at 100 TB; Python stays for things SQL cannot
+    express (q18/q21's pandas kernels).  Fully oracle-backed.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_udf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(q DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN q >= 30 THEN 1 ELSE 0 END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(net_price(l_extendedprice, l_discount)), 2) AS net_revenue,
+               CAST(coalesce(sum(is_bulk(l_quantity)), 0) AS BIGINT) AS n_bulk
+        FROM v_udf_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz20_pipe_syntax — SQL pipe syntax (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qz20_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    """,
+)
+def qz20_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>``): the same relational algebra
+    written as a top-to-bottom dataflow — FROM … |> WHERE … |>
+    AGGREGATE … |> WHERE — which is how this engine's DataFrame code
+    reads anyway; the feature makes the SQL entry path read the same
+    way.  Catalyst compiles it to the identical plan as the classic
+    SELECT (the oracle is that classic form on DuckDB), so this is
+    pure surface: same pushdown, same partial aggregation, same
+    HAVING-as-post-agg-filter.  Fully oracle-backed.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_pipe_orders")
+    return spark.sql(
+        """
+        FROM v_pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        """
+    )
