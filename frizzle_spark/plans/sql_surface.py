@@ -1378,3 +1378,81 @@ def qz20_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_orders > 10
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# qz22_length_buckets — equi-depth length bucketing via broadcast boundaries
+# ---------------------------------------------------------------------------
+
+LENGTH_BUCKETS = 8
+_QS = [i / LENGTH_BUCKETS for i in range(1, LENGTH_BUCKETS)]
+
+_LENGTH_BUCKETS_ORACLE = f"""
+    WITH wc AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS wc
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    b AS (
+        SELECT {", ".join(f"round(quantile_cont(wc, {q}), 6) AS q{i}"
+                          for i, q in enumerate(_QS))}
+        FROM wc
+    ),
+    assigned AS (
+        SELECT wc.doc_id, wc.wc,
+               1 {" ".join(f"+ CASE WHEN wc.wc > b.q{i} THEN 1 ELSE 0 END"
+                            for i in range(len(_QS)))} AS bucket
+        FROM wc CROSS JOIN b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(wc) AS BIGINT) AS min_wc,
+           CAST(max(wc) AS BIGINT) AS max_wc,
+           CAST(sum(wc) AS BIGINT) AS total_words
+    FROM assigned
+    GROUP BY bucket
+    """
+
+
+@query("qz22_length_buckets", oracle=_LENGTH_BUCKETS_ORACLE)
+def qz22_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth length bucketing — group documents into
+    {LENGTH_BUCKETS} quantile buckets of word count, the standard
+    pre-pack step that keeps training batches length-homogeneous
+    (minimal padding) without starving any length regime.
+
+    The scale shape is the point: NOT ``ntile`` (a global-ordering
+    window — one partition sorts the corpus), but percentile BOUNDARIES
+    from one aggregate pass, broadcast back, and bucket assignment as a
+    map-side comparison chain — the same broadcast-stats idiom as
+    qz14_bm25 and qz22_mixture_sample.  Boundaries are rounded to 6dp
+    before comparing on BOTH engines so bucket membership never rides
+    an interpolation ulp.  Fully oracle-backed (Spark percentile ↔
+    DuckDB quantile_cont, the q9_percentiles-proven pairing).
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    wc = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("wc"),
+    )
+    bounds = wc.agg(
+        *[
+            F.round(F.percentile("wc", F.lit(q)), 6).alias(f"q{i}")
+            for i, q in enumerate(_QS)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(len(_QS)):
+        bucket = bucket + F.when(F.col("wc") > F.col(f"q{i}"), 1).otherwise(0)
+    return (
+        wc.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "wc", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("wc").alias("min_wc"),
+            F.max("wc").alias("max_wc"),
+            F.sum("wc").alias("total_words"),
+        )
+    )
