@@ -417,3 +417,30 @@ def test_forward_fill_single_exchange(plan_of):
     plan = plan_of("qz5_forward_fill")
     phys = plan.split("== Physical Plan ==")[1]
     assert phys.count("Exchange hashpartitioning") == 1, phys
+
+
+def test_length_buckets_boundary_join_is_broadcast_single_row(plan_of):
+    """The quantile-boundary join must be a broadcast of ONE stats row
+    (BNLJ on a 1-row side — the qz14_bm25-class deliberate shape),
+    never a shuffle of the corpus against its own aggregate."""
+    plan = plan_of("qz22_length_buckets")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "BroadcastNestedLoopJoin" in phys or "BroadcastHashJoin" in phys
+    assert phys.count("Exchange hashpartitioning") <= 1  # only the final groupBy
+
+
+def test_spark4_surface_queries_are_map_only(plan_of):
+    """variant/try/collation scoring are single codegen scans — no
+    exchange anywhere before the (collation) final 1-row aggregate."""
+    for name in ("qz8_variant", "qz8_try_errors"):
+        phys = plan_of(name).split("== Physical Plan ==")[1]
+        assert "Exchange" not in phys, f"{name} shuffles:\n{phys}"
+
+
+def test_sql_udf_inlines_to_plain_aggregate(plan_of):
+    """CREATE FUNCTION scalar UDFs must vanish at plan time — no
+    python worker, no UDF node; the plan is the same HashAggregate the
+    inline expression produces."""
+    phys = plan_of("qz21_sql_udf").split("== Physical Plan ==")[1]
+    assert "HashAggregate" in phys
+    assert "BatchEvalPython" not in phys and "PythonUDF" not in phys
