@@ -1460,3 +1460,101 @@ def qz22_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wc").alias("total_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_ab_test — Welch's t from exact integer moments (vs baseline stream)
+# ---------------------------------------------------------------------------
+
+AB_BASELINE = "click"
+
+_AB_ORACLE = f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
+        FROM events
+        GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type, n, sy, syy,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+               (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0.0) AS var_c
+        FROM m
+    ),
+    b AS (SELECT mean_c AS b_mean, var_c AS b_var, n AS b_n
+          FROM s WHERE event_type = '{AB_BASELINE}')
+    SELECT s.event_type, s.n,
+           round(s.mean_c / 100.0, 6) AS mean_value,
+           round((s.mean_c - b.b_mean)
+                 / nullif(sqrt(s.var_c / CAST(s.n AS DOUBLE)
+                               + b.b_var / CAST(b.b_n AS DOUBLE)), 0.0),
+                 6) AS welch_t
+    FROM s CROSS JOIN b
+    WHERE s.event_type <> '{AB_BASELINE}'
+    """
+
+
+@query("qz23_ab_test", oracle=_AB_ORACLE)
+def qz23_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic of every stream's value against the
+    '{AB_BASELINE}' baseline — the experiment-readout / cohort-
+    comparison primitive, computed so two engines agree bit-for-bit:
+    per-group moments are EXACT integer sums (cents), the baseline is
+    one broadcast row, and mean/variance/t are the same IEEE expression
+    over identical integers on both sides (the qz23_correlation
+    algebra applied to hypothesis testing).  One aggregate pass +
+    a 1-row broadcast — no second scan, no driver math.  Degenerate
+    groups (n ≤ 1 or zero pooled variance) yield NULL via nullif, not
+    an ANSI error.  Fully oracle-backed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = (
+        ev.select("event_type", cents.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n, sy, syy = (F.col(c).cast("double") for c in ("n", "sy", "syy"))
+    stats = m.select(
+        "event_type",
+        F.col("n"),
+        (sy / n).alias("mean_c"),
+        ((n * syy - sy * sy) / F.nullif(n * (n - 1.0), F.lit(0.0))).alias("var_c"),
+    )
+    base = (
+        stats.where(F.col("event_type") == AB_BASELINE)
+        .select(
+            F.col("mean_c").alias("b_mean"),
+            F.col("var_c").alias("b_var"),
+            F.col("n").alias("b_n"),
+        )
+    )
+    t = (
+        (F.col("mean_c") - F.col("b_mean"))
+        / F.nullif(
+            F.sqrt(
+                F.col("var_c") / F.col("n").cast("double")
+                + F.col("b_var") / F.col("b_n").cast("double")
+            ),
+            F.lit(0.0),
+        )
+    )
+    return (
+        stats.where(F.col("event_type") != AB_BASELINE)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("mean_c") / 100.0, 6).alias("mean_value"),
+            F.round(t, 6).alias("welch_t"),
+        )
+    )
