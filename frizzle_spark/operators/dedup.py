@@ -881,3 +881,44 @@ def jaccard_join_pairs(sh: DataFrame) -> DataFrame:
             F.round(F.col("c") / un.cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+@query("qz11_canonical_keep", oracle=None)
+def qz11_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: for every near-dup cluster
+    (qz11_dup_clusters components), keep the HIGHEST-QUALITY member —
+    not the lowest id — the rule real curation uses (prefer the copy
+    with less boilerplate / better score; ties break on doc_id for
+    determinism).  Composition: cluster labels ⋈ q14_quality_score,
+    one window per cluster.  Docs outside any cluster keep themselves.
+
+    Rows-only (clusters are the iterative tier); pytest gates: the
+    survivor maximizes quality within its cluster, every doc maps to
+    exactly one survivor, and singletons map to themselves.  Scale:
+    adds one skinny join (labels are 2 longs/doc) + one window over
+    cluster-sized groups to the dedup pipeline.
+    """
+    from frizzle_spark.plans.text_queries import q14_quality_score
+    from pyspark.sql.window import Window
+
+    labels = qz11_dup_clusters(spark, sf_dir)  # (doc_id, cluster_rep)
+    quality = q14_quality_score(spark, sf_dir)  # (doc_id, quality)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    membership = (
+        docs.join(labels, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster"),
+        )
+        .join(quality, "doc_id")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("quality"), F.asc("doc_id"))
+    survivors = (
+        membership.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("cluster"), F.col("doc_id").alias("keep_id"),
+                F.col("quality").alias("keep_quality"))
+    )
+    return membership.join(survivors, "cluster").select(
+        "doc_id", "cluster", "keep_id", "keep_quality"
+    )

@@ -124,3 +124,46 @@ def two_phase_agg(
     return partial.groupBy(*keys).agg(
         *[comb(f"_p_{name}").alias(name) for name, (_, comb) in resolved.items()]
     )
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak: str,
+    buckets: int = DEFAULT_SALT,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group top-k that survives a HOT group: local top-k within
+    (key, salt) — the hot group's rows meet ``buckets`` reducers, each
+    keeping only k — then global top-k over the ≤ buckets·k survivors
+    per key.  Identical result to the plain window (per-group top-k is
+    a salted-mergeable operation: the global top-k is contained in the
+    union of local top-ks), pinned by the equivalence test.
+
+    Use when one group dwarfs the rest (a viral document's events, a
+    default/null-ish key): WindowGroupLimit pushes the k-limit into the
+    shuffle but every row of a group still lands on ONE reducer; with
+    salting the straggler does ``rows/buckets`` work.  The trade is a
+    second (tiny) shuffle of ≤ buckets·k rows per key.
+    """
+    from pyspark.sql.window import Window
+
+    def ordering():
+        c = F.col(order_col)
+        first = c.desc() if descending else c.asc()
+        return [first, F.col(tiebreak).asc()]
+
+    salted = with_salt(df, buckets)
+    w_local = Window.partitionBy(*keys, "_salt").orderBy(*ordering())
+    local = (
+        salted.withColumn("_rn", F.row_number().over(w_local))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w_global = Window.partitionBy(*keys).orderBy(*ordering())
+    return (
+        local.withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -1558,3 +1558,54 @@ def qz23_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(t, 6).alias("welch_t"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_winsorize — percentile capping via broadcast boundaries
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+_WINSOR_ORACLE = f"""
+    WITH b AS (
+        SELECT round(quantile_cont(value, {WINSOR_LO}), 6) AS lo,
+               round(quantile_cont(value, {WINSOR_HI}), 6) AS hi
+        FROM events
+    )
+    SELECT event_id,
+           round(value, 2) AS value,
+           round(least(greatest(value, b.lo), b.hi), 2) AS winsorized,
+           (value < b.lo OR value > b.hi) AS clipped
+    FROM events CROSS JOIN b
+    """
+
+
+@query("qz23_winsorize", oracle=_WINSOR_ORACLE)
+def qz23_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — cap values at the [p1, p99] percentiles — the
+    outlier treatment applied before any mean/variance-based statistic
+    (one corrupted sensor reading otherwise owns the average).  Same
+    broadcast-boundary shape as qz22_length_buckets: ONE aggregate pass
+    for the two quantiles, broadcast back, map-side clamp — never a
+    per-row rank.  Boundaries round to 6dp on both engines before
+    comparison/clamping so clip membership never rides an interpolation
+    ulp.  Fully oracle-backed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.round(F.percentile("value", F.lit(WINSOR_LO)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(WINSOR_HI)), 6).alias("hi"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 2
+            ).alias("winsorized"),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+                "clipped"
+            ),
+        )
+    )

@@ -705,3 +705,37 @@ def test_streaming_ingest_into_persisted_index(spark, sf_dir, tmp_path):
     top1 = {r["probe_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
     for nid, twin in twin_of.items():
         assert top1.get(nid) == twin, (nid, twin, top1.get(nid))
+
+
+def test_canonical_keep_prefers_quality(spark, sf_dir):
+    """Survivor selection law: within every cluster the keeper has the
+    maximal quality (doc_id breaking ties), every doc maps to exactly
+    one keeper, and singleton docs keep themselves."""
+    rows = REGISTRY["qz11_canonical_keep"].fn(spark, sf_dir).collect()
+    by_cluster = {}
+    quality = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    from frizzle_spark.plans.text_queries import q14_quality_score
+
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in q14_quality_score(spark, sf_dir).collect()
+    }
+    seen_docs = set()
+    for cluster, members in by_cluster.items():
+        keepers = {m["keep_id"] for m in members}
+        assert len(keepers) == 1, (cluster, keepers)
+        keep = keepers.pop()
+        best = max(
+            (m["doc_id"] for m in members),
+            key=lambda d: (quality[d], -d),
+        )
+        assert keep == best, (cluster, keep, best)
+        for m in members:
+            assert m["doc_id"] not in seen_docs
+            seen_docs.add(m["doc_id"])
+        if len(members) == 1:
+            assert keep == members[0]["doc_id"]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(seen_docs) == n_docs

@@ -225,3 +225,55 @@ def test_schema_evolution_scan(spark, tmp_path):
     # declared-schema mode also prunes columns the reader doesn't want
     slim = scan_parquet_evolving(spark, f"{base}/gen=1", schema="id long")
     assert slim.columns == ["id"]
+
+
+def test_salted_topk_equals_plain_window(spark, sf_dir):
+    """Per-group top-k is salted-mergeable: the salted two-phase result
+    must equal the plain window EXACTLY, on real data and on a
+    synthetically hot key — and the equality must hold regardless of
+    the random salt assignment (correctness is salt-independent; only
+    load balance depends on it)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from frizzle_spark.operators.skew import salted_topk
+    from frizzle_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    # synthetic hot key: replicate 'purchase' rows 20×
+    hot = ev.where(F.col("event_type") == "purchase").crossJoin(
+        spark.range(20).select((F.col("id") + 1_000_000).alias("bump"))
+    ).select(
+        "event_type", "value", (F.col("event_id") * 100 + F.col("bump")).alias("event_id")
+    )
+    df = ev.unionByName(hot)
+
+    got = {
+        (r["event_type"], r["rank"], r["event_id"])
+        for r in salted_topk(df, ["event_type"], "value", 7, "event_id").collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    want = {
+        (r["event_type"], r["rank"], r["event_id"])
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == want
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The hint surface: MERGE forces SortMergeJoin and SHUFFLE_HASH
+    forces ShuffledHashJoin on a join AQE would otherwise broadcast —
+    the manual override lane for when statistics mislead at scale."""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    for hint, marker in (("merge", "SortMergeJoin"), ("shuffle_hash", "ShuffledHashJoin")):
+        j = orders.join(cust.hint(hint), orders["o_custkey"] == cust["c_custkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert marker in plan, f"hint {hint} not honored:\n{plan[:500]}"
+        assert "BroadcastHashJoin" not in plan
