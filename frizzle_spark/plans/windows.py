@@ -633,3 +633,77 @@ def qz5_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("filled", F.last("reading", ignorenulls=True).over(w))
         .drop("ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# qz10_dynamic_sessions — sessionization with a per-event-type gap
+# ---------------------------------------------------------------------------
+
+# inactivity horizon depends on what the PREVIOUS event was: a purchase
+# keeps the session alive longer than a passive view (micros)
+DYN_GAPS_US = {"purchase": 3600, "signup": 3600, "click": 1800, "view": 900, "error": 900}
+_DYN_GAP_CASE = (
+    "CASE {col} "
+    + " ".join(f"WHEN '{k}' THEN {v * 1_000_000}" for k, v in DYN_GAPS_US.items())
+    + " ELSE 1800000000 END"
+)
+
+_DYN_SESSIONS_ORACLE = f"""
+    WITH lagged AS (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER w AS prev_ts,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts)
+                            > ({_DYN_GAP_CASE.format(col="prev_type")})
+                    THEN 1 ELSE 0 END AS new_session
+        FROM lagged
+    )
+    SELECT event_id, user_id,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+    FROM flagged
+    """
+
+
+@query("qz10_dynamic_sessions", oracle=_DYN_SESSIONS_ORACLE)
+def qz10_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a DYNAMIC inactivity gap: the horizon depends
+    on the previous event's type (a purchase keeps the session alive an
+    hour; a passive view only 15 minutes) — the shape Structured
+    Streaming expresses with ``session_window(ts, gap_expression)`` and
+    batch pipelines express as gaps-and-islands with a CASE gap, which
+    is what runs here (same single-exchange two-window plan as
+    qz10_sessionize; microsecond-exact compares; (ts, event_id)
+    total order keeps both engines identical).  Fully oracle-backed.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    prev_type = F.lag("event_type").over(w)
+    limit_us = F.coalesce(
+        *[
+            F.when(prev_type == k, F.lit(v * 1_000_000))
+            for k, v in DYN_GAPS_US.items()
+        ],
+        F.lit(1_800_000_000),
+    )
+    new_session = F.when(gap_us.isNull() | (gap_us > limit_us), 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_seq"),
+    )
