@@ -211,7 +211,28 @@ def append_to_ivf_index(spark: SparkSession, base_path: str, vecs: DataFrame) ->
     never rewrites existing lists.  Works identically as the body of a
     ``foreachBatch`` streaming sink — that is the streaming-ingest
     test's exact wiring (embeddings arrive on a stream, the index
-    stays searchable throughout)."""
-    assign_clusters(spark, base_path, vecs).write.mode("append").partitionBy(
-        "cluster"
-    ).parquet(os.path.join(base_path, "lists"))
+    stays searchable throughout).
+
+    After a successful append, ``index_meta.json`` is rewritten with the
+    updated ``n_vectors`` so anything sizing nprobe/k from the metadata
+    sees the post-ingest corpus, not the initial build.  The count comes
+    from the appended micro-batch via ``observe`` — the count rides the
+    write job itself (zero extra jobs, no rescan of the lists)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ivf_append")
+    assigned = assign_clusters(spark, base_path, vecs).observe(
+        obs, F.count(F.lit(1)).alias("n_new")
+    )
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(base_path, "lists")
+    )
+    n_new = obs.get["n_new"]
+    meta_path = os.path.join(base_path, "index_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["n_vectors"] = int(meta.get("n_vectors", 0)) + int(n_new)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)

@@ -31,6 +31,8 @@ iteration algebra is unchanged.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -87,7 +89,11 @@ def knn_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
     B-rows vs A; the diagonal cell reuses one GEMM for both).  The
     global top-k per source then needs only a window over O(n·k·B)
     candidate rows.  Local-then-global is lossless: every global
-    top-k neighbor of a row is the cell-local top-k of some cell.
+    top-k neighbor of a row survives its cell's local selection,
+    because local selection is tie-inclusive at the kth similarity —
+    exact ties (duplicate embeddings are routine in a dedup corpus)
+    are ALL forwarded and broken deterministically by the global
+    (cos_sim DESC, dst ASC) window, matching the oracle's order.
     """
     corpus = _corpus(spark, sf_dir)
     unit = corpus.select(
@@ -115,17 +121,19 @@ def knn_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
             kk = min(k, sims.shape[1])
             if kk == 0:
                 return
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(sims.shape[0]), kk)
-            cols = part.ravel()
-            vals = sims[rows, cols]
-            keep = np.isfinite(vals)  # masked self-loops in tiny blocks
+            # Tie-INCLUSIVE local selection: keep every candidate whose
+            # similarity ties the per-row kth-largest value, so a tied
+            # candidate with a smaller dst can never be dropped locally —
+            # the global (cos_sim DESC, dst ASC) window owns tie-breaking.
+            thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1 : kk]
+            keep = (sims >= thresh) & np.isfinite(sims)
+            rows, cols = np.nonzero(keep)
             out.append(
                 pd.DataFrame(
                     {
-                        "src": np.repeat(ids_q, kk)[keep],
-                        "dst": ids_c[cols][keep],
-                        "cos_sim": vals[keep],
+                        "src": ids_q[rows],
+                        "dst": ids_c[cols],
+                        "cos_sim": sims[rows, cols],
                     }
                 )
             )
@@ -165,11 +173,30 @@ def qz12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_edges(spark, sf_dir)
 
 
+@contextmanager
+def _static_plan(spark: SparkSession):
+    """AQE-off scope for ``localCheckpoint`` calls.  Under AQE the
+    executed plan is an AdaptiveSparkPlan whose outputPartitioning is
+    unknown at checkpoint time, so ``Dataset.checkpoint`` captures
+    UnknownPartitioning and silently discards the co-partitioning every
+    superstep depends on (probe-verified on this Spark).  Checkpointing
+    with static planning makes the captured hashpartitioning real; the
+    flag is restored immediately after (sequential-session contract,
+    same posture as qz16_interval_join's documented conf scope)."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = PR_DAMPING,
     n_iter: int = PR_ITERS,
     checkpoint_every: int = PR_CHECKPOINT_EVERY,
+    co_partition: bool = False,
 ) -> DataFrame:
     """Static (fixed-iteration) PageRank over an (src, dst) edge
     DataFrame — GraphX ``staticPageRank`` semantics, as join algebra.
@@ -194,8 +221,32 @@ def pagerank(
     # Materialize the edge list ONCE — it feeds every superstep, and an
     # unmaterialized edge plan (here: the kNN GEMM grid) would otherwise
     # recompute per round.  At 100 TB the equivalent is writing the edge
-    # list to storage before iterating.
-    e = edges.select("src", "dst").localCheckpoint()
+    # list to storage (bucketed by src) before iterating.
+    #
+    # ``co_partition=True`` pre-partitions e by src and nd by node
+    # (captured through localCheckpoint via the AQE-off _static_plan
+    # scope — under AQE, checkpoint records UnknownPartitioning and the
+    # layout is silently lost) so the per-round joins find both sides
+    # already co-partitioned: the edges⋈ranks join and the node-set
+    # join add NO exchange, leaving exactly ONE shuffle per superstep
+    # (the groupBy(dst) message aggregation — the algorithmic minimum).
+    # That is the 100 TB operating mode: ranks has one row per node —
+    # far past broadcast range — and every avoided exchange is a full
+    # network pass over the node set; on a real cluster the equivalent
+    # is the edge list bucketed by src in storage.  Default False for
+    # local/bench scale, where AQE's runtime broadcast conversion of
+    # the skinny ranks table beats exchange-free static SMJ (measured
+    # sf0.01 warm: 3.3 s adaptive vs 8.0 s static).  Both paths are
+    # identity-tested against each other.
+    spark = edges.sparkSession
+
+    def _ckpt(df, key=None):
+        if not co_partition:
+            return df.localCheckpoint()
+        with _static_plan(spark):
+            return (df.repartition(key) if key else df).localCheckpoint()
+
+    e = _ckpt(edges.select("src", "dst"), "src")
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -208,26 +259,49 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (node, deg) with deg NULL ⇔ dangling — one table drives both the
     # contribution split and the dangling-mass fold, no per-round action
-    nd = nodes.join(
-        outdeg, nodes["node"] == outdeg["src"], "left_outer"
-    ).select("node", "deg").localCheckpoint()
+    nd = _ckpt(
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_outer")
+        .select("node", "deg"),
+        "node",
+    )
     ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    # uniquely-named edge view for the per-round join: `e` re-enters the
+    # plan every superstep while the prior round's lineage (between
+    # checkpoints) already contains it — fresh names sidestep Spark's
+    # ambiguous-self-join attribute resolution; select() is narrow, so
+    # the src-hash partitioning survives
+    em = e.select(F.col("src").alias("msrc"), F.col("dst").alias("mdst"))
     for it in range(n_iter):
-        # mass of dangling nodes this round, as a 1-row broadcast join
-        # (stays inside the job — not a .collect())
-        dmass = ranks.where(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
-        )
-        contrib = (
-            e.join(
-                ranks.where(F.col("deg").isNotNull()),
-                e["src"] == F.col("node"),
+        # ONE pass over the prior ranks per superstep: ranks LEFT OUTER
+        # edges sends rank/deg to each dst for linked nodes and a
+        # NULL-dst row carrying the full rank for dangling nodes, so a
+        # single groupBy("dst") yields both the contribution table and
+        # the dangling mass (the NULL-dst group).  The two consumers
+        # below share that IDENTICAL aggregate subtree, so Spark's
+        # exchange reuse computes it once — the previous shape (separate
+        # dangling filter-agg + contribution join, each referencing
+        # `ranks`) doubled the unmaterialized lineage every round.
+        msgs = (
+            ranks.join(em, F.col("node") == F.col("msrc"), "left_outer")
+            .select(
+                F.col("mdst").alias("dst"),
+                F.when(
+                    F.col("deg").isNotNull(), F.col("rank") / F.col("deg")
+                )
+                .otherwise(F.col("rank"))
+                .alias("c"),
             )
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
+        # dangling mass as a guaranteed-1-row broadcast (the NULL-dst
+        # group is absent when no node dangles — re-aggregate so the
+        # crossJoin never annihilates the node set)
+        dmass = msgs.where(F.col("dst").isNull()).agg(
+            F.coalesce(F.sum("c"), F.lit(0.0)).alias("dangling")
+        )
+        contrib = msgs.where(F.col("dst").isNotNull())
         ranks = (
             nd.join(contrib, nd["node"] == contrib["dst"], "left_outer")
             .crossJoin(F.broadcast(dmass))
@@ -245,7 +319,10 @@ def pagerank(
             )
         )
         if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
-            ranks = ranks.localCheckpoint()
+            # under co_partition, static-plan capture keeps hash(node)
+            # alive across the truncation, so the next round's ranks
+            # side stays exchange-free too
+            ranks = _ckpt(ranks)
     return ranks.select("node", "rank")
 
 

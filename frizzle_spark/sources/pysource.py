@@ -111,7 +111,16 @@ class _StreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         # the generator's "topic head" advances batch_rows per poll,
-        # capped at the configured corpus size
+        # capped at the configured corpus size.  _head is in-process
+        # state re-seeded by commit(): after an in-process query restart
+        # (stop + restart on the same session, which re-uses this reader
+        # instance) the head resumes FROM the committed offset instead
+        # of regressing to 0.  Across a full driver restart a fresh
+        # reader starts at 0 again; that cannot corrupt data — Spark
+        # plans batches from its own offset log and partitions(start,
+        # end) regenerates identical rows for any range — it only delays
+        # new progress until the head re-advances past the log, and
+        # commit() of the first recovered batch re-seeds it.
         if not hasattr(self, "_head"):
             self._head = 0
         self._head = min(self.n_rows, self._head + self.batch_rows)
@@ -125,7 +134,9 @@ class _StreamReader(DataSourceStreamReader):
             yield _row(self.seed, i, self.n_users)
 
     def commit(self, end):
-        pass
+        # remember the durable head so latestOffset never trails what
+        # the offset log already committed (restart-recovery seam)
+        self._head = max(getattr(self, "_head", 0), int(end["idx"]))
 
 
 class FrizzleEventsDataSource(DataSource):

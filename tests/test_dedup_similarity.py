@@ -706,6 +706,13 @@ def test_streaming_ingest_into_persisted_index(spark, sf_dir, tmp_path):
     for nid, twin in twin_of.items():
         assert top1.get(nid) == twin, (nid, twin, top1.get(nid))
 
+    # meta freshness: streaming ingest must be reflected in n_vectors
+    import json
+
+    with open(str(tmp_path / "ivf_stream" / "index_meta.json")) as fh:
+        meta_after = json.load(fh)
+    assert meta_after["n_vectors"] == meta["n_vectors"] + len(new_rows)
+
 
 def test_canonical_keep_prefers_quality(spark, sf_dir):
     """Survivor selection law: within every cluster the keeper has the

@@ -79,3 +79,57 @@ def test_knn_graph_degree_invariant(spark, sf_dir):
         by_src.setdefault(r["src"], []).append(r["rank"])
     for src, ranks in by_src.items():
         assert sorted(ranks) == list(range(1, KNN_K + 1)), (src, ranks)
+
+
+def test_pagerank_co_partition_identity(spark):
+    """The co_partition=True scale path (pre-partitioned e/nd captured
+    through AQE-off localCheckpoint; one exchange per superstep) must
+    produce the same ranks as the default adaptive path, and the AQE
+    flag must be restored afterwards."""
+    edges = [(i, (i * 7) % 23) for i in range(60) if i != (i * 7) % 23] + [
+        (100, 1),
+        (101, 100),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    got_default = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    got_cp = {
+        r["node"]: r["rank"] for r in pagerank(e, co_partition=True).collect()
+    }
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    assert set(got_cp) == set(got_default)
+    worst = max(abs(got_cp[v] - got_default[v]) for v in got_default)
+    assert worst < 1e-12, f"max |co_partition - default| = {worst:.3e}"
+
+
+def test_knn_graph_tie_inclusive_local_topk(spark):
+    """Duplicate embeddings create exact cosine ties at the kth slot;
+    the local per-cell selection must forward ALL tied candidates so the
+    global (cos_sim DESC, dst ASC) window keeps the smallest dst —
+    verified against a numpy brute force with the same tie order."""
+    import numpy as np
+    import os
+    import tempfile
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    # 10 exact duplicate groups of 4 → every query's top-3 is all ties
+    vecs = np.repeat(base[:10], 4, axis=0)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        got = knn_edges(spark, td).collect()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    for src in range(len(vecs)):
+        order = sorted(
+            range(len(vecs)),
+            key=lambda j: (-round(sims[src, j], 9), j),
+        )[:KNN_K]
+        got_dsts = [r["dst"] for r in sorted(
+            (g for g in got if g["src"] == src), key=lambda g: g["rank"]
+        )]
+        assert got_dsts == order, (src, got_dsts, order)
