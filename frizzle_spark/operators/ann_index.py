@@ -216,18 +216,16 @@ def append_to_ivf_index(spark: SparkSession, base_path: str, vecs: DataFrame) ->
     After a successful append, ``index_meta.json`` is rewritten with the
     updated ``n_vectors`` so anything sizing nprobe/k from the metadata
     sees the post-ingest corpus, not the initial build.  The count comes
-    from the appended micro-batch via ``observe`` — the count rides the
-    write job itself (zero extra jobs, no rescan of the lists)."""
-    from pyspark.sql import Observation
-
-    obs = Observation("ivf_append")
-    assigned = assign_clusters(spark, base_path, vecs).observe(
-        obs, F.count(F.lit(1)).alias("n_new")
-    )
+    from the appended micro-batch, which is materialized ONCE via
+    localCheckpoint so the count and the write share the assignment
+    work (``observe`` is not reliable under foreachBatch re-execution —
+    measured delivering 0 — and a plain count would re-run the
+    assignment GEMM); no rescan of the lists."""
+    assigned = assign_clusters(spark, base_path, vecs).localCheckpoint()
+    n_new = assigned.count()
     assigned.write.mode("append").partitionBy("cluster").parquet(
         os.path.join(base_path, "lists")
     )
-    n_new = obs.get["n_new"]
     meta_path = os.path.join(base_path, "index_meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)

@@ -677,11 +677,22 @@ def test_streaming_ingest_into_persisted_index(spark, sf_dir, tmp_path):
         nid = 10_000_000 + i
         twin_of[nid] = r["vec_id"]
         new_rows.append((nid, [float(x) for x in u]))
+    # The watched directory must contain parquet FILES, not nested
+    # df.write output directories — the streaming file source does not
+    # recurse, and with zero discovered files foreachBatch never fires
+    # (this test was silently vacuous before the meta assertion below
+    # caught it: the twin search passes even with no append, because
+    # every twin is an ORIGINAL corpus member).
     src_dir = tmp_path / "stream_src"
     src_dir.mkdir()
-    spark.createDataFrame(new_rows, "vec_id long, u array<double>").write.parquet(
-        str(src_dir / "batch1.parquet")
-    )
+    staging = tmp_path / "stream_staging"
+    spark.createDataFrame(
+        new_rows, "vec_id long, u array<double>"
+    ).coalesce(1).write.parquet(str(staging))
+    import shutil
+
+    part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+    shutil.move(str(part), str(src_dir / "batch1.parquet"))
 
     stream = (
         spark.readStream.schema("vec_id long, u array<double>")
@@ -705,6 +716,22 @@ def test_streaming_ingest_into_persisted_index(spark, sf_dir, tmp_path):
     top1 = {r["probe_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
     for nid, twin in twin_of.items():
         assert top1.get(nid) == twin, (nid, twin, top1.get(nid))
+
+    # the APPENDED vectors themselves must be searchable: probing with
+    # each original corpus twin must surface its ingested near-duplicate
+    # as the top neighbor (this direction fails if the append was a
+    # no-op — the forward direction above does not)
+    rev_probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x / r["nrm"]) for x in r["v"]])
+            for r in rows
+        ],
+        "probe_id long, pu array<double>",
+    )
+    rev = ai.search_ivf_index(spark, base, rev_probes).collect()
+    rev_top1 = {r["probe_id"]: r["neighbor_id"] for r in rev if r["rank"] == 1}
+    for nid, twin in twin_of.items():
+        assert rev_top1.get(twin) == nid, (twin, nid, rev_top1.get(twin))
 
     # meta freshness: streaming ingest must be reflected in n_vectors
     import json
