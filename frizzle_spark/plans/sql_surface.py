@@ -703,7 +703,9 @@ def qz23_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("qz22_leakage_safe_split", oracle=None)
-def qz22_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qz22_leakage_safe_split(
+    spark: SparkSession, sf_dir: str, index_base: str | None = None
+) -> DataFrame:
     """Near-dup-aware train/val/test split: every NEAR-DUPLICATE CLUSTER
     is assigned to one split as a UNIT — the leakage guard plain
     hash-splitting lacks.  A val document whose near-duplicate sits in
@@ -726,33 +728,53 @@ def qz22_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate asserts the invariant directly — NO near-dup pair straddles
     splits — plus singleton-assignment equality with qz22_hash_split
     and determinism.
+
+    ``index_base``: consume a ``materialize_cluster_index`` output
+    built from the same MinHash pair stream instead of re-running
+    signatures + banding + fixpoint; with no index_base the per-process
+    scratch index serves the map (built once per sf_dir, reused by
+    every later invocation — the amortized operating mode).  Identity
+    between the paths is pytest-gated.
     """
     from frizzle_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         MINHASH_PERMS,
+        _cached_cluster_index,
         _shingles,
-        dedup_clusters,
+        load_cluster_index,
         minhash_candidates,
         minhash_signatures,
         sig_array,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(_shingles(spark, sf_dir))
-    cand = minhash_candidates(spark, sf_dir, _sigs=sigs)
-    sa = sig_array(sigs)
-    agree = F.aggregate(
-        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        cand.join(sa.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1")), "d1")
-        .join(sa.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2")), "d2")
-        .where(agree / F.lit(float(MINHASH_PERMS)) >= JACCARD_THRESHOLD)
-        .select("d1", "d2")
-    )
-    clusters = dedup_clusters(pairs)  # (doc_id, cluster_rep)
+
+    def _minhash_pairs() -> DataFrame:
+        sigs = minhash_signatures(_shingles(spark, sf_dir))
+        cand = minhash_candidates(spark, sf_dir, _sigs=sigs)
+        sa = sig_array(sigs)
+        agree = F.aggregate(
+            F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            cand.join(
+                sa.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1")),
+                "d1",
+            )
+            .join(
+                sa.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2")),
+                "d2",
+            )
+            .where(agree / F.lit(float(MINHASH_PERMS)) >= JACCARD_THRESHOLD)
+            .select("d1", "d2")
+        )
+
+    if index_base is not None:
+        clusters = load_cluster_index(spark, index_base)
+    else:
+        clusters = _cached_cluster_index(spark, sf_dir, "minhash", _minhash_pairs)
     rep = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
     h = F.substring(
         F.md5(F.concat_ws(":", rep.cast("string"), F.lit(str(HASH_SPLIT_SEED)))),

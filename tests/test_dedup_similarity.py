@@ -773,3 +773,82 @@ def test_canonical_keep_prefers_quality(spark, sf_dir):
             assert keep == members[0]["doc_id"]
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(seen_docs) == n_docs
+
+
+def test_cluster_index_identity(spark, sf_dir, tmp_path):
+    """materialize_cluster_index → load_cluster_index must reproduce the
+    in-session dedup_clusters output exactly (the persisted-IVF identity
+    gate, applied to the cluster map), and the meta must agree."""
+    import json
+
+    from frizzle_spark.operators.dedup import (
+        dedup_clusters,
+        load_cluster_index,
+        materialize_cluster_index,
+    )
+    from frizzle_spark.operators.dedup import q11_ngram_jaccard
+
+    pairs = q11_ngram_jaccard(spark, sf_dir)
+    base = str(tmp_path / "cidx")
+    meta = materialize_cluster_index(pairs, base)
+    stored = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in load_cluster_index(spark, base).collect()
+    }
+    live = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert stored == live and len(stored) > 0
+    assert meta["n_clustered_docs"] == len(stored)
+    assert meta["n_clusters"] == len({c for _, c in stored})
+    with open(str(tmp_path / "cidx" / "cluster_meta.json")) as fh:
+        assert json.load(fh) == meta
+
+    # empty pair set → well-formed empty index (explicit-schema read)
+    empty = spark.createDataFrame([], "d1 long, d2 long, jaccard double")
+    base2 = str(tmp_path / "cidx_empty")
+    meta2 = materialize_cluster_index(empty, base2)
+    assert meta2 == {"n_clustered_docs": 0, "n_clusters": 0}
+    assert load_cluster_index(spark, base2).count() == 0
+
+
+def test_canonical_keep_from_index_identity(spark, sf_dir, tmp_path):
+    """canonical_keep(index_base=...) must equal the registry query
+    (which serves the same map from the process-scratch index)."""
+    from frizzle_spark.operators.dedup import (
+        canonical_keep,
+        materialize_cluster_index,
+        q11_ngram_jaccard,
+    )
+
+    base = str(tmp_path / "cidx")
+    materialize_cluster_index(q11_ngram_jaccard(spark, sf_dir), base)
+    from_index = {
+        tuple(r) for r in canonical_keep(spark, sf_dir, index_base=base).collect()
+    }
+    registry = {
+        tuple(r)
+        for r in REGISTRY["qz11_canonical_keep"].fn(spark, sf_dir).collect()
+    }
+    assert from_index == registry and len(registry) > 0
+
+
+def test_leakage_split_from_index_identity(spark, sf_dir, tmp_path):
+    """qz22_leakage_safe_split(index_base=...) must equal the registry
+    path when the index is built from the same MinHash pair stream."""
+    from frizzle_spark.operators.dedup import materialize_cluster_index
+    from frizzle_spark.plans.sql_surface import qz22_leakage_safe_split
+
+    pairs = REGISTRY["qz11_minhash_lsh"].fn(spark, sf_dir).select("d1", "d2")
+    base = str(tmp_path / "cidx_mh")
+    materialize_cluster_index(pairs, base)
+    from_index = {
+        tuple(r)
+        for r in qz22_leakage_safe_split(spark, sf_dir, index_base=base).collect()
+    }
+    registry = {
+        tuple(r)
+        for r in REGISTRY["qz22_leakage_safe_split"].fn(spark, sf_dir).collect()
+    }
+    assert from_index == registry and len(registry) > 0
