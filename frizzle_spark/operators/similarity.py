@@ -818,6 +818,7 @@ def _lsh_probe_codes(unit: DataFrame, bc_planes, budget: int) -> DataFrame:
 PQ_M = 16  # subquantizers → PQ_M bytes per coded vector (32× vs float64[64])
 PQ_KS = 256  # codes per subquantizer (1 byte)
 PQ_ITERS = 10
+PQ_REFINE_R = 6 * TOP_K  # ADC shortlist size re-ranked at full precision
 
 
 def _pq_train(resid: "np.ndarray", m: int, ks: int) -> "np.ndarray":
@@ -923,10 +924,21 @@ def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the full-precision corpus is touched zero times per query.
 
     Same coarse quantizer + nprobe as qz12_ivf (candidate fraction
-    ≈9%); what PQ trades is scoring precision — measured ADC recall
-    0.40 @ sf0.1 / 0.36 @ sf0.01 vs exact-scoring IVF's 0.48 (random-
-    vector corpus; see SCALE.md round-5).  Rows-only; pytest gates the
-    recall floor and the planted-neighbor bar like the other ANN tiers.
+    ≈9%); what PQ trades is scoring precision.  That loss is then
+    bought back with the standard REFINEMENT step (the ADC+R
+    construction from the same Jégou line, also Johnson/Douze/Jégou
+    arXiv:1702.08734 §3.3): the top-``PQ_REFINE_R`` ADC candidates per
+    probe (6×k) are re-scored at full precision against the raw unit
+    vectors — fetched by id through ONE corpus scan with a broadcast
+    semi-join (P×R skinny rows; in the persisted-index mode the fetch
+    is additionally partition-pruned by cluster) — and the final top-k
+    ranks on exact cosine.  The bandwidth story is unchanged: the
+    inverted-list scan still reads 16 B/vector; full-precision touches
+    are O(probes × R), corpus-size-independent.
+
+    Rows-only; pytest gates the recall floor (now at exact-scoring
+    IVF's level — the ADC gap closes by construction) and the
+    planted-neighbor bar like the other ANN tiers.
     """
     built = ivfpq_candidates(spark, sf_dir)
     if built is None:  # empty corpus: empty result, not a crash
@@ -970,11 +982,43 @@ def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     scored = cand.mapInPandas(adc, "probe_id long, neighbor_id long, adc_score double")
-    w = Window.partitionBy("probe_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .where(F.col("_r") <= PQ_REFINE_R)
+        .select("probe_id", "neighbor_id")
+    )
+    # refinement: exact cosine for the shortlist only.  Probes ride
+    # along in the broadcast (P rows driver-side already); the raw
+    # vectors come from one corpus scan broadcast-hash-joined on id —
+    # the scan is the only corpus touch and carries no shuffle.
+    probe_df = spark.createDataFrame(
+        [(int(p), [float(x) for x in v]) for p, v in zip(pid, pu)],
+        "probe_id long, pu array<double>",
+    )
+    unit = _unit(_corpus(spark, sf_dir))
+    refined = (
+        unit.select(F.col("vec_id").alias("neighbor_id"), "u")
+        .join(
+            F.broadcast(shortlist.join(F.broadcast(probe_df), "probe_id")),
+            "neighbor_id",
+        )
+        .withColumn("cos_sim", V.dot(F.col("pu"), F.col("u")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        refined.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
-        .select("probe_id", "neighbor_id", F.round("adc_score", 6).alias("adc_score"), "rank")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
     )
 
 
