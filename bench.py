@@ -118,27 +118,41 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
+    full_record = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "runs_per_query": n_runs,
+        "n_queries_ok": len(timings),
+        "n_queries_err": len(errors),
+        "errors": errors,
+        "stream_rows_per_sec": stream_rps,
+        "recall": recall,
+        "candidate_fraction": candidate_fraction,
+        "queries": timings,
+        "runs": all_runs,
+    }
     # Line 1: the full record (every per-query time + all runs) for
     # anyone reading complete stdout.
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "runs_per_query": n_runs,
-                "n_queries_ok": len(timings),
-                "n_queries_err": len(errors),
-                "errors": errors,
-                "stream_rows_per_sec": stream_rps,
-                "recall": recall,
-                "candidate_fraction": candidate_fraction,
-                "queries": timings,
-                "runs": all_runs,
-            }
+    print(json.dumps(full_record))
+    # Durable copy: the driver archives only a 2,000-char stdout tail,
+    # so per-query history is otherwise lost round to round (r02–r05
+    # kept ~none; r06 kept ~34 of 122 queries).  BENCH_LOCAL.json is
+    # committed in-repo and diffed across rounds in SCALE.md.  The sf0.1
+    # default keeps the round-over-round record; other SFs (e.g. the
+    # sf0.01 iteration loop) write a suffixed file so they never
+    # clobber the headline record.
+    try:
+        suffix = "" if sf_dir.rstrip("/").endswith("sf0.1") else f"_sf{sf_val}"
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL{suffix}.json"
         )
-    )
+        with open(out_path, "w") as fh:
+            json.dump(full_record, fh, indent=1, sort_keys=True)
+        print(f"# full record written to {out_path}", file=sys.stderr)
+    except OSError as ex:  # durability is best-effort — never fail the bench
+        print(f"# BENCH_LOCAL write failed: {ex}", file=sys.stderr)
     # LAST line: a self-contained compact summary, ≤1,500 chars by
     # construction (scalars + 10 slowest + the small quality blocks).
     # The driver archives only the LAST 2,000 characters of stdout, so
