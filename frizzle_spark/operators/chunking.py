@@ -161,16 +161,51 @@ def qz11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Caveat, stated for the >10⁹-doc regime: collect_set's agg buffer
     # for a boilerplate fp grows with its doc count until the filter
     # drops it (8 bytes × docs; an 1M-doc stop chunk = one 8 MB buffer
-    # row).  Corpora hot enough to care should run the two-pass variant
-    # (count-distinct prepass + broadcast anti join) and pay a second
-    # kernel pass for O(1) buffers.
+    # row).  Corpora hot enough to care should run
+    # ``chunk_dedup_pairs(..., two_pass=True)`` — count-distinct
+    # prepass + broadcast anti join for O(cap) buffers, at the price of
+    # a second kernel pass (equivalence pytest-gated on the
+    # planted-span corpus, plan-gated for the map-only prepass shape).
+    return chunk_dedup_pairs(spark, sf_dir)
+
+
+def chunk_dedup_pairs(
+    spark: SparkSession, sf_dir: str, two_pass: bool = False
+) -> DataFrame:
+    """The qz11_chunk_dedup plan with a selectable hot-fp guard.
+
+    ``two_pass=False`` (default, the registry path): one kernel pass;
+    the hot-fp rule is a ``size(docs) > cap`` filter AFTER collect_set,
+    so a boilerplate fp's agg buffer grows with its doc count before
+    being dropped.  ``two_pass=True``: a count-distinct prepass finds
+    the hot fps (constant-size agg buffers — countDistinct is two-phase
+    partial aggregation, never a set), a BROADCAST ANTI join removes
+    them from the chunk stream before any collect_set, and every
+    surviving fp's buffer is bounded by the cap.  The hot set
+    broadcasts safely by construction: it holds only fps in > cap docs,
+    a vanishing fraction of distinct fps in any real corpus.
+    """
     chunks = qz14_cdc_chunk(spark, sf_dir).select("doc_id", "chunk_fp")
-    lists = (
-        chunks.groupBy("chunk_fp")
-        .agg(F.collect_set("doc_id").alias("docs"))
-        .where(F.size("docs") <= CHUNK_HOT_FP_CAP)
-        .select(F.array_sort("docs").alias("docs"))
-    )
+    if two_pass:
+        hot = (
+            chunks.groupBy("chunk_fp")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .where(F.col("nd") > CHUNK_HOT_FP_CAP)
+            .select("chunk_fp")
+        )
+        kept = chunks.join(F.broadcast(hot), "chunk_fp", "left_anti")
+        lists = (
+            kept.groupBy("chunk_fp")
+            .agg(F.collect_set("doc_id").alias("docs"))
+            .select(F.array_sort("docs").alias("docs"))
+        )
+    else:
+        lists = (
+            chunks.groupBy("chunk_fp")
+            .agg(F.collect_set("doc_id").alias("docs"))
+            .where(F.size("docs") <= CHUNK_HOT_FP_CAP)
+            .select(F.array_sort("docs").alias("docs"))
+        )
     per_doc = (
         lists.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")

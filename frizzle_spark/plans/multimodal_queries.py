@@ -24,6 +24,7 @@ from frizzle_spark.functions.multimodal import (
     MEDIA_META_SCHEMA,
     extract_features_batch,
     make_decode_kernel,
+    make_features_kernel,
     make_phash_kernel,
     sample_frames_batch,
 )
@@ -124,25 +125,17 @@ _FEATURES_ORACLE = f"""
 
 @query("q15_media_features", oracle=_FEATURES_ORACLE)
 def q15_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction stage: payload → 8-dim byte-histogram features
-    (flat double columns; raw divisions, no re-rounding)."""
+    """Feature-extraction stage: payload → 8-dim features (flat double
+    columns).  Default (oracle-matched): byte-histogram stub, raw
+    divisions, no re-rounding.  Under FRIZZLE_REAL_DECODE=1, PCM WAV
+    payloads get genuine time-domain audio features through the same
+    schema (functions/multimodal.make_features_kernel — the audio
+    counterpart of the q15_media_decode PNM seam)."""
     feature_schema = "doc_id bigint, " + ", ".join(f"f{j} double" for j in range(8))
+    return media_table(spark, sf_dir).mapInPandas(
+        make_features_kernel(), feature_schema
+    )
 
-    def kernel(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                hist = [0] * 8
-                for byte in b:
-                    hist[byte % 8] += 1
-                total = max(len(b), 1)
-                rows.append([doc_id] + [h / total for h in hist])
-            yield pd.DataFrame(rows, columns=["doc_id"] + [f"f{j}" for j in range(8)])
-
-    return media_table(spark, sf_dir).mapInPandas(kernel, feature_schema)
 
 
 PHASH_BANDS = 8  # 8 bands × 8 bits: identical-band GUARANTEE for ham ≤ 7

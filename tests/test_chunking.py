@@ -156,3 +156,54 @@ def test_chunk_dedup_runs_on_testdata(spark, sf_dir):
     df = REGISTRY["qz11_chunk_dedup"].fn(spark, sf_dir)
     assert df.columns == ["doc_a", "doc_b", "shared_chunks", "overlap"]
     assert df.count() >= 0
+
+
+def test_chunk_dedup_two_pass_equivalence(spark, tmp_path):
+    """chunk_dedup_pairs(two_pass=True) — count-distinct prepass +
+    broadcast anti join for O(cap) agg buffers — must produce the
+    IDENTICAL pair set as the collect_set path on the planted-span
+    corpus (including a planted HOT fingerprint shared by many docs,
+    which both guards must drop), and its plan must show the anti-join
+    prepass shape."""
+    import string
+
+    from frizzle_spark.operators.chunking import (
+        CHUNK_HOT_FP_CAP,
+        chunk_dedup_pairs,
+    )
+
+    rng = random.Random(7)
+
+    def text(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+    span = text(1200)
+    boiler = text(900)  # hot span planted into EVERY doc → hot fps
+    docs = {i: boiler + text(3000) for i in range(CHUNK_HOT_FP_CAP + 5)}
+    docs[100] = boiler + text(1500) + span + text(1500)
+    docs[101] = boiler + text(400) + span + text(2600)
+
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    one = {tuple(r) for r in chunk_dedup_pairs(spark, out).collect()}
+    two_df = chunk_dedup_pairs(spark, out, two_pass=True)
+    two = {tuple(r) for r in two_df.collect()}
+    assert one == two
+    assert any(r[0] == 100 and r[1] == 101 for r in two), two
+
+    plan = two_df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan[:500]
+    # the prepass aggregates a DISTINCT count, never a set
+    assert "count(distinct" in plan.lower() or "count(doc_id" in plan.lower()
+
+
+def test_chunk_dedup_two_pass_on_testdata(spark, sf_dir):
+    from frizzle_spark.operators.chunking import chunk_dedup_pairs
+
+    one = {tuple(r) for r in chunk_dedup_pairs(spark, sf_dir).collect()}
+    two = {tuple(r) for r in chunk_dedup_pairs(spark, sf_dir, two_pass=True).collect()}
+    assert one == two
