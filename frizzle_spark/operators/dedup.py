@@ -106,10 +106,11 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "q11_ngram_jaccard",
-    oracle=f"""
-    WITH words AS (
+# Shared CTE block: word 3-gram shingles → pairwise intersection
+# counts.  Single-sourced so the pair query, the cluster oracle, and
+# the canonical-keep oracle can never drift apart.
+_NGRAM_CTES = f"""
+    words AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
         FROM documents
     ),
@@ -126,7 +127,36 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
+    )"""
+
+# …→ thresholded pairs → symmetrized edges → connected components via a
+# recursive reachability CTE (finite graph ⇒ the UNION fixpoint
+# terminates; component sizes in a deduplicated corpus are tiny, so the
+# (node, reachable) enumeration stays small) → min-id representative —
+# EXACTLY dedup_clusters' min-label semantics, which upgrades the
+# iterative Spark operator from rows-only to fully oracle-backed.
+_CLUSTER_CTES = f"""{_NGRAM_CTES},
+    prs AS (
+        SELECT d1, d2 FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE c / CAST(s1.n + s2.n - c AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM prs UNION SELECT d2, d1 FROM prs),
+    reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+    )"""
+
+
+@query(
+    "q11_ngram_jaccard",
+    oracle=f"""
+    WITH {_NGRAM_CTES}
     SELECT d1, d2,
            round(c / CAST(s1.n + s2.n - c AS DOUBLE), 6) AS jaccard
     FROM inter
@@ -776,14 +806,23 @@ def _cached_cluster_index(spark, sf_dir: str, flavor: str, pairs_fn) -> DataFram
     return load_cluster_index(spark, base)
 
 
-@query("qz11_dup_clusters", oracle=None)
+@query(
+    "qz11_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT doc_id, cluster_rep FROM clusters
+    """,
+)
 def qz11_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters over the exact n-gram-Jaccard pair set: every
     doc in a near-dup component labeled with its canonical survivor.
-    Rows-only (iterative algorithm — not single-statement SQL); the
-    pytest gate checks against a driver-side union-find on the same
-    pairs.  Scale: the pair set is the already-bucketed q11_ngram_jaccard
-    output; per-round state is 2 longs per clustered doc.
+    FULLY ORACLE-BACKED despite being iterative (round 7): connected
+    components are expressible in DuckDB as a recursive reachability
+    CTE over the same thresholded pair set, so the pointer-doubling
+    fixpoint's output is hash-checked row-for-row — plus the original
+    driver-side union-find differential in pytest.  Scale: the pair set
+    is the already-bucketed q11_ngram_jaccard output; per-round state
+    is 2 longs per clustered doc.
     """
     pairs = q11_ngram_jaccard(spark, sf_dir)
     return dedup_clusters(pairs)
@@ -1011,10 +1050,45 @@ def canonical_keep(
     )
 
 
-@query("qz11_canonical_keep", oracle=None)
+def _canonical_keep_oracle() -> str:
+    """Composed oracle: cluster components (recursive CTE) ⋈ the
+    q14_quality_score formula ⋈ the survivor window — lazily built so
+    the text_queries import happens at registration, not at module
+    parse (keeps the import graph acyclic and obvious)."""
+    from frizzle_spark.plans.text_queries import _QUALITY_ORACLE
+
+    return f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    quality AS ({_QUALITY_ORACLE}),
+    membership AS (
+        SELECT d.doc_id,
+               coalesce(c.cluster_rep, d.doc_id) AS cluster,
+               q.quality
+        FROM documents d
+        LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        JOIN quality q ON d.doc_id = q.doc_id
+    ),
+    survivors AS (
+        SELECT cluster, doc_id AS keep_id, quality AS keep_quality,
+               row_number() OVER (
+                   PARTITION BY cluster
+                   ORDER BY quality DESC NULLS LAST, doc_id
+               ) AS rn
+        FROM membership
+    )
+    SELECT m.doc_id, m.cluster, s.keep_id, s.keep_quality
+    FROM membership m
+    JOIN survivors s ON m.cluster = s.cluster AND s.rn = 1
+    """
+
+
+@query("qz11_canonical_keep", oracle=_canonical_keep_oracle())
 def qz11_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry for ``canonical_keep``: identical output, with the
     cluster map served from the per-process scratch index (built once
     per sf_dir from the exact n-gram-Jaccard pairs, reused by every
-    later invocation — the amortized operating mode)."""
+    later invocation — the amortized operating mode).  FULLY
+    ORACLE-BACKED (round 7): the composed DuckDB oracle chains the
+    recursive component CTE, the q14 quality formula, and the survivor
+    window, so the end-to-end survivor selection is hash-checked."""
     return canonical_keep(spark, sf_dir)

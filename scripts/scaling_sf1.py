@@ -1,0 +1,240 @@
+"""Scaling-curve harness (VERDICT r6 #3): run the heavy operator
+families at sf0.1 AND at a 10×-scaled synthetic sf1, record wall time
+and shuffle bytes per query, and print the ratio table for SCALE.md.
+
+sf1 is derived from the driver's sf0.1 tables by 10× replication with
+structure-preserving mutation (so the workload SHAPE scales, not the
+duplicate structure):
+
+* documents — replica k offsets doc_id and rewrites every 2nd word
+  with a replica-salted variant, which kills all 3-gram shingle overlap
+  ACROSS replicas (otherwise every doc gains 9 exact near-dups and pair
+  counts scale ~45×, measuring a different problem) while keeping word
+  counts — and therefore shingle volume — at an exact 10×;
+* embeddings — replica k offsets vec_id and adds per-row seeded
+  Gaussian noise before renormalizing (distinct vectors, same
+  distribution shape);
+* events — replica k offsets event_id/user_id, same time range → 10×
+  the users and 10× the per-window density.
+
+Every query runs SPARK_GRAFT_BENCH_RUNS (default 2) times per scale;
+min is reported.  Shuffle bytes come from the UI REST API summed over
+completed stages, diffed around each query.  Usage:
+
+    python scripts/scaling_sf1.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+
+HEAVY = [
+    # dedup suite
+    "q11_exact_dedup",
+    "q11_ngram_jaccard",
+    "qz11_minhash_lsh",
+    "qz11_simhash",
+    "qz11_dup_clusters",
+    "qz11_canonical_keep",
+    "qz11_chunk_dedup",
+    # PPJoin
+    "qz11_jaccard_join",
+    # kNN + PageRank (exact GEMM grid is the documented n² oracle tier)
+    "qz12_knn_graph",
+    "qz25_pagerank",
+    # ANN tiers + exact twins
+    "qz12_ann_lsh",
+    "qz12_ivf",
+    "qz12_ivfpq",
+    "qz12_sq8",
+    "q12_cosine_topk",
+    "q11_embedding_neardup",
+    "qz11_embedding_neardup_lsh",
+    # windowed analytics
+    "q10_tumbling_windows",
+    "q10_sliding_windows",
+    "q10_session_windows",
+    "qz10_sessionize",
+    "qz10_windowed_topk",
+]
+
+
+def build_sf1(spark, base: str) -> None:
+    from pyspark.sql import functions as F
+
+    k_lit = F.col("_k")
+    reps = spark.range(10).select(F.col("id").cast("int").alias("_k"))
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    salt = F.concat(F.lit("r"), k_lit.cast("string"))
+    # replica 0 keeps the original text; k>0 salts every 2nd word (no
+    # 3 consecutive originals survive → zero cross-replica shingles)
+    mutated = F.when(k_lit == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                ws,
+                lambda w, i: F.when((i % 2) == 1, F.concat(w, salt)).otherwise(w),
+            ),
+            " ",
+        )
+    )
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + k_lit.cast("long") * 10_000).alias("doc_id"),
+            mutated.alias("text"),
+            "lang",
+            "source",
+            F.length(mutated).alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{base}/documents.parquet")
+    )
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").crossJoin(reps).select(
+        (F.col("vec_id") + k_lit.cast("long") * 2_000).alias("vec_id"),
+        "embedding",
+        "label",
+        k_lit,
+    )
+
+    def perturb(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vid, vec, k in zip(pdf["vec_id"], pdf["embedding"], pdf["_k"]):
+                v = np.asarray(vec, dtype=np.float64)
+                if k > 0:
+                    v = v + 0.5 * np.random.RandomState(int(vid)).randn(len(v))
+                n = np.linalg.norm(v)
+                out.append([float(x) for x in (v / n if n else v)])
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": out, "label": pdf["label"]}
+            )
+
+    emb.mapInPandas(
+        perturb, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
+
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + k_lit.cast("long") * 1_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k_lit.cast("long") * 100_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{base}/events.parquet")
+    )
+    # small tables referenced by loaders: symlink from sf0.1
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        dst = f"{base}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+
+
+def shuffle_totals(app_base: str) -> tuple[int, int]:
+    with urllib.request.urlopen(f"{app_base}/stages?status=complete") as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "SCALE_SF1.json"
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .appName("frizzle-scaling-sf1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+        app_id = json.load(r)[0]["id"]
+    app_base = f"{ui}/api/v1/applications/{app_id}"
+
+    base = os.environ.get("FRIZZLE_SF1_DIR") or tempfile.mkdtemp(prefix="sf1_")
+    if not os.path.exists(f"{base}/documents.parquet"):
+        t0 = time.time()
+        build_sf1(spark, base)
+        print(f"# sf1 built at {base} in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    results: dict[str, dict] = {}
+    for name in HEAVY:
+        row: dict = {}
+        for tag, sf_dir in (("sf0.1", SF01), ("sf1", base)):
+            walls, sh = [], None
+            try:
+                for _ in range(n_runs):
+                    r0, w0 = shuffle_totals(app_base)
+                    t0 = time.perf_counter()
+                    qs[name](spark, sf_dir).count()
+                    wall = time.perf_counter() - t0
+                    time.sleep(0.3)  # let the status store settle
+                    r1, w1 = shuffle_totals(app_base)
+                    walls.append(round(wall, 2))
+                    if sh is None or (r1 - r0) < sh[0]:
+                        sh = (r1 - r0, w1 - w0)
+            except Exception as ex:
+                row[tag] = {"err": f"{type(ex).__name__}: {ex}"[:200]}
+                print(f"# {name} {tag}: ERROR {row[tag]['err']}", file=sys.stderr)
+                continue
+            row[tag] = {
+                "wall_s": min(walls),
+                "walls": walls,
+                "shuffle_read_b": sh[0],
+                "shuffle_write_b": sh[1],
+            }
+            print(f"# {name} {tag}: {min(walls)}s shuffle_r {sh[0]:,}", file=sys.stderr)
+        a, b = row.get("sf0.1", {}), row.get("sf1", {})
+        if "wall_s" in a and "wall_s" in b:
+            row["wall_ratio"] = round(b["wall_s"] / max(a["wall_s"], 1e-9), 2)
+            row["shuffle_ratio"] = round(
+                b["shuffle_read_b"] / max(a["shuffle_read_b"], 1), 2
+            )
+        results[name] = row
+    with open(out_json, "w") as fh:
+        json.dump({"sf1_dir": base, "results": results}, fh, indent=1)
+    print(json.dumps({k: v.get("wall_ratio") for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
