@@ -214,6 +214,20 @@ def _multiprobe_masks(bits: int, hamming: int) -> list[int]:
 
 QD_MAX_FLIPS = 4  # deepest perturbation the query-directed ranking considers
 QD_POOL_BITS = 18  # enumerate flip subsets over the lowest-margin ≤18 bits
+# Corpus-side pool cap (sf1 scaling finding, SCALE.md round 7): the
+# near-dup blocker runs the subset ranking for EVERY corpus vector, and
+# with pool = bits the candidate-subset count C(pool, ≤4) grows ~bits⁴
+# while bits grows with log n — measured 27.8× wall at 10× data (bits
+# 12 → 16 means 794 → 2,517 scored subsets per vector-table).  Capping
+# the pool at 12 lowest-margin bits bounds per-vector work at O(1):
+# the probe budget is only bits+1 ≤ 25 subsets, and the top-25
+# subset-sums over sorted margins essentially never reach past the 12
+# smallest elements (a rank-13+ singleton must beat a pair of the two
+# smallest).  At n ≤ 2k (bits ≤ 12, every published sf0.1 number) the
+# cap is inactive — behavior is bit-identical.  The 10-probe ANN path
+# (_query_directed_masks) keeps the full 18-bit pool: its ranking cost
+# is per-probe, not per-corpus-vector.
+QD_CORPUS_POOL_BITS = 12
 
 # (pool, depth) → (C(pool, depth), depth) int array of combination index
 # rows.  Data-independent, so computed once per process: the r5 version
@@ -773,7 +787,7 @@ def _lsh_probe_codes(unit: DataFrame, bc_planes, budget: int) -> DataFrame:
 
         planes = bc_planes.value  # (T, B, D)
         tables, bits, _ = planes.shape
-        pool = min(bits, QD_POOL_BITS)
+        pool = min(bits, QD_CORPUS_POOL_BITS)
         max_flips = min(QD_MAX_FLIPS, pool)
         idx = _qd_subset_index(pool, max_flips)  # (S, max_flips)
         n_sub = len(idx)

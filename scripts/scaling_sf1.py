@@ -11,9 +11,11 @@ duplicate structure):
   ACROSS replicas (otherwise every doc gains 9 exact near-dups and pair
   counts scale ~45×, measuring a different problem) while keeping word
   counts — and therefore shingle volume — at an exact 10×;
-* embeddings — replica k offsets vec_id and adds per-row seeded
-  Gaussian noise before renormalizing (distinct vectors, same
-  distribution shape);
+* embeddings — replica k offsets vec_id and draws a FRESH seeded
+  random unit vector (matching the original corpus's structureless
+  distribution; additive noise at any moderate σ leaves same-original
+  replicas at cos 0.2–0.5, which straddles the 0.4 near-dup threshold
+  and manufactures ~100k borderline pairs — a different workload);
 * events — replica k offsets event_id/user_id, same time range → 10×
   the users and 10× the per-window density.
 
@@ -116,7 +118,7 @@ def build_sf1(spark, base: str) -> None:
             for vid, vec, k in zip(pdf["vec_id"], pdf["embedding"], pdf["_k"]):
                 v = np.asarray(vec, dtype=np.float64)
                 if k > 0:
-                    v = v + 0.5 * np.random.RandomState(int(vid)).randn(len(v))
+                    v = np.random.RandomState(int(vid)).randn(len(v))
                 n = np.linalg.norm(v)
                 out.append([float(x) for x in (v / n if n else v)])
             yield pd.DataFrame(
@@ -188,7 +190,10 @@ def main() -> None:
     app_base = f"{ui}/api/v1/applications/{app_id}"
 
     base = os.environ.get("FRIZZLE_SF1_DIR") or tempfile.mkdtemp(prefix="sf1_")
-    if not os.path.exists(f"{base}/documents.parquet"):
+    if not all(
+        os.path.exists(f"{base}/{t}.parquet")
+        for t in ("documents", "embeddings", "events")
+    ):
         t0 = time.time()
         build_sf1(spark, base)
         print(f"# sf1 built at {base} in {time.time()-t0:.1f}s", file=sys.stderr)
@@ -197,8 +202,10 @@ def main() -> None:
 
     qs = entry.queries()
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    only = os.environ.get("FRIZZLE_SCALE_ONLY")
+    heavy = [q for q in HEAVY if q in only.split(",")] if only else HEAVY
     results: dict[str, dict] = {}
-    for name in HEAVY:
+    for name in heavy:
         row: dict = {}
         for tag, sf_dir in (("sf0.1", SF01), ("sf1", base)):
             walls, sh = [], None
