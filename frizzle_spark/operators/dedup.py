@@ -1055,6 +1055,64 @@ def canonical_keep(
     )
 
 
+@query(
+    "qz11_dup_stats",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    csizes AS (
+        SELECT cluster_rep, count(*) AS cluster_size
+        FROM clusters GROUP BY cluster_rep
+    ),
+    hist AS (
+        SELECT cluster_size, count(*) AS n_clusters
+        FROM csizes GROUP BY cluster_size
+    ),
+    singles AS (
+        SELECT CAST(1 AS BIGINT) AS cluster_size, count(*) AS n_clusters
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL
+    )
+    SELECT cluster_size, n_clusters,
+           cluster_size * n_clusters AS n_docs
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles) u
+    WHERE n_clusters > 0
+    """,
+)
+def qz11_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup report: the cluster-SIZE histogram — how many
+    near-dup components of each size the corpus holds, with singletons
+    (docs in no component) as the size-1 row.  The first number anyone
+    asks of a dedup pass ("what fraction of the corpus is duplicated,
+    and how big are the blobs?") and the standard health check for a
+    threshold change.  Fully oracle-backed through the same recursive
+    component CTE as qz11_dup_clusters; serves the per-process cluster
+    index, so it adds two skinny aggregations over a 2-long/row map
+    plus one anti-join against the doc-id list — no text moves."""
+    labels = _cached_cluster_index(
+        spark, sf_dir, "exact", lambda: q11_ngram_jaccard(spark, sf_dir)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hist = (
+        labels.groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    singles = docs.join(labels, "doc_id", "left_anti").agg(
+        F.lit(1).cast("long").alias("cluster_size"),
+        F.count(F.lit(1)).alias("n_clusters"),
+    )
+    return (
+        hist.unionByName(singles)
+        .where(F.col("n_clusters") > 0)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
 def _canonical_keep_oracle() -> str:
     """Composed oracle: cluster components (recursive CTE) ⋈ the
     q14_quality_score formula ⋈ the survivor window — lazily built so

@@ -133,3 +133,40 @@ def test_knn_graph_tie_inclusive_local_topk(spark):
             (g for g in got if g["src"] == src), key=lambda g: g["rank"]
         )]
         assert got_dsts == order, (src, got_dsts, order)
+
+
+def test_static_plan_checkpoint_captures_partitioning(spark):
+    """The mechanism behind co_partition: under AQE, localCheckpoint
+    records UnknownPartitioning (layout silently lost); inside the
+    _static_plan scope it records the real hashpartitioning, and a join
+    of two co-partitioned checkpoints plans ZERO exchanges."""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.operators.graph import _static_plan
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 970).alias("src"), F.col("id").alias("dst")
+    )
+    lost = df.repartition("src").localCheckpoint()
+    assert "hashpartitioning" not in (
+        lost._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+    )
+    with _static_plan(spark):
+        e = df.repartition("src").localCheckpoint()
+        nd = (
+            spark.range(970)
+            .select(F.col("id").alias("node"))
+            .repartition("node")
+            .localCheckpoint()
+        )
+    assert "hashpartitioning(src" in (
+        e._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = nd.join(e, nd["node"] == e["src"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning" not in plan, plan[:400]
