@@ -508,6 +508,60 @@ def q11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.mapInPandas(score, schema=out_schema)
 
 
+_BLAS_CTL: tuple | None = None
+
+
+def _blas_set_threads(n: int):
+    """Best-effort OpenBLAS runtime thread cap for DRIVER-side training
+    numpy.  The bundled OpenBLAS spawns/syncs its pool per GEMM call,
+    and the quantizer-training GEMMs are tiny (thousands×4-ish):
+    measured 3.0 s → 0.7 s for _pq_train on 2,000×64 just by pinning
+    one thread.  Returns the previous setting (None when the control
+    symbol is unavailable — then this is a no-op and training simply
+    keeps the default).  Executor-side kernels are unaffected: they run
+    in separate worker processes."""
+    global _BLAS_CTL
+    if _BLAS_CTL is None:
+        import ctypes
+        import glob
+        import os
+
+        setter = getter = None
+        pattern = os.path.join(
+            os.path.dirname(np.__file__), os.pardir, "numpy.libs", "*openblas*"
+        )
+        for path in glob.glob(pattern):
+            try:
+                h = ctypes.CDLL(path)
+            except OSError:
+                continue
+            for fn in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                if hasattr(h, fn):
+                    setter = getattr(h, fn)
+                    getter = getattr(h, fn.replace("set", "get"), None)
+                    break
+            if setter is not None:
+                break
+        _BLAS_CTL = (setter, getter)
+    setter, getter = _BLAS_CTL
+    if setter is None:
+        return None
+    prev = getter() if getter is not None else None
+    setter(n)
+    return prev
+
+
+def _pinned_blas(fn, *args):
+    """Run a driver-side training function under a 1-thread BLAS pin,
+    restoring the prior setting after."""
+    prev = _blas_set_threads(1)
+    try:
+        return fn(*args)
+    finally:
+        if prev:
+            _blas_set_threads(prev)
+
+
 IVF_TRAIN_SAMPLE = 4096
 IVF_ITERS = 10
 IVF_PROBE_FRAC = 0.09  # target nprobe/K — candidate fraction ≈ this
@@ -574,7 +628,7 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
     x = np.asarray([r["v"] for r in sample]) / np.asarray(
         [[r["nrm"]] for r in sample]
     )
-    cent = _kmeans_unit(x, k)
+    cent = _pinned_blas(_kmeans_unit, x, k)
     pid = [r["vec_id"] for r in sample[:N_PROBES]]
     pu = x[:N_PROBES]
     top_clusters = np.argsort(-(pu @ cent.T), axis=1)[:, :nprobe]
@@ -880,7 +934,9 @@ def ivfpq_candidates(spark: SparkSession, sf_dir: str):
     if trained is None:  # empty corpus: caller returns empty result
         return None
     unit, sample, x, cent, pid_l, pu, top_clusters = trained
-    books = _pq_train(x - cent[(x @ cent.T).argmax(1)], PQ_M, PQ_KS)
+    books = _pinned_blas(
+        _pq_train, x - cent[(x @ cent.T).argmax(1)], PQ_M, PQ_KS
+    )
     bc_cent = spark.sparkContext.broadcast(cent)
     bc_books = spark.sparkContext.broadcast(books)
     d_sub = x.shape[1] // PQ_M
