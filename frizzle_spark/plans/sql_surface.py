@@ -1631,3 +1631,110 @@ def qz23_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_ks_test — two-sample Kolmogorov–Smirnov drift statistic for every
+# event-type pair (round 7).  The distributional complement to
+# qz23_drift's binned PSI: KS is bin-free (sup-norm of the empirical
+# CDF gap), the standard "did this feature's distribution move"
+# statistic for pipeline monitoring.
+#
+# Oracle-exactness design: values are integer cents (iv), the CDFs are
+# evaluated on the shared iv grid, and the statistic is selected in
+# INTEGER form — D = max |cumA·nB − cumB·nA| over the grid, divided by
+# nA·nB only once at the end (round 6dp).  max over exact integers ⇒
+# no float-order sensitivity anywhere before the final division.
+#
+# Scale shape: the only corpus-sized pass is the groupBy down to
+# (event_type, iv, n) — bounded by the VALUE DOMAIN (≤50k cent values
+# here), not the row count; everything after (grid fill, forward-fill
+# cumulative window, pairwise self-join on iv) runs on that bounded
+# profile table.  At 100 TB the same plan holds as long as the value
+# grid is bounded (or quantized), which is exactly how production KS
+# monitors run.
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+    WITH base AS (
+        SELECT event_type AS t, CAST(floor(value * 100) AS BIGINT) AS iv
+        FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (SELECT t, iv, count(*) AS n FROM base GROUP BY t, iv),
+    totals AS (SELECT t, count(*) AS nt FROM base GROUP BY t),
+    grid AS (
+        SELECT tt.t, g.iv, tt.nt, coalesce(c.n, 0) AS n
+        FROM (SELECT DISTINCT iv FROM base) g
+        CROSS JOIN totals tt
+        LEFT JOIN counts c ON c.t = tt.t AND c.iv = g.iv
+    ),
+    cdf AS (
+        SELECT t, iv, nt,
+               sum(n) OVER (PARTITION BY t ORDER BY iv
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM grid
+    )
+    SELECT a.t AS type_a, b.t AS type_b,
+           a.nt AS n_a, b.nt AS n_b,
+           round(max(abs(a.cum * b.nt - b.cum * a.nt))
+                 / CAST(a.nt * b.nt AS DOUBLE), 6) AS ks_stat
+    FROM cdf a JOIN cdf b ON a.iv = b.iv AND a.t < b.t
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("qz23_ks_test", oracle=_KS_ORACLE)
+def qz23_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample KS statistic over the `value` distribution of
+    every event-type pair: D = sup_x |F_a(x) − F_b(x)|, computed on the
+    shared integer-cent grid with the max taken in exact integer form
+    (header comment has the oracle-exactness and 100 TB shape notes)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = ev.select(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("iv"),
+    )
+    counts = base.groupBy("t", "iv").agg(F.count(F.lit(1)).alias("n"))
+    totals = base.groupBy("t").agg(F.count(F.lit(1)).alias("nt"))
+    grid = (
+        base.select("iv")
+        .distinct()
+        .crossJoin(F.broadcast(totals))
+        .join(counts, ["t", "iv"], "left_outer")
+        .select("t", "iv", "nt", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("t")
+        .orderBy("iv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = grid.select("t", "iv", "nt", F.sum("n").over(w).alias("cum"))
+    a = cdf.select(
+        F.col("t").alias("type_a"),
+        "iv",
+        F.col("nt").alias("n_a"),
+        F.col("cum").alias("cum_a"),
+    )
+    b = cdf.select(
+        F.col("t").alias("type_b"),
+        "iv",
+        F.col("nt").alias("n_b"),
+        F.col("cum").alias("cum_b"),
+    )
+    return (
+        a.join(b, "iv")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a") * F.col("n_b")
+                        - F.col("cum_b") * F.col("n_a")
+                    )
+                )
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("ks_stat")
+        )
+    )
