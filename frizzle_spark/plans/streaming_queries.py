@@ -143,6 +143,61 @@ def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_isolated_stream(
+    parent: SparkSession,
+    build,
+    name: str,
+    output_mode: str,
+    timeout: int = 300,
+    confs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Run an availableNow streaming query on an ISOLATED child session.
+
+    State-partition sizing: every shuffle partition of a stateful
+    streaming query materializes its own state store (open, checkpoint,
+    sort per micro-batch), so partition count must track STATE VOLUME,
+    not core count — measured at sf0.1: 32 partitions 6.0-11.4 s vs
+    8 partitions 2.7-3.2 s for identical results (state is a few
+    thousand rows; 32 stores were pure fixed overhead).  At 100 TB the
+    same knob goes UP (state / ~200 MB per store).
+
+    shuffle.partitions is SESSION-global, so r5/r6 flagged the old
+    set-then-restore-in-finally pattern as a hazard: a concurrent query
+    planned on the same session inside that window would silently pick
+    up the streaming value.  The fix is the one the hazard note always
+    named: ``parent.newSession()`` — own SQLConf and temp-view catalog,
+    shared SparkContext, so the override cannot leak anywhere.
+    ``build(child)`` constructs the streaming DataFrame ON the child;
+    the memory-sink table registers in the child's session-scoped
+    catalog, and the returned batch DataFrame carries that session, so
+    callers collect/join it like any other result.
+    """
+    import os
+
+    child = parent.newSession()
+    child.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8"),
+    )
+    for k, v in (confs or {}).items():
+        child.conf.set(k, v)
+    q = (
+        build(child)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # awaitTermination(timeout) returns False while the query is STILL
+    # RUNNING — returning the memory table then would hand back a
+    # silently-partial result; stop and fail loudly instead.
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"{name}: stream did not drain in {timeout}s")
+    return child.table(name)
+
+
 @query("qz16_interval_join", oracle=None)
 def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join run for real (availableNow): clicks
@@ -151,78 +206,46 @@ def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier); tests/test_streaming_analytics.py asserts the result equals
     the identical join computed in batch.  State stays bounded because
     the join condition bounds event time in both directions — see
-    streaming/analytics.interval_join.
+    streaming/analytics.interval_join.  Runs on an isolated child
+    session (state-partition sizing notes: _run_isolated_stream).
     """
-    import os
-
     from frizzle_spark.streaming.analytics import interval_join
 
-    enable_nanos_scan(spark)
+    def build(child: SparkSession) -> DataFrame:
+        enable_nanos_scan(child)
+        raw_schema = events_raw_schema(child, sf_dir)
 
-    # State-partition sizing: every shuffle partition of a stateful
-    # streaming query materializes its own state store (open, checkpoint,
-    # sort per micro-batch), so partition count must track STATE VOLUME,
-    # not core count — measured at sf0.1: 32 partitions 6.0-11.4 s vs
-    # 8 partitions 2.7-3.2 s for identical results (state is a few
-    # thousand rows; 32 stores were pure fixed overhead).  At 100 TB the
-    # same knob goes UP (state / ~200 MB per store).  The value is baked
-    # into a checkpoint at first run; this query uses a fresh checkpoint
-    # per invocation, so overriding here is safe.
-    state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        def load_stream():
+            df = (
+                child.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+            return normalize_events_ts(df, out="ets")
 
-    raw_schema = events_raw_schema(spark, sf_dir)
-
-    def load_stream():
-        df = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+        clicks = (
+            load_stream()
+            .where(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ets").alias("l_ts"),
+            )
         )
-        return normalize_events_ts(df, out="ets")
+        buys = (
+            load_stream()
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("b_user"),
+                F.col("event_id").alias("buy_id"),
+                F.col("ets").alias("r_ts"),
+            )
+        ).withColumnRenamed("b_user", "user_id")
+        return interval_join(clicks, buys).select("click_id", "buy_id")
 
-    clicks = (
-        load_stream()
-        .where(F.col("event_type") == "click")
-        .select("user_id", F.col("event_id").alias("click_id"), F.col("ets").alias("l_ts"))
+    return _run_isolated_stream(
+        spark, build, f"qz16_ij_{_stable_suffix(sf_dir)}", "append"
     )
-    buys = (
-        load_stream()
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("b_user"),
-            F.col("event_id").alias("buy_id"),
-            F.col("ets").alias("r_ts"),
-        )
-    ).withColumnRenamed("b_user", "user_id")
-
-    out = interval_join(clicks, buys).select("click_id", "buy_id")
-    name = f"qz16_ij_{_stable_suffix(sf_dir)}"
-    # HAZARD, documented: shuffle.partitions is SESSION-global.  The
-    # override below (state-store sizing) is restored in `finally`, but
-    # a concurrent query planned on the same session inside that window
-    # would pick up the streaming value.  Acceptable here because the
-    # registry/bench/driver run queries sequentially on one session; a
-    # multi-tenant deployment should set this per-stream via a dedicated
-    # session (spark.newSession()) instead.
-    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        # awaitTermination(timeout) returns False while the query is
-        # STILL RUNNING — returning the memory table then would hand
-        # back a silently-partial result; stop and fail loudly instead.
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("qz16_interval_join: stream did not drain in 300s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-    return spark.table(name)
 
 
 QUALITY_MIN = 0.5  # routing floor: below → DLQ (≈ p25-p50 of the corpus)
@@ -345,39 +368,22 @@ def qz13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frizzle_spark.streaming.analytics import streaming_dedup
 
-    enable_nanos_scan(spark)
-    raw = (
-        spark.readStream.schema(events_raw_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    dedup = streaming_dedup(
-        normalize_events_ts(raw).select("ts", "user_id", "event_type"),
-        keys=["user_id", "event_type"],
-        watermark=STREAM_DEDUP_HORIZON,
-    ).select("user_id", "event_type")
-    import os
-
-    state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    name = f"qz13_dedup_{_stable_suffix(sf_dir)}"
-    # Same session-global shuffle.partitions hazard + sequential-run
-    # justification as qz16_interval_join above.
-    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
-    try:
-        q = (
-            dedup.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    def build(child: SparkSession) -> DataFrame:
+        enable_nanos_scan(child)
+        raw = (
+            child.readStream.schema(events_raw_schema(child, sf_dir))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("qz13_stream_dedup: stream did not drain in 300s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-    return spark.table(name)
+        return streaming_dedup(
+            normalize_events_ts(raw).select("ts", "user_id", "event_type"),
+            keys=["user_id", "event_type"],
+            watermark=STREAM_DEDUP_HORIZON,
+        ).select("user_id", "event_type")
+
+    return _run_isolated_stream(
+        spark, build, f"qz13_dedup_{_stable_suffix(sf_dir)}", "append"
+    )
 
 
 _STREAM_COUNTS_ORACLE = """
@@ -409,35 +415,18 @@ def qz13_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from frizzle_spark.streaming.analytics import running_counts
 
-    enable_nanos_scan(spark)
-    raw = (
-        spark.readStream.schema(events_raw_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    counts = running_counts(
-        normalize_events_ts(raw).select("user_id", "value")
-    )
-    import os
-
-    state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    name = f"qz13_counts_{_stable_suffix(sf_dir)}"
-    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
-    try:
-        q = (
-            counts.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+    def build(child: SparkSession) -> DataFrame:
+        enable_nanos_scan(child)
+        raw = (
+            child.readStream.schema(events_raw_schema(child, sf_dir))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("qz13_stream_counts: stream did not drain in 300s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-    return spark.table(name)
+        return running_counts(normalize_events_ts(raw).select("user_id", "value"))
+
+    return _run_isolated_stream(
+        spark, build, f"qz13_counts_{_stable_suffix(sf_dir)}", "update"
+    )
 
 
 ROCKSDB_PROVIDER = (
@@ -461,46 +450,25 @@ def run_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     total).  RocksDB matters at 100 TB independent of the API: state
     lives off-heap with incremental changelog checkpointing, so
     key-state volume is bounded by disk, not executor heap.  The
-    provider conf is scoped to this query and restored.
+    provider conf is scoped to the isolated child session.
     """
     from frizzle_spark.streaming.analytics import running_counts_tws
 
-    enable_nanos_scan(spark)
-    raw = (
-        spark.readStream.schema(events_raw_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    counts = running_counts_tws(
-        normalize_events_ts(raw).select("user_id", "value")
-    )
-    import os
-
-    state_parts = os.environ.get("FRIZZLE_STREAM_STATE_PARTITIONS", "8")
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prior_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    name = f"qz13_tws_{_stable_suffix(sf_dir)}"
-    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    try:
-        q = (
-            counts.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+    def build(child: SparkSession) -> DataFrame:
+        enable_nanos_scan(child)
+        raw = (
+            child.readStream.schema(events_raw_schema(child, sf_dir))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("run_stream_tws: stream did not drain in 300s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
-        if prior_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prior_provider
-            )
-    return spark.table(name)
+        return running_counts_tws(
+            normalize_events_ts(raw).select("user_id", "value")
+        )
+
+    return _run_isolated_stream(
+        spark,
+        build,
+        f"qz13_tws_{_stable_suffix(sf_dir)}",
+        "update",
+        confs={"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER},
+    )
