@@ -46,6 +46,18 @@ def test_pagerank_matches_numpy_on_knn_graph(spark, sf_dir):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_knn_index_identity_with_direct_path(spark, sf_dir):
+    """The per-process scratch kNN index (what qz12_knn_graph and
+    qz25_pagerank serve from) must be row-identical to the direct
+    block-GEMM path — mirror of the persisted-IVF and cluster-index
+    identity gates."""
+    from frizzle_spark.operators.graph import _cached_knn_edges
+
+    direct = {tuple(r) for r in knn_edges(spark, sf_dir).collect()}
+    cached = {tuple(r) for r in _cached_knn_edges(spark, sf_dir).collect()}
+    assert direct == cached and len(direct) > 0
+
+
 def test_pagerank_hub_beats_periphery(spark):
     """Star + chain: the hub every spoke points at must out-rank every
     spoke, and a two-hop feeder chain ranks between."""
