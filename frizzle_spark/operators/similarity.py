@@ -155,6 +155,69 @@ def q12_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TAU = 0.3  # radius threshold; raw-float compare is bit-safe because
+# both engines fold the dot product left-to-right (same convention as
+# NEARDUP_THRESHOLD)
+
+
+@query(
+    "qz12_range_search",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+        FROM corpus ORDER BY vec_id LIMIT {N_PROBES}
+    )
+    SELECT probe_id, vec_id AS neighbor_id,
+           round(list_dot_product(pv, v) / (pnrm * nrm), 6) AS cos_sim
+    FROM probes, corpus
+    WHERE vec_id <> probe_id
+      AND list_dot_product(pv, v) / (pnrm * nrm) >= {RANGE_TAU}
+    """,
+)
+def qz12_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL corpus vectors within
+    cosine ≥ {RANGE_TAU} of each probe — the fixed-threshold sibling of
+    q12_cosine_topk (top-k answers "the k closest", range search
+    answers "everything this similar": retrieval cutoffs, near-dup
+    sweeps with a quality bar, collision checks against a blocklist of
+    embeddings).
+
+    Scale shape: identical to the top-k baseline's best case — probes
+    broadcast, ONE codegen'd corpus scan, and the threshold prunes
+    map-side, so the operator produces output rows only where matches
+    exist and shuffles NOTHING (no window needed at all: the predicate
+    is per-row).  At 100 TB the same query rides the LSH/IVF bucket
+    tiers (any candidate below τ is discarded by the same final
+    predicate), so exact and approximate variants share this reducer.
+    """
+    corpus = _corpus(spark, sf_dir)
+    probes = corpus.orderBy("vec_id").limit(N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pnrm"),
+    )
+    return (
+        corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cos_sim",
+            V.cosine(F.col("pv"), F.col("v"), F.col("pnrm"), F.col("nrm")),
+        )
+        .where(F.col("cos_sim") >= RANGE_TAU)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
 def _lsh_planes(bits: int, tables: int, dim: int) -> np.ndarray:
     """(tables, bits, dim) hyperplane tensor, seed 42+t per table."""
     return np.stack(

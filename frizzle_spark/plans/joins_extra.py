@@ -510,3 +510,83 @@ def qz17_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("s0", z) + F.coalesce("s1", z)) / F.lit(100.0), 2
         ).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz17_snapshot_diff — table diff between two snapshot versions
+# (round 7).  The inverse of qz17_cdc_merge: MERGE applies a changelog
+# to produce a new snapshot; diff RECOVERS the changelog from two
+# snapshots — the audit/reconciliation primitive ("what changed between
+# yesterday's corpus and today's?") and the input a downstream
+# incremental consumer needs when the producer ships full snapshots.
+#
+# The two versions derive DETERMINISTICALLY from the orders table so
+# the oracle sees the identical inputs: v_old drops keys ≡ 0 (mod 97)
+# (rows "not yet ingested"), v_new drops keys ≡ 3 (mod 89) (rows
+# deleted since) and bumps o_totalprice by +1.0 for keys ≡ 0 (mod 13)
+# (rows updated).  +1.0 on a double is exact, so changed-row detection
+# is a bit-exact <> compare in both engines.
+#
+# Scale shape: ONE full outer join on the unique key — both sides
+# shuffle-partitioned by o_orderkey (or co-located for free if the
+# snapshots are bucketed/clustered by key in storage, the layout
+# sources/bucketed.py ships); classification is per-row CASE logic.
+# Unchanged rows (the overwhelming majority of any real diff) are
+# dropped by the post-join filter, so the output carries only the
+# actual changelog.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+    WITH v_old AS (
+        SELECT o_orderkey AS key, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    v_new AS (
+        SELECT o_orderkey AS key,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 89 <> 3
+    )
+    SELECT coalesce(a.key, b.key) AS key,
+           CASE WHEN a.key IS NULL THEN 'added'
+                WHEN b.key IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           round(a.price, 2) AS old_price,
+           round(b.price, 2) AS new_price
+    FROM v_old a FULL OUTER JOIN v_new b ON a.key = b.key
+    WHERE a.key IS NULL OR b.key IS NULL OR a.price <> b.price
+"""
+
+
+@query("qz17_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def qz17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two snapshot versions into an added/removed/changed
+    changelog (header comment has the derivation and scale notes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    v_old = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    v_new = orders.where(F.col("o_orderkey") % 89 != 3).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    a = v_old.select(F.col("key").alias("a_key"), F.col("price").alias("a_price"))
+    b = v_new.select(F.col("key").alias("b_key"), F.col("price").alias("b_price"))
+    joined = a.join(b, a["a_key"] == b["b_key"], "full_outer")
+    return joined.where(
+        F.col("a_key").isNull()
+        | F.col("b_key").isNull()
+        | (F.col("a_price") != F.col("b_price"))
+    ).select(
+        F.coalesce("a_key", "b_key").alias("key"),
+        F.when(F.col("a_key").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+        F.round("a_price", 2).alias("old_price"),
+        F.round("b_price", 2).alias("new_price"),
+    )

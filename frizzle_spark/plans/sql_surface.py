@@ -1738,3 +1738,275 @@ def qz23_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_chi2 — chi-squared homogeneity test per event type (round 7).
+# Is each event stream's day-of-week mix consistent with the global
+# traffic profile?  The categorical complement to qz23_drift (binned
+# PSI, numeric) and qz23_ks_test (bin-free KS, numeric): chi² is THE
+# workhorse for "did this source's categorical mix shift" monitoring.
+#
+# Oracle-exactness design: day-of-week is pure integer arithmetic
+# ((epoch div 86400) mod 7 — no engine-specific weekday origin), all
+# counts (o, n_t, c_d, N) are exact longs, and each cell statistic is
+# pow(double(o·N − n_t·c_d), 2) / (double(n_t·c_d)·N) — the numerator
+# difference is EXACT in long, so the only float ops are one square,
+# one multiply, one divide (bit-identical IEEE in both engines) and the
+# final ≤7-term sum, whose 1e-14 noise floor sits 8 orders below the
+# 6dp output grid.
+#
+# Scale shape: one corpus pass reduces to (t, d) cell counts (map-side
+# partial agg, one narrow shuffle over ≤ types×7 rows); row/col/grand
+# totals re-aggregate those cells, and the chi² fold runs on the tiny
+# fully-materialized grid (zero cells included via the outer join — a
+# zero observed count still contributes its expected mass).
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH base AS (
+        SELECT event_type AS t,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS d
+        FROM events
+    ),
+    cells AS (SELECT t, d, count(*) AS o FROM base GROUP BY t, d),
+    rt AS (SELECT t, count(*) AS nt FROM base GROUP BY t),
+    ct AS (SELECT d, count(*) AS cd FROM base GROUP BY d),
+    tot AS (SELECT count(*) AS n FROM base),
+    grid AS (
+        SELECT rt.t, ct.d, rt.nt, ct.cd, tot.n, coalesce(cells.o, 0) AS o
+        FROM rt CROSS JOIN ct CROSS JOIN tot
+        LEFT JOIN cells ON cells.t = rt.t AND cells.d = ct.d
+    )
+    SELECT t AS event_type, nt AS n_events,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           round(sum(pow(CAST(o * n - nt * cd AS DOUBLE), 2)
+                     / (CAST(nt * cd AS DOUBLE) * n)), 6) AS chi2
+    FROM grid GROUP BY t, nt
+"""
+
+
+@query("qz23_chi2", oracle=_CHI2_ORACLE)
+def qz23_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type chi-squared statistic of the day-of-week mix vs
+    the global profile (header comment has the oracle-exactness and
+    scale notes)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("t"),
+        F.unix_timestamp("ts").alias("e"),
+    ).select("t", F.expr("(e div 86400) % 7").alias("d"))
+    # ONE corpus pass: everything downstream re-aggregates the tiny
+    # (t, d) cell table — row totals, column totals, and the grand
+    # total are exact integer re-sums of cells, so the plan reads
+    # events once where the naive form scans it four times.
+    cells = base.groupBy("t", "d").agg(F.count(F.lit(1)).alias("o")).localCheckpoint()
+    rt = cells.groupBy("t").agg(F.sum("o").alias("nt"))
+    ct = cells.groupBy("d").agg(F.sum("o").alias("cd"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["t", "d"], "left_outer")
+        .select("t", "d", "nt", "cd", "n", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    cell_stat = F.pow(
+        (F.col("o") * F.col("n") - F.col("nt") * F.col("cd")).cast("double"),
+        F.lit(2),
+    ) / (
+        (F.col("nt") * F.col("cd")).cast("double") * F.col("n")
+    )
+    return grid.groupBy(
+        F.col("t").alias("event_type"), F.col("nt").alias("n_events")
+    ).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.round(F.sum(cell_stat), 6).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz23_entropy — Shannon-entropy profile of the categorical columns
+# (round 7).  Low entropy = one value dominates (a collapsed upstream
+# filter, a source gone silent); normalized entropy (÷ ln k) makes
+# columns with different cardinalities comparable on one dashboard.
+#
+# Oracle-exactness: entropy is computed from exact integer counts via
+# the algebraically-rearranged form  H = ln N − (Σ nᵢ·ln nᵢ)/N  — both
+# engines evaluate the IDENTICAL expression; per-term libm ln noise
+# (≤1 ulp, amplified by nᵢ) lands around 1e-10 absolute in the sum,
+# then shrinks by /N — far below the 6dp grid.
+#
+# Scale shape: per column, one map-side-combined groupBy down to the
+# category profile (bounded by the value DOMAIN, not row count), then
+# the fold runs on that tiny table.  Adding a column = one more narrow
+# aggregation, unioned in.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+    WITH profiles AS (
+        SELECT 'events.event_type' AS col, event_type AS val FROM events
+        UNION ALL
+        SELECT 'documents.lang', lang FROM documents
+        UNION ALL
+        SELECT 'documents.source', source FROM documents
+    ),
+    counts AS (
+        SELECT col, val, count(*) AS ni FROM profiles
+        WHERE val IS NOT NULL GROUP BY col, val
+    )
+    SELECT col,
+           sum(ni) AS n,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(sum(ni)) - sum(ni * ln(ni)) / sum(ni), 6) AS entropy,
+           CASE WHEN count(*) = 1 THEN 0.0
+                ELSE round((ln(sum(ni)) - sum(ni * ln(ni)) / sum(ni))
+                           / ln(count(*)), 6)
+           END AS norm_entropy
+    FROM counts GROUP BY col
+"""
+
+
+@query("qz23_entropy", oracle=_ENTROPY_ORACLE)
+def qz23_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon + normalized entropy per categorical column across the
+    corpus tables (header comment has the exactness and scale notes)."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = (
+        ev.select(F.lit("events.event_type").alias("col"), F.col("event_type").alias("val"))
+        .unionAll(docs.select(F.lit("documents.lang"), F.col("lang")))
+        .unionAll(docs.select(F.lit("documents.source"), F.col("source")))
+    )
+    counts = (
+        profiles.where(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ent = F.log(F.sum("ni")) - F.sum(F.col("ni") * F.log("ni")) / F.sum("ni")
+    return counts.groupBy("col").agg(
+        F.sum("ni").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy"),
+        F.when(F.count(F.lit(1)) == 1, F.lit(0.0))
+        .otherwise(F.round(ent / F.log(F.count(F.lit(1)).cast("double")), 6))
+        .alias("norm_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz23_embedding_dispersion — embedding-space cluster profiling
+# (round 7).  Per label: centroid norm and within-group dispersion
+# (E‖v‖² − ‖μ‖², the per-cluster k-means objective) — the embedding
+# sibling of the categorical/numeric profilers: a label whose
+# dispersion collapses (mode collapse, duplicated shards) or whose
+# centroid drifts is the embedding-space drift signal a curation
+# pipeline monitors between corpus snapshots.
+#
+# Oracle-exactness: float32 embeddings cast to double (exact), both
+# engines evaluate the IDENTICAL two-level aggregation — per-(label,
+# dim) moments, then the closed-form fold.  Per-group float-sum-order
+# noise is ~1e-12 absolute on these magnitudes, 6 orders under the 6dp
+# output grid.
+#
+# Scale shape: posexplode is a MAP-SIDE 64× expansion feeding partial
+# aggregation — the shuffle carries only labels×dims moment rows (three
+# doubles each), never vectors; the final fold runs on that tiny
+# profile.  This is the canonical distributed mean-vector shape: at
+# 100 TB the same plan computes per-source centroids with one narrow
+# shuffle.
+# ---------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+    WITH e AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    dims AS (
+        SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+        FROM e
+    ),
+    dimagg AS (
+        SELECT label, dim,
+               sum(x * x) AS ss,
+               sum(x) / count(*) AS mu,
+               count(*) AS cnt
+        FROM dims GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(max(cnt) AS BIGINT) AS n,
+           round(sqrt(sum(mu * mu)), 6) AS centroid_norm,
+           round(sum(ss) / max(cnt) - sum(mu * mu), 6) AS dispersion
+    FROM dimagg GROUP BY label
+"""
+
+
+@query("qz23_embedding_dispersion", oracle=_DISPERSION_ORACLE)
+def qz23_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid norm + within-group dispersion
+    (header comment has the exactness and scale notes)."""
+    from frizzle_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    dims = emb.select(
+        "label", F.posexplode(V.as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    dimagg = dims.groupBy("label", "dim").agg(
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+        (F.sum("x") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return dimagg.groupBy("label").agg(
+        F.max("cnt").cast("long").alias("n"),
+        F.round(F.sqrt(F.sum(F.col("mu") * F.col("mu"))), 6).alias("centroid_norm"),
+        F.round(
+            F.sum("ss") / F.max("cnt") - F.sum(F.col("mu") * F.col("mu")), 6
+        ).alias("dispersion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz22_temporal_split — leakage-safe train/test split BY TIME with an
+# embargo gap (round 7).  The temporal sibling of qz22_hash_split
+# (content-hash) and qz22_leakage_safe_split (cluster-aware): for
+# forecasting / event-sequence corpora the split must respect time, and
+# a bare cutoff still leaks through features computed over windows or
+# sessions that STRADDLE it — so rows inside the embargo gap
+# [cutoff, cutoff + gap) are dropped entirely (purged, in the
+# time-series cross-validation sense), guaranteeing no training-side
+# window overlaps any test-side window.
+#
+# Scale shape: a pure per-row predicate on the partition-prunable time
+# column — NO shuffle, NO state; on a date-partitioned 100 TB layout
+# the embargo filter prunes at the manifest level.
+# ---------------------------------------------------------------------------
+
+TEMPORAL_CUTOFF = "2024-01-22 00:00:00"
+TEMPORAL_EMBARGO_END = "2024-01-24 00:00:00"  # cutoff + 2-day embargo
+
+_TEMPORAL_SPLIT_ORACLE = f"""
+    SELECT event_id,
+           CASE WHEN ts < TIMESTAMP '{TEMPORAL_CUTOFF}' THEN 'train'
+                ELSE 'test' END AS split
+    FROM events
+    WHERE ts < TIMESTAMP '{TEMPORAL_CUTOFF}'
+       OR ts >= TIMESTAMP '{TEMPORAL_EMBARGO_END}'
+"""
+
+
+@query("qz22_temporal_split", oracle=_TEMPORAL_SPLIT_ORACLE)
+def qz22_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal train/test split: train before the cutoff, test
+    after the embargo, embargo rows dropped (header comment has the
+    leakage rationale and scale notes)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(TEMPORAL_CUTOFF).cast("timestamp")
+    embargo_end = F.lit(TEMPORAL_EMBARGO_END).cast("timestamp")
+    return ev.where(
+        (F.col("ts") < cutoff) | (F.col("ts") >= embargo_end)
+    ).select(
+        "event_id",
+        F.when(F.col("ts") < cutoff, "train").otherwise("test").alias("split"),
+    )
