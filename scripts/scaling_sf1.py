@@ -66,6 +66,11 @@ HEAVY = [
     "q10_session_windows",
     "qz10_sessionize",
     "qz10_windowed_topk",
+    # round-7 profilers: the KS/chi2 grids are bounded by the VALUE
+    # DOMAIN, so 10× rows should scale sublinearly after the first pass
+    "qz23_ks_test",
+    "qz23_chi2",
+    "qz23_embedding_dispersion",
 ]
 
 
