@@ -243,9 +243,20 @@ def pagerank(
     n_iter: int = PR_ITERS,
     checkpoint_every: int = PR_CHECKPOINT_EVERY,
     co_partition: bool = False,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Static (fixed-iteration) PageRank over an (src, dst) edge
     DataFrame — GraphX ``staticPageRank`` semantics, as join algebra.
+
+    ``teleport``: optional (node) seed set for PERSONALIZED PageRank —
+    teleport AND dangling mass land uniformly on the seeds (restricted
+    to nodes actually present in the graph, renormalized) instead of
+    uniformly everywhere, and the iteration starts from the seed
+    distribution.  The per-node teleport weight joins into the
+    checkpointed node table ONCE before the loop, so the superstep
+    algebra is unchanged — same two joins, same single reference to
+    the prior ranks, ZERO extra per-round cost.  Σrank = 1 every round
+    in both modes (the weight column sums to 1 by construction).
 
     Per round: contributions = edges ⋈ ranks (shuffle by node) →
     groupBy dst (shuffle by dst) → left-outer back onto the node set.
@@ -305,13 +316,30 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (node, deg) with deg NULL ⇔ dangling — one table drives both the
     # contribution split and the dangling-mass fold, no per-round action
-    nd = _ckpt(
-        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_outer")
-        .select("node", "deg"),
-        "node",
-    )
-    ranks = nd.select("node", "deg", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    if teleport is not None:
+        # seeds ∩ nodes, uniform weight; seeds outside the graph would
+        # silently leak teleport mass (Σrank < 1), so they are dropped
+        # and the weight renormalized over what remains
+        seeds = teleport.select("node").distinct().join(nodes, "node")
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            # PPR is undefined with no in-graph seed; empty result (not
+            # a raise) keeps registry queries total on degenerate
+            # corpora (null-label / one-row totality sweeps)
+            return nodes.select("node", F.lit(0.0).alias("rank")).limit(0)
+        w_col = F.coalesce(F.col("w"), F.lit(0.0))
+        nd_src = (
+            nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_outer")
+            .join(seeds.select("node", F.lit(1.0 / n_seeds).alias("w")), "node", "left_outer")
+            .select("node", "deg", w_col.alias("w"))
+        )
+    else:
+        nd_src = (
+            nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_outer")
+            .select("node", "deg", F.lit(1.0 / n).alias("w"))
+        )
+    nd = _ckpt(nd_src, "node")
+    ranks = nd.select("node", "deg", F.col("w").alias("rank"))
     # uniquely-named edge view for the per-round join: `e` re-enters the
     # plan every superstep while the prior round's lineage (between
     # checkpoints) already contains it — fresh names sidestep Spark's
@@ -353,11 +381,11 @@ def pagerank(
                 "node",
                 "deg",
                 (
-                    F.lit(base)
+                    F.lit(1.0 - damping) * F.col("w")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dangling") / F.lit(float(n))
+                        + F.col("dangling") * F.col("w")
                     )
                 ).alias("rank"),
             )
@@ -385,3 +413,35 @@ def qz25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the iteration always starts from a persisted edge list."""
     edges = _cached_knn_edges(spark, sf_dir)
     return pagerank(edges).select("node", F.round("rank", 9).alias("rank"))
+
+
+PPR_SEED_LABEL = 0  # the "trusted" cluster whose neighborhood PPR scores
+
+
+@query("qz25_ppr", oracle=None)
+def qz25_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the kNN graph: teleport (and dangling
+    mass) land on a trusted seed set — here the label-{PPR_SEED_LABEL}
+    embedding cluster — so rank measures proximity/reachability FROM
+    the seeds, not global centrality.  This is the standard
+    curation-by-example scorer: given a small vetted subset, PPR ranks
+    the whole corpus by similarity-graph diffusion from it (seeded
+    coreset selection, label propagation's continuous cousin).
+
+    Same superstep algebra and cost as qz25_pagerank — the seed weight
+    column joins into the checkpointed node table once, before the
+    loop.  Rows-only (iterative); pytest gates: numpy power-iteration
+    differential with the same teleport vector (<1e-12), Σrank = 1,
+    and seeds-outrank-periphery on a synthetic two-cluster graph.
+    """
+    from frizzle_spark.sources.tables import load_table
+
+    edges = _cached_knn_edges(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label") == PPR_SEED_LABEL)
+        .select(F.col("vec_id").alias("node"))
+    )
+    return pagerank(edges, teleport=seeds).select(
+        "node", F.round("rank", 9).alias("rank")
+    )

@@ -218,6 +218,62 @@ def qz12_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "qz12_mips",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, v AS pv
+        FROM corpus ORDER BY vec_id LIMIT {N_PROBES}
+    ),
+    ranked AS (
+        SELECT probe_id, vec_id AS neighbor_id,
+               list_dot_product(pv, v) AS score,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY list_dot_product(pv, v) DESC,
+                                           vec_id) AS rank
+        FROM probes, corpus
+        WHERE vec_id <> probe_id
+    )
+    SELECT probe_id, neighbor_id, round(score, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def qz12_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search: top-k by RAW dot product, no
+    normalization — the retrieval mode recommender / learned-embedding
+    scoring uses when vector magnitude carries signal (popularity,
+    confidence) that cosine deliberately erases.  Same broadcast-probe
+    single-scan plan as q12_cosine_topk; at 100 TB the standard
+    norm-augmentation reduction (append √(M²−‖v‖²) as an extra
+    coordinate, Bachrach et al. RecSys'14) turns this into the cosine
+    problem, so every ANN tier (LSH/IVF/IVF-PQ/SQ8) serves MIPS
+    unchanged — this exact scan is their oracle twin."""
+    corpus = _corpus(spark, sf_dir)
+    probes = corpus.orderBy("vec_id").limit(N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = corpus.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).withColumn("score", V.dot(F.col("pv"), F.col("v")))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
 def _lsh_planes(bits: int, tables: int, dim: int) -> np.ndarray:
     """(tables, bits, dim) hyperplane tensor, seed 42+t per table."""
     return np.stack(

@@ -2010,3 +2010,84 @@ def qz22_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(F.col("ts") < cutoff, "train").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_benford — first-significant-digit profile vs Benford's law
+# (round 7).  Naturally-generated positive quantities follow
+# P(d) = log10(1 + 1/d); fabricated, truncated, or unit-mangled feeds
+# do not — the classic forensic screen for synthetic or corrupted
+# numeric columns, complementing qz23_chi2 (homogeneity vs the
+# empirical global profile) with a GOODNESS-OF-FIT test against a
+# theoretical distribution.
+#
+# Oracle-exactness: the first digit comes from the INTEGER-cents
+# string (long → varchar is engine-identical; no float formatting
+# anywhere), observed counts are exact longs, and both engines
+# evaluate the identical chi² expression — libm log10's ≤1-ulp noise
+# lands ~1e-13 per cell, 7 orders under the 6dp grid.
+#
+# Scale shape: one corpus pass to (type, digit) cells — ≤ 9 rows per
+# type after map-side combine; the chi² fold runs on that profile.
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+    WITH base AS (
+        SELECT event_type AS t,
+               CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS d
+        FROM events WHERE value IS NOT NULL AND value >= 0.01
+    ),
+    cells AS (SELECT t, d, count(*) AS o FROM base GROUP BY t, d),
+    grid AS (
+        SELECT tt.t, dd.d, coalesce(c.o, 0) AS o
+        FROM (SELECT DISTINCT t FROM cells) tt
+        CROSS JOIN (SELECT unnest(range(1, 10)) AS d) dd
+        LEFT JOIN cells c ON c.t = tt.t AND c.d = dd.d
+    ),
+    totals AS (SELECT t, sum(o) AS nt FROM grid GROUP BY t)
+    SELECT g.t AS event_type, CAST(totals.nt AS BIGINT) AS n,
+           round(sum(pow(g.o - totals.nt * log10(1.0 + 1.0 / g.d), 2)
+                     / (totals.nt * log10(1.0 + 1.0 / g.d))), 6)
+               AS chi2_benford
+    FROM grid g JOIN totals ON totals.t = g.t
+    GROUP BY g.t, totals.nt
+"""
+
+
+@query("qz23_benford", oracle=_BENFORD_ORACLE)
+def qz23_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared of each event stream's first-significant-digit
+    distribution against Benford's law (header comment has the
+    exactness and scale notes)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("value").isNotNull() & (F.col("value") >= 0.01)
+    ).select(
+        F.col("event_type").alias("t"),
+        F.substring(
+            F.floor(F.col("value") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d"),
+    )
+    cells = base.groupBy("t", "d").agg(F.count(F.lit(1)).alias("o"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    grid = (
+        cells.select("t")
+        .distinct()
+        .crossJoin(F.broadcast(digits))
+        .join(cells, ["t", "d"], "left_outer")
+        .select("t", "d", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    totals = grid.groupBy("t").agg(F.sum("o").alias("nt"))
+    expected = F.col("nt") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return (
+        grid.join(F.broadcast(totals), "t")
+        .groupBy(F.col("t").alias("event_type"), F.col("nt").cast("long").alias("n"))
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("o") - expected, F.lit(2)) / expected), 6
+            ).alias("chi2_benford")
+        )
+    )

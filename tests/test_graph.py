@@ -17,21 +17,30 @@ from frizzle_spark.operators.graph import (
 )
 
 
-def _numpy_pagerank(edges, n_iter=PR_ITERS, d=PR_DAMPING):
-    """Reference power iteration — same supersteps as operators.graph."""
+def _numpy_pagerank(edges, n_iter=PR_ITERS, d=PR_DAMPING, seeds=None):
+    """Reference power iteration — same supersteps as operators.graph.
+    ``seeds``: optional node set for personalized PageRank (teleport +
+    dangling mass on seeds∩nodes, uniform; start from the seed
+    distribution)."""
     nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
     deg = np.zeros(n)
     for s, _ in edges:
         deg[idx[s]] += 1
-    r = np.full(n, 1.0 / n)
+    w = np.full(n, 1.0 / n)
+    if seeds is not None:
+        inset = [v for v in nodes if v in seeds]
+        w = np.zeros(n)
+        for v in inset:
+            w[idx[v]] = 1.0 / len(inset)
+    r = w.copy()
     for _ in range(n_iter):
         dangling = r[deg == 0].sum()
         c = np.zeros(n)
         for s, t in edges:
             c[idx[t]] += r[idx[s]] / deg[idx[s]]
-        r = (1 - d) / n + d * (c + dangling / n)
+        r = (1 - d) * w + d * (c + dangling * w)
     return {v: r[idx[v]] for v in nodes}
 
 
@@ -43,6 +52,56 @@ def test_pagerank_matches_numpy_on_knn_graph(spark, sf_dir):
     assert set(got) == set(want)
     worst = max(abs(got[v] - want[v]) for v in want)
     assert worst < 1e-12, f"max |spark - numpy| = {worst:.3e}"
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_matches_numpy_on_knn_graph(spark, sf_dir):
+    """Personalized PageRank differential: identical supersteps, same
+    label-0 teleport vector, on the real kNN edges."""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.operators.graph import PPR_SEED_LABEL, pagerank
+    from frizzle_spark.sources.tables import load_table
+
+    e = knn_edges(spark, sf_dir)
+    pairs = [(r["src"], r["dst"]) for r in e.select("src", "dst").collect()]
+    seeds = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label") == PPR_SEED_LABEL)
+        .collect()
+    }
+    want = _numpy_pagerank(pairs, seeds=seeds)
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in sorted(seeds)], "node long"
+    )
+    got = {
+        r["node"]: r["rank"] for r in pagerank(e, teleport=seed_df).collect()
+    }
+    assert set(got) == set(want)
+    worst = max(abs(got[v] - want[v]) for v in want)
+    assert worst < 1e-12, f"max |spark - numpy| = {worst:.3e}"
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_seeds_outrank_far_periphery(spark):
+    """Two outward chains: seeding one chain's head must put ALL rank
+    mass on the seeded component (teleport + dangling return both land
+    on seeds, and nothing points into chain B) — rank is proximity to
+    the seeds, not global centrality.  (Intra-chain ordering is NOT
+    asserted: with fixed finite supersteps mass travels the chain in
+    waves; the numpy differential above pins the exact values.)"""
+    from frizzle_spark.operators.graph import pagerank
+
+    # chain A: 1->2->3->4->5 (diffusion path from the seed), chain B same
+    edges = [(i, i + 1) for i in range(1, 5)] + [(i, i + 1) for i in range(11, 15)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seed_df = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, teleport=seed_df).collect()}
+    for v in (1, 2, 3, 4, 5):
+        assert got[v] > 0.0
+    for v in (11, 12, 13, 14, 15):
+        assert got[v] == 0.0  # exactly: no teleport, no inbound path
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 

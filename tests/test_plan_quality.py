@@ -444,3 +444,48 @@ def test_sql_udf_inlines_to_plain_aggregate(plan_of):
     phys = plan_of("qz21_sql_udf").split("== Physical Plan ==")[1]
     assert "HashAggregate" in phys
     assert "BatchEvalPython" not in phys and "PythonUDF" not in phys
+
+
+def test_range_search_zero_shuffle_broadcast_probes(plan_of):
+    """qz12_range_search: broadcast probes + per-row predicate — NO
+    exchange anywhere (the whole operator is one corpus scan)."""
+    plan = plan_of("qz12_range_search")
+    tail = plan[plan.index("== Physical Plan =="):]
+    assert "BroadcastExchange" in tail
+    import re
+    shuffles = len(re.findall(r"Exchange (?:hash|range|Single)", tail))
+    assert shuffles == 0, f"expected zero shuffles, plan has {shuffles}"
+
+
+def test_mips_broadcasts_probes(plan_of):
+    plan = plan_of("qz12_mips")
+    tail = plan[plan.index("== Physical Plan =="):]
+    assert "BroadcastExchange" in tail
+    assert "CartesianProduct" not in tail
+
+
+def test_chi2_single_corpus_scan(plan_of):
+    """qz23_chi2: row/col/grand totals re-aggregate the checkpointed
+    cell table — the events parquet must appear in NO scan of the
+    downstream plan (the one corpus read happened at checkpoint
+    time)."""
+    plan = plan_of("qz23_chi2")
+    tail = plan[plan.index("== Physical Plan =="):]
+    assert "events.parquet" not in tail
+    assert "ExistingRDD" in tail or "Scan ExistingRDD" in tail
+
+
+def test_temporal_split_filter_pushed(plan_of):
+    """The embargo predicate must reach the parquet scan."""
+    plan = plan_of("qz22_temporal_split")
+    assert "PushedFilters" in plan and "ts" in plan[plan.index("PushedFilters"):][:200]
+
+
+def test_snapshot_diff_single_join(plan_of):
+    """One full-outer join on the key, no extra exchanges beyond its
+    two sides + AQE final."""
+    plan = plan_of("qz17_snapshot_diff")
+    tail = plan[plan.index("== Physical Plan =="):]
+    join_lines = [ln for ln in tail.splitlines() if "Join" in ln]
+    assert len(join_lines) == 1 and "FullOuter" in join_lines[0], join_lines
+    assert "CartesianProduct" not in tail
