@@ -2091,3 +2091,70 @@ def qz23_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_benford")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qz26_fuzzy_join — edit-distance entity resolution over the NAME
+# DICTIONARY (round 7).  Fuzzy record linkage ("same part, typo'd
+# name") done the way it scales: the corpus first reduces to the
+# distinct-name dictionary with row counts (bounded by the VOCABULARY,
+# not the corpus — one map-side-combined pass), candidate pairs are
+# generated by a BLOCKING equi-join on the head noun (never all-pairs,
+# the cardinal sin of naive record linkage), and Levenshtein runs only
+# on within-block pairs.  The emitted pair table maps back to rows by
+# a broadcast join when a consumer needs row-level linkage.
+#
+# Oracle-exactness: everything is exact — strings, integer edit
+# distances (both engines implement unit-cost Levenshtein), long
+# counts.  No floats anywhere.
+#
+# 100 TB shape: dictionary ≪ corpus always (names are a vocabulary);
+# blocking keys bound each join cell; the corpus itself is touched by
+# exactly one counting aggregation.
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+_FUZZY_ORACLE = f"""
+    WITH names AS (
+        SELECT p_name AS n, count(*) AS cnt
+        FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+    )
+    SELECT a.n AS name_a, b.n AS name_b,
+           CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist,
+           a.cnt AS n_rows_a, b.cnt AS n_rows_b
+    FROM names a JOIN names b
+      ON split_part(a.n, ' ', 2) = split_part(b.n, ' ', 2)
+     AND a.n < b.n
+     AND levenshtein(a.n, b.n) <= {FUZZY_MAX_DIST}
+"""
+
+
+@query("qz26_fuzzy_join", oracle=_FUZZY_ORACLE)
+def qz26_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein self-join over the distinct part-name
+    dictionary: near-identical name pairs (edit distance ≤
+    {FUZZY_MAX_DIST}) sharing a head-noun block, with per-name corpus
+    row counts (header comment has the blocking/scale notes)."""
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.where(F.col("p_name").isNotNull())
+        .groupBy(F.col("p_name").alias("n"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("blk", F.split_part(F.col("n"), F.lit(" "), F.lit(2)))
+    )
+    a = names.select(
+        F.col("n").alias("name_a"), F.col("cnt").alias("n_rows_a"), "blk"
+    )
+    b = names.select(
+        F.col("n").alias("name_b"), F.col("cnt").alias("n_rows_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
+        )
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
+    )

@@ -71,6 +71,13 @@ HEAVY = [
     "qz23_ks_test",
     "qz23_chi2",
     "qz23_embedding_dispersion",
+    "qz23_benford",
+    "qz23_entropy",
+    "qz22_temporal_split",
+    # round-7 retrieval/graph additions (embeddings-scaled)
+    "qz12_range_search",
+    "qz12_mips",
+    "qz25_ppr",
 ]
 
 
