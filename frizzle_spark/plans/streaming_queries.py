@@ -171,6 +171,13 @@ def _run_isolated_stream(
     the memory-sink table registers in the child's session-scoped
     catalog, and the returned batch DataFrame carries that session, so
     callers collect/join it like any other result.
+
+    Lifetime: each invocation holds one child session (and its
+    memory-sink rows) until the returned DataFrame and session are
+    GC'd — bounded by invocations, a few MB each at bench scale.  A
+    long-lived service should swap MemorySink for an executor-side
+    sink (as q13_stream's ParquetSink does) rather than accumulate
+    driver-side tables.
     """
     import os
 

@@ -707,3 +707,66 @@ def qz10_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("session_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz10_transitions — event-type transition matrix (round 7).  The
+# first-order Markov profile of user behavior: for every (from, to)
+# event-type pair, how many consecutive-event transitions occur and
+# the conditional probability P(to | from).  The behavioral-data
+# sibling of the distribution profilers: a transition matrix that
+# shifts between corpus snapshots is upstream behavior change (bot
+# traffic, instrumentation bugs) that per-event histograms miss.
+#
+# Oracle-exactness: ordering is (ts, event_id) — event_id breaks
+# timestamp ties deterministically; counts are exact longs and the
+# probability is one integer division rounded at 6dp.
+#
+# Scale shape: ONE window shuffle by user_id (each user's history
+# sorts locally), then a map-side-combined groupBy down to the
+# (from, to) matrix — bounded by |event types|², not rows.
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type AS to_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type
+        FROM events
+    ),
+    cells AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cells
+"""
+
+
+@query("qz10_transitions", oracle=_TRANSITIONS_ORACLE)
+def qz10_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix with conditional
+    probabilities (header comment has the exactness and scale notes)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    cells = (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
+    )
