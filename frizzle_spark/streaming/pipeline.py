@@ -423,15 +423,52 @@ class ParquetSink:
         into the SAME new generation dir (append mode) and then commit
         it — duplicating every folded row inside a live generation, the
         one corruption the crash-window protocol cannot undo.  The lock
-        makes the second runner a CLEAN LOSER instead: atomic
-        create-if-absent of ``_compaction.lock`` (exact on HDFS/local;
-        best-effort on object stores whose create is not conditional —
-        there, run compact from a single maintenance scheduler, the same
-        operational rule Delta/Iceberg state for their non-locking
-        stores).  A crash leaves a stale lock; holders older than
-        ``LOCK_TTL_SECONDS`` are broken and taken over.
+        makes the second runner a CLEAN LOSER instead.  Acquisition is
+        scheme-aware: local paths use ``os.open(O_CREAT|O_EXCL)`` (a
+        true kernel-level atomic create — Hadoop's RawLocalFileSystem
+        ``create(overwrite=False)`` is check-then-create and two racers
+        can BOTH pass the check); HDFS uses ``fs.create(overwrite=False)``
+        (atomic on the NameNode) plus a unique-token read-back so even a
+        non-atomic store demotes a double-acquire to at most one
+        survivor.  Object stores without conditional create remain
+        best-effort — there, run compact from a single maintenance
+        scheduler, the same operational rule Delta/Iceberg state for
+        their non-locking stores.  A crash leaves a stale lock; holders
+        older than ``LOCK_TTL_SECONDS`` are broken and taken over.
         """
+        import errno
+        import os
         import time
+        import uuid
+
+        local = self._local_lock_path()
+        if local is not None:
+            # kernel-atomic path: O_EXCL cannot double-acquire
+            for _ in range(2):  # second pass after breaking a stale lock
+                try:
+                    fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, b"compact")
+                    os.close(fd)
+                    return
+                except OSError as exc:
+                    if exc.errno != errno.EEXIST:
+                        raise
+                    try:
+                        age_s = time.time() - os.path.getmtime(local)
+                    except OSError:
+                        continue  # holder just released — retry create
+                    if age_s < self.LOCK_TTL_SECONDS:
+                        raise CompactionInProgressError(
+                            f"another compact() holds {local} (age {age_s:.0f}s "
+                            f"< ttl {self.LOCK_TTL_SECONDS:.0f}s); this run "
+                            "loses cleanly — retry after it finishes, or "
+                            "delete the lock if its holder is known dead"
+                        ) from None
+                    try:
+                        os.unlink(local)  # stale: break it and take over
+                    except OSError:
+                        pass
+            raise CompactionInProgressError(f"lost the race for {local}")
 
         _, fs, Path = self._fs(spark)
         p = Path(f"{self.base_path}/{self._LOCK}")
@@ -455,16 +492,45 @@ class ParquetSink:
             # released) — treat as absent and contend on create below,
             # whose overwrite=False is the actual atomicity point
             pass
+        token = uuid.uuid4().hex.encode()
         try:
             out = fs.create(p, False)  # overwrite=False → atomic loser
             try:
-                out.write(bytearray(b"compact"))
+                out.write(bytearray(token))
             finally:
                 out.close()
         except Exception as exc:
             raise CompactionInProgressError(
                 f"lost the race for {self.base_path}/{self._LOCK}: {exc}"
             ) from exc
+        # read-back verify: if the store's create was NOT conditional and
+        # two racers both "won", the lock file holds exactly one token —
+        # the other racer self-demotes to a clean loser here.
+        time.sleep(0.05)
+        try:
+            stream = fs.open(p)
+            try:
+                seen = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+        except Exception:
+            seen = token  # unreadable → keep the optimistic claim
+        if seen != token:
+            raise CompactionInProgressError(
+                f"lost the race for {self.base_path}/{self._LOCK}: "
+                "token read-back shows another holder"
+            )
+
+    def _local_lock_path(self) -> "str | None":
+        """Filesystem path of the lock when base_path is local, else None."""
+        base = self.base_path
+        if base.startswith("file:"):
+            from urllib.parse import urlparse
+
+            base = urlparse(base).path
+        elif "://" in base:
+            return None
+        return os.path.join(base, self._LOCK)
 
     def _release_lock(self, spark: SparkSession) -> None:
         _, fs, Path = self._fs(spark)
@@ -611,6 +677,48 @@ class KafkaSink:
             .option("kafka.bootstrap.servers", self.brokers)
             .save()
         )
+
+
+class KinesisSink:
+    """Kinesis ecosystem sink (declared type, frizzle.go:33-34; the
+    reference's implementation lives in the sibling repo frinesis —
+    ours likewise delegates the wire to an external connector).
+
+    ``to_wire`` is the connector-free unit-testable half: envelope →
+    the PutRecords shape (data, partitionKey, streamName), with dest
+    routing the stream exactly as KafkaSink routes the topic."""
+
+    def __init__(self, region: str, default_stream: str) -> None:
+        self.region = region
+        self.default_stream = default_stream
+
+    def to_wire(self, df: DataFrame, default_dest: str) -> DataFrame:
+        """ENVELOPE → Kinesis PutRecords columns; dest routes the
+        stream (frizzle.go:115-123's Send(m, dest)), falling back to
+        the pipeline default then the sink's default stream."""
+        return df.select(
+            F.col("data").alias("data"),
+            F.col("id").cast("string").alias("partitionKey"),
+            F.coalesce(
+                F.col("dest"), F.lit(default_dest or self.default_stream)
+            ).alias("streamName"),
+        )
+
+    def write(
+        self, df: DataFrame, default_dest: str, batch_id: int | None = None
+    ) -> None:
+        try:
+            (
+                self.to_wire(df, default_dest)
+                .write.format("kinesis")
+                .option("region", self.region)
+                .save()
+            )
+        except Exception as exc:  # connector not on classpath
+            raise NotImplementedError(
+                "Kinesis needs the spark-sql-kinesis connector on the "
+                "classpath (spark-submit --packages ...); not bundled here"
+            ) from exc
 
 
 # --------------------------------------------------------------- pipeline
