@@ -445,3 +445,85 @@ def qz25_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, teleport=seeds).select(
         "node", F.round("rank", 9).alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# qz25_triangles — per-node triangle counts on the kNN similarity graph
+# (round 7).  Triangles are the community-structure primitive (local
+# clustering: a node whose neighbors also neighbor each other sits
+# inside a dense near-duplicate clique, not a hub): symmetrize the
+# directed top-k graph into canonical a<b edges, then count via the
+# ordered two-path + closing-edge join — each triangle {a<b<c} is
+# found EXACTLY once as (a,b)⋈(b,c) closed by (a,c), the standard
+# all-orderings-deduped formulation.  Per-node counts come from
+# unpivoting each triangle's three corners.
+#
+# 100 TB shape: the joins run over the EDGE LIST (n·k rows — never the
+# corpus, never all-pairs; the GEMM grid that builds the edges is
+# amortized in the persisted kNN index).  With degree bounded by the
+# kNN k (≤ k out-neighbors, in-degree concentration capped by the
+# similarity cutoff in practice), the two-path intermediate is O(n·k²)
+# — and a skew guard for pathological in-degree hubs would salt the
+# b-key, same recipe as q19_salted_join.  This node-iterator-as-joins
+# shape is the MapReduce-classic triangle algorithm (Suri & Vassilvitskii,
+# WWW'11) expressed declaratively.
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+        FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rank
+        FROM scored
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ranked WHERE rank <= {KNN_K}
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT x AS vec_id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY vec_id
+"""
+
+
+@query("qz25_triangles", oracle=_TRIANGLES_ORACLE)
+def qz25_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the symmetrized kNN graph (header
+    comment has the formulation and scale notes).  Rides the same
+    per-process scratch kNN index as qz12_knn_graph / qz25_pagerank —
+    the oracle therefore pins the persisted-index path end-to-end."""
+    edges = _cached_knn_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("vec_id"))
+        .unionAll(tri.select(F.col("y").alias("vec_id")))
+        .unionAll(tri.select(F.col("z").alias("vec_id")))
+    )
+    return corners.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -590,3 +590,85 @@ def qz17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("a_price", 2).alias("old_price"),
         F.round("b_price", 2).alias("new_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz26_bitmap_semijoin — semi-join reduction via a broadcast key bitmap
+# (round 7).  THE classic distributed-join optimization the engine
+# should demonstrate explicitly: when a huge fact table is semi-joined
+# to a selective dim, first fold the dim's join keys into a fixed-size
+# bit array (BITMAP_WORDS × 64 bits of xxhash64 positions — a Bloom
+# filter with exactly one hash function), broadcast those few KB, and
+# drop non-matching fact rows BEFORE any shuffle.  False positives are
+# possible (hash collisions), false negatives are not — so the exact
+# broadcast semi join that follows sees a pre-thinned probe side and
+# the RESULT is exactly the plain semi join, which is what the oracle
+# pins.  Spark's own runtime bloom-filter injection (plan-gated
+# elsewhere) does this adaptively; this query is the explicit,
+# composable form that also works where the optimizer declines
+# (e.g. pre-shuffle thinning feeding a later wide join).
+#
+# 100 TB shape: the bitmap build is one map-side-combined aggregation
+# over the DIM (≤ BITMAP_WORDS rows out), the probe-side filter is a
+# broadcast hash join against ≤ 1024 rows plus pure codegen bit math —
+# the fact table is never shuffled at all in this plan (both joins
+# broadcast); at cluster scale the reduction applies before the
+# shuffle of whatever wide operator consumes the surviving rows.
+# ---------------------------------------------------------------------------
+
+BITMAP_WORDS = 1024  # 65,536 bits; dim keys ≪ bits → low collision rate
+TARGET_SEGMENT = "BUILDING"
+
+_BITMAP_SEMI_ORACLE = f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = '{TARGET_SEGMENT}')
+    GROUP BY o_orderpriority
+"""
+
+
+@query("qz26_bitmap_semijoin", oracle=_BITMAP_SEMI_ORACLE)
+def qz26_bitmap_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders by priority for customers in one market segment, computed
+    through an explicit broadcast-bitmap semi-join reduction (header
+    comment): dim keys → 64 KiB bit array → codegen pre-filter on the
+    fact → exact broadcast semi join.  Oracle = the plain semi join
+    (the bitmap pass admits a superset, the exact join removes every
+    collision)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.where(F.col("c_mktsegment") == TARGET_SEGMENT).select("c_custkey")
+
+    def positions(key):
+        h = F.xxhash64(key)
+        word = F.pmod(h, F.lit(BITMAP_WORDS)).cast("int")
+        bit = F.pmod(F.shiftrightunsigned(h, 32), F.lit(64)).cast("int")
+        return word, bit
+
+    d_word, d_bit = positions(F.col("c_custkey"))
+    # shiftleft by a COLUMN count needs the SQL form (the Python
+    # wrapper only takes an int literal)
+    one_shl_bit = F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    bitmap = (
+        dim.select(d_word.alias("word"), d_bit.alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(one_shl_bit).alias("mask"))
+    )
+
+    f_word, f_bit = positions(F.col("o_custkey"))
+    thinned = (
+        orders.withColumn("word", f_word)
+        .withColumn("bit", f_bit)
+        .join(F.broadcast(bitmap), "word")
+        .where(F.col("mask").bitwiseAND(one_shl_bit) != 0)
+    )
+    exact = thinned.join(
+        F.broadcast(dim), thinned["o_custkey"] == dim["c_custkey"], "left_semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -2158,3 +2158,132 @@ def qz26_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= FUZZY_MAX_DIST)
         .select("name_a", "name_b", "dist", "n_rows_a", "n_rows_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_cusum — CUSUM changepoint detection over daily event volumes
+# (round 7).  The sequential-analysis classic (Page 1954): per event
+# type, the one-sided cumulative sums
+#
+#     S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − κ))      (upward shifts)
+#     S⁻_t = max(0, S⁻_{t-1} − (x_t − μ + κ))      (downward shifts)
+#
+# alarm when either exceeds h.  The recursion LOOKS inherently
+# sequential, but the max(0, ·) clamp has an exact prefix-scan closed
+# form — with C_t the plain prefix sum of the drift-adjusted deltas,
+#
+#     S⁺_t = C_t − min(0, min_{j≤t} C_j)
+#
+# (and symmetrically with max for S⁻): two stock window functions, no
+# recursion, no UDF.  That rewrite is what makes CUSUM runnable as ONE
+# declarative plan on both engines, and the DuckDB oracle pins the
+# equivalence of the closed form to 6 decimals.
+#
+# 100 TB shape: the only corpus-sized stage is the first aggregation
+# to (day, type) counts; every window after that runs over the tiny
+# days×types table partitioned by type.  Same scaling posture as
+# qz10_rate_anomaly — raw events are touched exactly once.
+# ---------------------------------------------------------------------------
+
+CUSUM_SLACK_SDS = 0.5  # κ = slack, in per-type stddevs (detects ≥1σ shifts)
+CUSUM_ALARM_SDS = 4.0  # h = alarm threshold, in per-type stddevs
+
+_CUSUM_ORACLE = f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, event_type,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+        SELECT d, event_type, x,
+               avg(x) OVER (PARTITION BY event_type) AS mu,
+               stddev_samp(x) OVER (PARTITION BY event_type) AS sd
+        FROM daily
+    ),
+    sums AS (
+        SELECT d, event_type, x, mu, sd,
+               sum(x - mu - {CUSUM_SLACK_SDS!r} * sd)
+                   OVER w AS cum_up,
+               sum(x - mu + {CUSUM_SLACK_SDS!r} * sd)
+                   OVER w AS cum_dn
+        FROM centered
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scanned AS (
+        SELECT d, event_type, x, sd,
+               cum_up - least(0, min(cum_up) OVER w) AS s_up,
+               greatest(0, max(cum_dn) OVER w) - cum_dn AS s_dn
+        FROM sums
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, event_type, CAST(x AS BIGINT) AS n_events,
+           round(s_up, 6) AS cusum_up,
+           round(s_dn, 6) AS cusum_dn,
+           CAST(s_up > {CUSUM_ALARM_SDS!r} * sd
+                OR s_dn > {CUSUM_ALARM_SDS!r} * sd AS BIGINT) AS alarm
+    FROM scanned
+"""
+
+
+@query("qz23_cusum", oracle=_CUSUM_ORACLE)
+def qz23_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint scan over per-type daily event
+    counts, computed via the exact prefix-scan closed form of the
+    clamped recursion (header comment has the derivation)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+
+    per_type = Window.partitionBy("event_type")
+    centered = daily.select(
+        "d",
+        "event_type",
+        "x",
+        F.avg("x").over(per_type).alias("mu"),
+        F.stddev_samp("x").over(per_type).alias("sd"),
+    )
+    scan = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sums = centered.select(
+        "d",
+        "event_type",
+        "x",
+        "sd",
+        F.sum(
+            F.col("x") - F.col("mu") - F.lit(CUSUM_SLACK_SDS) * F.col("sd")
+        )
+        .over(scan)
+        .alias("cum_up"),
+        F.sum(
+            F.col("x") - F.col("mu") + F.lit(CUSUM_SLACK_SDS) * F.col("sd")
+        )
+        .over(scan)
+        .alias("cum_dn"),
+    )
+    scanned = sums.select(
+        "d",
+        "event_type",
+        "x",
+        "sd",
+        (F.col("cum_up") - F.least(F.lit(0.0), F.min("cum_up").over(scan))).alias(
+            "s_up"
+        ),
+        (
+            F.greatest(F.lit(0.0), F.max("cum_dn").over(scan)) - F.col("cum_dn")
+        ).alias("s_dn"),
+    )
+    h = F.lit(CUSUM_ALARM_SDS) * F.col("sd")
+    return scanned.select(
+        "d",
+        "event_type",
+        F.col("x").cast("long").alias("n_events"),
+        F.round("s_up", 6).alias("cusum_up"),
+        F.round("s_dn", 6).alias("cusum_dn"),
+        ((F.col("s_up") > h) | (F.col("s_dn") > h)).cast("long").alias("alarm"),
+    )

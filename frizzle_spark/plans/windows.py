@@ -770,3 +770,67 @@ def qz10_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz10_autocorr — lag-k autocorrelation of the daily value series per
+# event type (round 7).  The time-series diagnostic the profiler family
+# still lacked: pair each day's total with its lag-1 and lag-7
+# predecessors via ordered windows, then one corr() aggregate per lag —
+# day-over-day persistence and weekly seasonality in a single scan of
+# the (days × types) table.  Pearson-on-lagged-pairs is the standard
+# sample ACF estimator (Box–Jenkins denominate by the full-series
+# variance instead; the pairwise form is what SQL's corr() computes and
+# what the oracle pins exactly).
+#
+# 100 TB shape: identical to qz23_cusum — raw events collapse to
+# (day, type) in the single corpus-sized aggregation; lags and corr run
+# over the tiny derived table, partitioned by type.  No joins at all:
+# the lag is an ordered window, the ACF is one map-side-combinable
+# aggregate.
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, event_type,
+               sum(value) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, rev,
+               lag(rev, 1) OVER w AS rev_l1,
+               lag(rev, 7) OVER w AS rev_l7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(rev, rev_l1), 6) AS acf_lag1,
+           round(corr(rev, rev_l7), 6) AS acf_lag7
+    FROM lagged
+    GROUP BY event_type
+"""
+
+
+@query("qz10_autocorr", oracle=_AUTOCORR_ORACLE)
+def qz10_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of daily revenue per event type
+    (header comment has the estimator and scale notes)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).agg(F.sum("value").alias("rev"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "rev",
+        F.lag("rev", 1).over(w).alias("rev_l1"),
+        F.lag("rev", 7).over(w).alias("rev_l7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("rev", "rev_l1"), 6).alias("acf_lag1"),
+        F.round(F.corr("rev", "rev_l7"), 6).alias("acf_lag7"),
+    )

@@ -489,3 +489,45 @@ def test_snapshot_diff_single_join(plan_of):
     join_lines = [ln for ln in tail.splitlines() if "Join" in ln]
     assert len(join_lines) == 1 and "FullOuter" in join_lines[0], join_lines
     assert "CartesianProduct" not in tail
+
+
+def test_bitmap_semijoin_never_shuffles_fact(plan_of):
+    """The whole point of the bitmap semi-join reduction: the fact
+    table reaches the aggregate through BROADCAST joins only — the
+    sole hash exchanges are the ≤1024-row bitmap build (by word) and
+    the final tiny priority aggregate.  No sort-merge join anywhere."""
+    plan = plan_of("qz26_bitmap_semijoin")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("BroadcastHashJoin") == 2, phys
+    assert "SortMergeJoin" not in phys
+    assert phys.count("Exchange hashpartitioning") == 2, phys
+    assert "bit_or" in phys  # the bitmap build is a real aggregate
+
+
+def test_cusum_single_corpus_scan_no_join(plan_of):
+    """CUSUM touches raw events exactly once (the daily aggregate);
+    the prefix-scan closed form is windows over the derived table —
+    no join, no second scan."""
+    plan = plan_of("qz23_cusum")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("FileScan parquet") == 1, phys
+    assert "Join" not in phys, phys
+
+
+def test_autocorr_single_corpus_scan_no_join(plan_of):
+    """ACF = one corpus aggregate + lag window + final aggregate —
+    a no-join plan with a single events scan."""
+    plan = plan_of("qz10_autocorr")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("FileScan parquet") == 1, phys
+    assert "Join" not in phys, phys
+
+
+def test_triangles_edge_joins_never_cartesian(plan_of):
+    """Triangle counting must stay equi-join algebra over the skinny
+    edge list — a theta/cartesian fallback would be the n² disaster
+    the ordered two-path formulation exists to avoid."""
+    plan = plan_of("qz25_triangles")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
