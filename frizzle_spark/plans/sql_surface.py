@@ -2287,3 +2287,182 @@ def qz23_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s_dn", 6).alias("cusum_dn"),
         ((F.col("s_up") > h) | (F.col("s_dn") > h)).cast("long").alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz26_copurchase — market-basket co-occurrence with lift (round 7).
+# Which part brands are ordered TOGETHER more often than chance?  The
+# association-rule primitive (Agrawal & Srikant, VLDB'94 support/
+# confidence family): per order-basket distinct brands, within-basket
+# pairs a<b, then support counts and lift = P(a,b)/(P(a)·P(b)) with
+# probabilities over baskets.
+#
+# 100 TB shape: the pair fan-out is WITHIN-basket (≤ items-per-order²,
+# a per-key constant — never the catalog cross product), generated by
+# an equi-self-join on the basket key; the brand dim joins broadcast;
+# the final matrix is |brands|²-bounded.  Exactly the blocked-pair
+# discipline every dedup operator here follows, applied to retail
+# analytics.
+# ---------------------------------------------------------------------------
+
+COPURCHASE_MIN_SUPPORT = 5  # pairs seen in fewer baskets are noise
+
+_COPURCHASE_ORACLE = f"""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT count(DISTINCT okey) AS n_baskets FROM baskets),
+    brand_n AS (SELECT brand, count(*) AS cnt FROM baskets GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(ca.cnt AS BIGINT) AS n_a,
+           CAST(cb.cnt AS BIGINT) AS n_b,
+           round(n_both * n.n_baskets / (ca.cnt * 1.0 * cb.cnt), 6) AS lift
+    FROM pairs
+    JOIN brand_n ca ON ca.brand = brand_a
+    JOIN brand_n cb ON cb.brand = brand_b
+    CROSS JOIN n
+    WHERE n_both >= {COPURCHASE_MIN_SUPPORT}
+"""
+
+
+@query("qz26_copurchase", oracle=_COPURCHASE_ORACLE)
+def qz26_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-occurrence matrix with lift over order baskets (header
+    comment has the formulation and the within-basket-pairs scale
+    argument)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    # materialize the skinny (okey, brand) basket table ONCE — five
+    # consumers (self-join a/b, brand margins, basket count) would
+    # otherwise each re-scan lineitem⋈part (measured: 10 scans → 2).
+    # localCheckpoint, not persist: breaks lineage to a materialized
+    # RDD without an InMemoryRelation barrier in every consumer plan.
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = baskets.select(
+        F.countDistinct("okey").alias("n_baskets")
+    )  # 1 row — broadcast fold
+    brand_n = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select("okey", F.col("brand").alias("brand_a"))
+    b = baskets.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= COPURCHASE_MIN_SUPPORT)
+    )
+    ca = brand_n.select(
+        F.col("brand").alias("brand_a"), F.col("cnt").alias("n_a")
+    )
+    cb = brand_n.select(
+        F.col("brand").alias("brand_b"), F.col("cnt").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                * F.col("n_baskets")
+                / (F.col("n_a") * F.lit(1.0) * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz23_mad_outliers — robust outlier detection via the modified z-score
+# (round 7).  Mean/stddev outlier rules (qz10_rate_anomaly's z, the
+# winsorizer's percentile clamp) are themselves dragged by the outliers
+# they hunt; the median absolute deviation is the standard robust
+# alternative (Iglewicz & Hoaglin 1993): per event type,
+# M = 0.6745·(x − median) / MAD, flag |M| > 3.5.
+#
+# Plan shape: median and MAD are exact interpolated percentiles
+# computed as WINDOW aggregates over the SAME type partitioning — two
+# logical window passes, ONE physical exchange (plan-gated), one
+# corpus scan.  The oracle computes the identical statistics through
+# GROUP BY CTEs + joins: same values, independently derived plan.
+#
+# 100 TB note: exact per-group medians need the group's values
+# co-located (that one exchange IS the cost floor); when groups exceed
+# memory the approx_percentile sketch tier (qz9_approx_percentiles) is
+# the documented mergeable fallback.
+# ---------------------------------------------------------------------------
+
+MAD_CONSISTENCY = 0.6745  # Φ⁻¹(0.75): MAD→σ for a normal reference
+MAD_THRESHOLD = 3.5  # Iglewicz–Hoaglin recommended cut
+
+_MAD_ORACLE = f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round({MAD_CONSISTENCY!r} * (e.value - m.med) / d.mad, 6) AS mscore
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE d.mad > 0
+      AND abs({MAD_CONSISTENCY!r} * (e.value - m.med) / d.mad) > {MAD_THRESHOLD!r}
+"""
+
+
+@query("qz23_mad_outliers", oracle=_MAD_ORACLE)
+def qz23_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows whose modified z-score |0.6745·(x−med)/MAD| exceeds 3.5
+    within their event type (header comment has the robustness and
+    plan-shape notes)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = Window.partitionBy("event_type")
+    with_med = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percentile("value", F.lit(0.5)).over(per_type).alias("med"),
+    )
+    with_mad = with_med.select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+        .over(per_type)
+        .alias("mad"),
+    )
+    m = F.lit(MAD_CONSISTENCY) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        with_mad.where((F.col("mad") > 0) & (F.abs(m) > MAD_THRESHOLD))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(m, 6).alias("mscore"),
+        )
+    )

@@ -531,3 +531,26 @@ def test_triangles_edge_joins_never_cartesian(plan_of):
     phys = plan.split("== Physical Plan ==")[1]
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_mad_outliers_single_exchange_no_join(plan_of):
+    """Median and MAD window aggregates share the event_type
+    partitioning: ONE physical exchange, one corpus scan, no join."""
+    plan = plan_of("qz23_mad_outliers")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("FileScan parquet") == 1, phys
+    assert "Join" not in phys, phys
+
+
+def test_copurchase_basket_table_materialized_once(plan_of):
+    """The basket self-join must stay equi-join algebra (the only
+    nested-loop is the sanctioned 1-row basket-count fold), and the
+    five basket consumers must read the checkpointed skinny table,
+    not re-scan lineitem⋈part per consumer (≤2 file scans total;
+    0 once the lazy checkpoint has materialized)."""
+    plan = plan_of("qz26_copurchase")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "CartesianProduct" not in phys
+    assert phys.count("BroadcastNestedLoopJoin") <= 1, phys
+    assert phys.count("FileScan parquet") <= 2, phys
