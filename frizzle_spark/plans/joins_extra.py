@@ -672,3 +672,98 @@ def qz26_bitmap_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz16_band_join — numeric band self-join via bucket blocking
+# (round 7).  "Find all pairs within ±δ on a numeric key" is the value-
+# domain sibling of the temporal range join: naive is the n² cross
+# product, the scalable form buckets the axis at width δ so any
+# qualifying pair lands in the same or adjacent bucket.  One side is
+# EXPANDED to (its bucket, its bucket+1); the equi-join on the bucket
+# key then sees each unordered pair exactly once under the predicate
+#   same bucket  → keep iff plain.key < expanded.key
+#   adjacent     → keep iff expanded row came from the lower bucket
+# (no post-hoc distinct, no double counting), and the exact |a−b| ≤ δ
+# filter prunes bucket-mates outside the band.
+#
+# 100 TB shape: shuffle keys are bucket ids — candidate cells are
+# bounded by the VALUE DENSITY at width δ, never by n² (with skewed
+# density, salt the hot buckets exactly as q19_salted_join).  The 2×
+# row expansion is the entire overhead.  Output size is the true band
+# cardinality, an inherent property of the query, not the plan.
+# ---------------------------------------------------------------------------
+
+BAND_DELTA = 0.05  # price-match tolerance (same cents, ±5)
+
+_BAND_ORACLE = f"""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_retailprice AS price_a, b.p_retailprice AS price_b,
+           a.p_brand AS brand_a, b.p_brand AS brand_b
+    FROM part a JOIN part b
+      ON abs(a.p_retailprice - b.p_retailprice) <= {BAND_DELTA!r}
+     AND a.p_partkey < b.p_partkey
+     AND a.p_brand <> b.p_brand
+"""
+
+
+@query("qz16_band_join", oracle=_BAND_ORACLE)
+def qz16_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-brand part pairs whose retail prices agree within ±δ
+    (price-match audit), via δ-width bucket blocking (header comment
+    has the exactly-once pair accounting)."""
+    part = load_table(spark, sf_dir, "part")
+    rows = part.select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("p_retailprice") / F.lit(BAND_DELTA)).alias("bkt"),
+    )
+    plain = rows.select(
+        F.col("key").alias("key_p"),
+        F.col("price").alias("price_p"),
+        F.col("brand").alias("brand_p"),
+        F.col("bkt").alias("bkt_p"),
+    )
+    expanded = rows.select(
+        "key",
+        "price",
+        "brand",
+        F.col("bkt").alias("bkt_orig"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bkt_e"),
+    )
+    paired = plain.join(expanded, F.col("bkt_p") == F.col("bkt_e")).where(
+        (
+            (F.col("bkt_orig") == F.col("bkt_p"))
+            & (F.col("key_p") < F.col("key"))
+        )
+        | (F.col("bkt_orig") < F.col("bkt_p"))
+    )
+    exact = paired.where(
+        (F.abs(F.col("price_p") - F.col("price")) <= BAND_DELTA)
+        & (F.col("brand_p") != F.col("brand"))
+    )
+    lo = F.least(
+        F.struct("key_p", "price_p", "brand_p"),
+        F.struct(
+            F.col("key").alias("key_p"),
+            F.col("price").alias("price_p"),
+            F.col("brand").alias("brand_p"),
+        ),
+    )
+    hi = F.greatest(
+        F.struct("key_p", "price_p", "brand_p"),
+        F.struct(
+            F.col("key").alias("key_p"),
+            F.col("price").alias("price_p"),
+            F.col("brand").alias("brand_p"),
+        ),
+    )
+    return exact.select(
+        lo["key_p"].alias("key_a"),
+        hi["key_p"].alias("key_b"),
+        lo["price_p"].alias("price_a"),
+        hi["price_p"].alias("price_b"),
+        lo["brand_p"].alias("brand_a"),
+        hi["brand_p"].alias("brand_b"),
+    )

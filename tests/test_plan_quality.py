@@ -554,3 +554,14 @@ def test_copurchase_basket_table_materialized_once(plan_of):
     assert "CartesianProduct" not in phys
     assert phys.count("BroadcastNestedLoopJoin") <= 1, phys
     assert phys.count("FileScan parquet") <= 2, phys
+
+
+def test_band_join_is_bucketed_equi_join(plan_of):
+    """The ±δ band join must run as an equi-join on the δ-width bucket
+    key (2× expansion via explode) — never a theta-join cartesian/
+    nested-loop fallback."""
+    plan = plan_of("qz16_band_join")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "Explode" in phys or "Generate" in phys, phys
