@@ -2466,3 +2466,128 @@ def qz23_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(m, 6).alias("mscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_kaplan_meier — Kaplan–Meier time-to-conversion survival curve
+# (round 7).  How long from a user's first click to their first
+# purchase, when many users never convert?  Dropping the non-converts
+# biases every naive average; the product-limit estimator (Kaplan &
+# Meier 1958) handles right-censoring exactly:
+#
+#     S(t_i) = Π_{j ≤ i} (1 − d_j / n_j)
+#
+# with d_j conversions at duration t_j and n_j the at-risk count
+# (everyone whose observed-or-censored duration ≥ t_j).  Like CUSUM's
+# clamp recursion, the running PRODUCT has an exact window form —
+# exp(Σ ln(1 − d/n)) — so the whole estimator is two aggregations and
+# two window functions, no iteration.
+#
+# Censoring rule: users with a purchase strictly after their first
+# click convert at that gap; everyone else is censored at the global
+# observation horizon (max event ts — a 1-row broadcast fold).
+#
+# 100 TB shape: one corpus pass to per-user (first click, first
+# purchase) via conditional min aggregation; every later stage runs on
+# |users| rows, then |distinct durations| rows.  d_j and n_j are exact
+# longs; only the survival product is floating (round 6, identical
+# formula both engines).
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    durations AS (
+        SELECT CASE WHEN t_buy > t_click
+                    THEN CAST(date_diff('second', t_click, t_buy) AS BIGINT)
+                    ELSE CAST(date_diff('second', t_click, h) AS BIGINT)
+               END AS dur,
+               CASE WHEN t_buy > t_click THEN 1 ELSE 0 END AS observed
+        FROM per_user CROSS JOIN horizon
+        WHERE t_click IS NOT NULL
+    ),
+    by_time AS (
+        SELECT dur, sum(observed) AS d, count(*) AS total
+        FROM durations GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d,
+               sum(total) OVER (ORDER BY dur DESC) AS n_risk
+        FROM by_time
+    )
+    SELECT dur AS t_secs,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_conversions,
+           round(exp(sum(ln(1 - d * 1.0 / n_risk))
+                     OVER (ORDER BY dur)), 6) AS survival
+    FROM risk WHERE d > 0
+"""
+
+
+@query("qz23_kaplan_meier", oracle=_KM_ORACLE)
+def qz23_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of click→purchase conversion lag
+    with right-censoring at the observation horizon (header comment
+    has the estimator and the window-product rewrite)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))  # 1 row — broadcast fold
+    observed = F.col("t_buy") > F.col("t_click")
+    secs = lambda a, b: (  # noqa: E731 - local arrow helper
+        F.unix_timestamp(b) - F.unix_timestamp(a)
+    ).cast("long")
+    durations = (
+        per_user.where(F.col("t_click").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(observed, secs(F.col("t_click"), F.col("t_buy")))
+            .otherwise(secs(F.col("t_click"), F.col("h")))
+            .alias("dur"),
+            observed.cast("long").alias("observed"),
+        )
+    )
+    by_time = durations.groupBy("dur").agg(
+        F.sum("observed").alias("d"), F.count(F.lit(1)).alias("total")
+    )
+    w_desc = (
+        Window.orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = by_time.select(
+        "dur", "d", F.sum("total").over(w_desc).alias("n_risk")
+    )
+    w_asc = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        risk.where(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("t_secs"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_conversions"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("d") * F.lit(1.0) / F.col("n_risk")
+                        )
+                    ).over(w_asc)
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )

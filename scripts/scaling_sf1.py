@@ -78,6 +78,14 @@ HEAVY = [
     "qz12_range_search",
     "qz12_mips",
     "qz25_ppr",
+    # round-7 second wave (events- and embeddings-scaled; the TPC-H
+    # table queries — bitmap semijoin, copurchase, band join — are NOT
+    # here because build_sf1 symlinks those tables at sf0.1 size)
+    "qz23_cusum",
+    "qz10_autocorr",
+    "qz23_mad_outliers",
+    "qz25_triangles",
+    "qz12_kmeans",
 ]
 
 
