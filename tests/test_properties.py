@@ -218,3 +218,116 @@ def test_incr_agg_boundary_cutoffs(spark, sf_dir, monkeypatch):
     for cutoff in ("2020-01-01 00:00:00", "2030-01-01 00:00:00"):
         monkeypatch.setattr(jx, "INCR_CUTOFF", cutoff)
         assert_matches(jx.qz17_incr_agg(spark, sf_dir), jx._INCR_AGG_ORACLE, sf_dir)
+
+
+@given(
+    xs=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=200,
+    ),
+    k=st.floats(0, 100, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_equals_recursion(xs, k):
+    """qz23_cusum rests on the prefix-scan rewrite of the clamped
+    recursion (plans/sql_surface.py header): S_t = C_t − min(0,
+    min_{j≤t} C_j) must equal S_t = max(0, S_{t−1} + D_t) EXACTLY —
+    same float ops in the same order is not guaranteed, but the
+    identity is algebraic so agreement must hold to strict tolerance
+    for any drift-adjusted series."""
+    import numpy as np
+
+    d = np.asarray(xs, dtype=np.float64) - k
+    # recursive reference
+    s, out_rec = 0.0, []
+    for v in d:
+        s = max(0.0, s + v)
+        out_rec.append(s)
+    # closed form as the query computes it
+    c = np.cumsum(d)
+    out_closed = c - np.minimum(0.0, np.minimum.accumulate(c))
+    assert np.allclose(out_rec, out_closed, rtol=1e-9, atol=1e-6)
+
+
+@given(
+    xs=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=200,
+    ),
+    k=st.floats(0, 100, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_negative_side_closed_form(xs, k):
+    """Downward-shift side: S⁻_t = max(0, S⁻_{t−1} − D'_t) with
+    D' = x − μ + κ must equal max(0, max_{j≤t} C'_j) − C'_t."""
+    import numpy as np
+
+    d = np.asarray(xs, dtype=np.float64) + k
+    s, out_rec = 0.0, []
+    for v in d:
+        s = max(0.0, s - v)
+        out_rec.append(s)
+    c = np.cumsum(d)
+    out_closed = np.maximum(0.0, np.maximum.accumulate(c)) - c
+    assert np.allclose(out_rec, out_closed, rtol=1e-9, atol=1e-6)
+
+
+def test_band_join_bucket_accounting_on_adversarial_prices(spark, tmp_path):
+    """qz16_band_join's exactly-once pair accounting (same-bucket key
+    order + adjacent-bucket origin rule) on a corpus DESIGNED to stress
+    it: negative prices (floor() of negatives), values exactly on
+    bucket boundaries, exact duplicates, and clusters denser than δ.
+    Brute-force DuckDB over the same table is the oracle."""
+    import duckdb
+
+    from frizzle_spark.plans.joins_extra import BAND_DELTA
+    from frizzle_spark.plans.registry import REGISTRY
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1.0, 1.0, 60),  # negatives straddling zero
+            np.arange(-5, 5) * BAND_DELTA,  # exact bucket boundaries
+            np.full(5, 3.7),  # exact duplicates
+            3.7 + rng.uniform(-BAND_DELTA, BAND_DELTA, 20),  # dense cluster
+        ]
+    )
+    rows = [
+        (int(i), f"part{i}", f"B{i % 3}", "TYPE", 1, float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double"
+    )
+    base = str(tmp_path / "bandcase")
+    import os
+
+    os.makedirs(base)
+    df.coalesce(1).write.parquet(f"{base}/part.parquet")
+
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in REGISTRY["qz16_band_join"].fn(spark, base).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (a, b)
+        for a, b in con.execute(
+            f"""
+            SELECT x.p_partkey, y.p_partkey
+            FROM '{base}/part.parquet/*.parquet' x
+            JOIN '{base}/part.parquet/*.parquet' y
+              ON abs(x.p_retailprice - y.p_retailprice) <= {BAND_DELTA!r}
+             AND x.p_partkey < y.p_partkey
+             AND x.p_brand <> y.p_brand
+            """
+        ).fetchall()
+    }
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+    )
