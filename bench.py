@@ -16,18 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    import frizzle_spark.plans.relational  # noqa: F401
-    import frizzle_spark.plans.windows  # noqa: F401
-    import frizzle_spark.plans.text_queries  # noqa: F401
-    import frizzle_spark.operators.chunking  # noqa: F401
-    import frizzle_spark.operators.dedup  # noqa: F401
-    import frizzle_spark.operators.similarity  # noqa: F401
-    import frizzle_spark.operators.graph  # noqa: F401
-    import frizzle_spark.plans.streaming_queries  # noqa: F401
-    import frizzle_spark.plans.multimodal_queries  # noqa: F401
-    import frizzle_spark.plans.joins_extra  # noqa: F401
-    import frizzle_spark.plans.udf_queries  # noqa: F401
-    import frizzle_spark.plans.sql_surface  # noqa: F401
+    # __spark_entry__ imports every registry module — ONE place to keep
+    # in sync (a hand-copied module list here silently dropped the
+    # clustering module from the round-7 bench)
+    import __spark_entry__  # noqa: F401
     from frizzle_spark.plans.registry import REGISTRY
     from frizzle_spark.session import get_spark
 
