@@ -2591,3 +2591,64 @@ def qz23_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_trend — per-group OLS trend of daily event volume (round 7).
+# Is each stream growing, flat, or decaying, and how well does a line
+# explain it?  Slope/intercept/R² per event type over (day-index,
+# daily-count) pairs, via the SQL-standard regr_* aggregates — closed-
+# form least squares from running moments (Σx, Σy, Σxy, Σx², Σy²), so
+# the whole fit is ONE map-side-combinable aggregation: the monitoring
+# primitive behind every "volume trending down" alert.
+#
+# Day index is the per-type day offset (datediff from the type's first
+# active day) — integer x both engines agree on exactly; y is the
+# count as double.  100 TB shape: same as every profiler here — one
+# corpus pass to (day, type) counts, then moments over the tiny
+# derived table.
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(count(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    indexed AS (
+        SELECT event_type, y,
+               CAST(date_diff('day',
+                    min(d) OVER (PARTITION BY event_type), d) AS DOUBLE) AS x
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(regr_r2(y, x), 6) AS r2
+    FROM indexed GROUP BY event_type
+"""
+
+
+@query("qz23_trend", oracle=_TREND_ORACLE)
+def qz23_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (slope/intercept/R²) of daily volume
+    against the day index (header comment has the moments argument)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    per_type = Window.partitionBy("event_type")
+    indexed = daily.select(
+        "event_type",
+        "y",
+        F.datediff(F.col("d"), F.min("d").over(per_type))
+        .cast("double")
+        .alias("x"),
+    )
+    return indexed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )

@@ -246,3 +246,64 @@ def test_kinesis_sink_to_wire_mapping(spark):
 
     wired2 = sink.to_wire(df, default_dest=None).collect()
     assert {r["streamName"] for r in wired2} == {"explicit", "sink_default"}
+
+
+def test_fake_producers_two_phase_commit_and_abort(tmp_path):
+    """Direct protocol test of BOTH fake producers' two-phase append
+    (no Spark): staged task files are invisible until the driver's
+    commit assigns offsets/sequence numbers and bumps _head; abort
+    removes staged files and leaves the log untouched; a crash BETWEEN
+    segment write and _head bump (simulated) leaves readers pinned to
+    the old head — the exact guarantee both module docstrings claim."""
+    import json
+    import os
+
+    from frizzle_spark.sources import fakekafka as fk
+    from frizzle_spark.sources import fakekinesis as kn
+
+    for mod, rec, head_of in [
+        (
+            fk,
+            {"topic": "t1", "k": None, "v": "cGF5bG9hZA==", "ts": 1},
+            lambda d: fk._head(d, "t1"),
+        ),
+        (
+            kn,
+            {"stream": "t1", "pk": "p", "d": "cGF5bG9hZA==", "ts": 1},
+            lambda d: kn._head(d, "t1"),
+        ),
+    ]:
+        log_dir = str(tmp_path / mod.__name__.split(".")[-1])
+        prod = mod._Producer({"log_dir": log_dir})
+
+        # stage two task files, abort one → no head movement, tmp gone
+        os.makedirs(os.path.join(log_dir, "_tmp"), exist_ok=True)
+        m1 = os.path.join(log_dir, "_tmp", "a.jsonl")
+        with open(m1, "w") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        prod.abort([mod._PartMessage(m1)])
+        assert not os.path.exists(m1)
+        assert head_of(log_dir) == 0, "abort must not publish"
+        prod.abort([mod._PartMessage(m1)])  # idempotent on missing file
+
+        # commit two records → head 2, exactly one segment
+        for name in ("b.jsonl", "c.jsonl"):
+            with open(os.path.join(log_dir, "_tmp", name), "w") as fh:
+                fh.write(json.dumps(rec) + "\n")
+        prod.commit(
+            [
+                mod._PartMessage(os.path.join(log_dir, "_tmp", "b.jsonl")),
+                mod._PartMessage(os.path.join(log_dir, "_tmp", "c.jsonl")),
+            ]
+        )
+        assert head_of(log_dir) == 2
+        segs = [f for f in os.listdir(os.path.join(log_dir, "t1")) if f.startswith("seg-")]
+        assert len(segs) == 1 and "-2." in segs[0], segs
+
+        # crash window: a segment written but _head never bumped is
+        # invisible (readers trust _head) and the next commit's base
+        # still starts at the published head
+        orphan = os.path.join(log_dir, "t1", "seg-000000000099-1.jsonl")
+        with open(orphan, "w") as fh:
+            fh.write(json.dumps({k: v for k, v in rec.items() if k != "topic" and k != "stream"}) + "\n")
+        assert head_of(log_dir) == 2, "orphan segment must not move the head"
