@@ -479,3 +479,110 @@ def run_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         confs={"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER},
     )
+
+
+# ---------------------------------------------------------------------------
+# qz13_stream_cusum — the streaming CUSUM monitor, oracle-pinned against
+# the batch closed form (round 7).  qz23_cusum computes the two-sided
+# CUSUM via the prefix-scan rewrite; this query folds the SAME daily
+# volumes through the LITERAL clamped recursion inside
+# applyInPandasWithState (streaming/analytics.cusum_monitor) and emits
+# each type's final statistics + alarm count.  Recursion (stream) and
+# rewrite (batch/DuckDB) check each other end-to-end; the algebraic
+# identity itself is hypothesis-pinned in tests/test_properties.py.
+#
+# The (μ, σ) reference baseline is fit on the replayed corpus with the
+# same avg/stddev_samp the oracle uses (in production: a historical
+# window), collected as |types| rows — a domain-bounded driver fold.
+# ---------------------------------------------------------------------------
+
+from frizzle_spark.plans.sql_surface import (  # noqa: E402 - after headers
+    CUSUM_ALARM_SDS as _ALARM,
+    CUSUM_SLACK_SDS as _SLACK,
+)
+
+_STREAM_CUSUM_ORACLE = f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, event_type,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+        SELECT d, event_type, x,
+               avg(x) OVER (PARTITION BY event_type) AS mu,
+               stddev_samp(x) OVER (PARTITION BY event_type) AS sd
+        FROM daily
+    ),
+    sums AS (
+        SELECT d, event_type, x, mu, sd,
+               sum(x - mu - {_SLACK!r} * sd) OVER w AS cum_up,
+               sum(x - mu + {_SLACK!r} * sd) OVER w AS cum_dn
+        FROM centered
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scanned AS (
+        SELECT d, event_type, sd,
+               cum_up - least(0, min(cum_up) OVER w) AS s_up,
+               greatest(0, max(cum_dn) OVER w) - cum_dn AS s_dn
+        FROM sums
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           round(arg_max(s_up, d), 6) AS final_up,
+           round(arg_max(s_dn, d), 6) AS final_dn,
+           CAST(sum(CASE WHEN s_up > {_ALARM!r} * sd OR s_dn > {_ALARM!r} * sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+    FROM scanned GROUP BY event_type
+"""
+
+
+@query("qz13_stream_cusum", oracle=_STREAM_CUSUM_ORACLE)
+def qz13_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-sided CUSUM per event type: final S⁺/S⁻ and alarm
+    count after folding the replayed corpus through the stateful
+    recursion (header comment; availableNow = one batch, so every day
+    enters the recursion exactly once)."""
+    from frizzle_spark.plans.sql_surface import (
+        CUSUM_ALARM_SDS,
+        CUSUM_SLACK_SDS,
+    )
+    from frizzle_spark.streaming.analytics import cusum_monitor
+
+    # reference baseline (μ, σ per type) — same estimator the oracle
+    # window uses, |types| rows collected
+    enable_nanos_scan(spark)
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    params = {
+        r["event_type"]: (r["mu"], r["sd"])
+        for r in daily.groupBy("event_type")
+        .agg(
+            F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+        )
+        .collect()
+    }
+
+    def build(child: SparkSession) -> DataFrame:
+        enable_nanos_scan(child)
+        raw = (
+            child.readStream.schema(events_raw_schema(child, sf_dir))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return cusum_monitor(
+            normalize_events_ts(raw).select("ts", "event_type"),
+            params,
+            CUSUM_SLACK_SDS,
+            CUSUM_ALARM_SDS,
+        )
+
+    return _run_isolated_stream(
+        spark, build, f"qz13_cusum_{_stable_suffix(sf_dir)}", "update"
+    )

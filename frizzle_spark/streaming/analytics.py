@@ -207,3 +207,81 @@ def running_counts_tws(stream: DataFrame, key_col: str = "user_id") -> DataFrame
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cusum_monitor(
+    stream: DataFrame,
+    params: dict[str, tuple[float, float]],
+    slack_sds: float,
+    alarm_sds: float,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming two-sided CUSUM (plans/sql_surface.qz23_cusum's
+    stateful twin): per event type, fold daily volumes through the
+    LITERAL clamped recursion
+
+        S⁺ ← max(0, S⁺ + (x − μ − κ));  S⁻ ← max(0, S⁻ − (x − μ + κ))
+
+    inside ``applyInPandasWithState``, carrying (s_up, s_dn, n_alarms)
+    across micro-batches.  The batch query computes the SAME statistic
+    through the prefix-scan closed form; tests/test_properties.py pins
+    the algebraic identity, and the registry oracle pins this stream
+    against DuckDB's closed form end-to-end — recursion and rewrite
+    checking each other.
+
+    ``params``: type → (μ, σ) REFERENCE baseline (in production, fit on
+    a historical window; the registry query fits it on the replayed
+    corpus so the oracle can reproduce it).  κ = slack_sds·σ, alarm at
+    S > alarm_sds·σ.
+
+    Exactness caveat: each day's count must land in ONE micro-batch
+    (availableNow replay = one batch; live = day-aligned triggers or an
+    upstream daily aggregate) — a day split across batches would enter
+    the recursion twice.  State per type: two floats + a long, the
+    smallest state in the module.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        etype = key[0]
+        mu, sd = params.get(etype, (0.0, 0.0))
+        kappa, h = slack_sds * sd, alarm_sds * sd
+        s_up, s_dn, n_alarms = (
+            state.get if state.exists else (0.0, 0.0, 0)
+        )
+        days: dict = {}
+        for pdf in pdfs:
+            for d, n in pdf.groupby("day").size().items():
+                days[d] = days.get(d, 0) + int(n)
+        for d in sorted(days):
+            x = float(days[d])
+            s_up = max(0.0, s_up + (x - mu - kappa))
+            s_dn = max(0.0, s_dn - (x - mu + kappa))
+            if s_up > h or s_dn > h:
+                n_alarms += 1
+        state.update((s_up, s_dn, n_alarms))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "final_up": [round(s_up, 6)],
+                "final_dn": [round(s_dn, 6)],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    daily = stream.select(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    )
+    return daily.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, final_up double, final_dn double,"
+            " n_alarms long"
+        ),
+        stateStructType="s_up double, s_dn double, n_alarms long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
