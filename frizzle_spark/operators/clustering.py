@@ -66,6 +66,10 @@ def kmeans_assign(
     cluster, dist) assignments.  See module docstring for the plan
     shape per round."""
     cent = _init_centroids(corpus, k)
+    if cent.size == 0:  # empty corpus: nothing to assign, nothing to fit
+        return spark.createDataFrame(
+            [], "vec_id long, cluster long, dist double"
+        )
     d = cent.shape[1]
 
     for _ in range(n_iter):

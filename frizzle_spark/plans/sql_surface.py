@@ -2652,3 +2652,62 @@ def qz23_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
         F.round(F.regr_r2("y", "x"), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz23_k_anonymity — k-anonymity / l-diversity privacy audit (round 7).
+# Before a table ships in a training corpus: does any quasi-identifier
+# combination isolate fewer than k individuals (re-identification
+# risk, Sweeney 2002), and does any equivalence class carry fewer than
+# l distinct sensitive values (homogeneity attack, Machanavajjhala
+# 2007)?  One aggregation over the QI columns computes class size and
+# exact distinct-sensitive count; flags are plain comparisons.
+#
+# QI here: (nation, market segment); sensitive attribute: the account-
+# balance decile (bucketed so "sensitive value" is categorical, the
+# setting l-diversity is defined for).  100 TB shape: a single
+# map-side-combinable aggregation — |classes| is domain-bounded, and
+# the exact countDistinct shuffles only (QI, sensitive) pairs.
+# ---------------------------------------------------------------------------
+
+K_ANON = 5  # classes smaller than this are re-identifiable
+L_DIV = 3  # classes with fewer distinct sensitive values are homogeneous
+
+_KANON_ORACLE = f"""
+    WITH bucketed AS (
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT bal_bucket) AS BIGINT) AS l_distinct,
+           CAST(count(*) < {K_ANON} AS BIGINT) AS k_violation,
+           CAST(count(DISTINCT bal_bucket) < {L_DIV} AS BIGINT) AS l_violation
+    FROM bucketed
+    GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@query("qz23_k_anonymity", oracle=_KANON_ORACLE)
+def qz23_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity class sizes and l-diversity counts per
+    quasi-identifier combination, with violation flags (header comment
+    has the privacy model and scale notes)."""
+    cust = load_table(spark, sf_dir, "customer")
+    bucketed = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias(
+            "bal_bucket"
+        ),
+    )
+    return bucketed.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("bal_bucket").alias("l_distinct"),
+        (F.count(F.lit(1)) < K_ANON).cast("long").alias("k_violation"),
+        (F.countDistinct("bal_bucket") < L_DIV).cast("long").alias(
+            "l_violation"
+        ),
+    )

@@ -560,8 +560,14 @@ def qz13_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("double").alias("x"))
     )
+    # stddev_samp of a single day is NULL → degrade to σ=0 (recursion
+    # then tracks raw deviation from μ, same as the closed form's NULL
+    # rows dropping out) so one-day types never crash the stream
     params = {
-        r["event_type"]: (r["mu"], r["sd"])
+        r["event_type"]: (
+            float(r["mu"]),
+            float(r["sd"]) if r["sd"] is not None else 0.0,
+        )
         for r in daily.groupBy("event_type")
         .agg(
             F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
