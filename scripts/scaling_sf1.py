@@ -78,14 +78,22 @@ HEAVY = [
     "qz12_range_search",
     "qz12_mips",
     "qz25_ppr",
-    # round-7 second wave (events- and embeddings-scaled; the TPC-H
-    # table queries — bitmap semijoin, copurchase, band join — are NOT
-    # here because build_sf1 symlinks those tables at sf0.1 size)
+    # round-7 second wave (events- and embeddings-scaled)
     "qz23_cusum",
     "qz10_autocorr",
     "qz23_mad_outliers",
     "qz25_triangles",
     "qz12_kmeans",
+    # star-schema tier (real 10× tables since the referential
+    # replication landed in build_sf1)
+    "q1_pricing_summary",
+    "q2_revenue_by_nation",
+    "q3_top_orders",
+    "q16_asof_join",
+    "qz26_copurchase",
+    "qz16_band_join",
+    "qz26_bitmap_semijoin",
+    "qz26_fuzzy_join",
 ]
 
 
@@ -163,16 +171,37 @@ def build_sf1(spark, base: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{base}/events.parquet")
     )
-    # small tables referenced by loaders: symlink from sf0.1
-    for t in (
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
+    # Star schema: 10× replication with REFERENTIALLY-CONSISTENT key
+    # offsets (replica k of an order points at replica k of its
+    # customer/parts/suppliers), so join hit rates and per-key
+    # cardinalities survive the scale-up — q1/q2/q3, the basket/band/
+    # bitmap family and the as-of join all get true 10× points.
+    # Offsets = 10^ceil(log10(max_key+1)) per table.
+    C_OFF, S_OFF, P_OFF, O_OFF = 100_000, 1_000, 100_000, 1_000_000
+
+    def replicate(table: str, offsets: dict[str, int]) -> None:
+        dst = f"{base}/{table}.parquet"
+        if os.path.islink(dst):  # upgrade an old symlinked build
+            os.unlink(dst)
+        df = spark.read.parquet(f"{SF01}/{table}.parquet")
+        cols = [
+            (F.col(c) + k_lit.cast("long") * offsets[c]).alias(c)
+            if c in offsets
+            else F.col(c)
+            for c in df.columns
+        ]
+        df.crossJoin(reps).select(*cols).write.mode("overwrite").parquet(dst)
+
+    replicate("customer", {"c_custkey": C_OFF})
+    replicate("supplier", {"s_suppkey": S_OFF})
+    replicate("part", {"p_partkey": P_OFF})
+    replicate("orders", {"o_orderkey": O_OFF, "o_custkey": C_OFF})
+    replicate(
         "lineitem",
-    ):
+        {"l_orderkey": O_OFF, "l_partkey": P_OFF, "l_suppkey": S_OFF},
+    )
+    # true dims stay shared
+    for t in ("region", "nation"):
         dst = f"{base}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SF01}/{t}.parquet", dst)
@@ -213,7 +242,7 @@ def main() -> None:
     if not all(
         os.path.exists(f"{base}/{t}.parquet")
         for t in ("documents", "embeddings", "events")
-    ):
+    ) or os.path.islink(f"{base}/customer.parquet"):  # pre-star-schema build
         t0 = time.time()
         build_sf1(spark, base)
         print(f"# sf1 built at {base} in {time.time()-t0:.1f}s", file=sys.stderr)
