@@ -2711,3 +2711,111 @@ def qz23_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_violation"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz8_xml — XML ingestion battery (round 7; Spark-4 surface tier beside
+# qz8_variant).  Feeds synthesized order XML through the three XML
+# entry points — from_xml with attribute mapping (_id), typed xpath_*
+# extraction, and a to_xml→from_xml struct round-trip — and the oracle
+# is the ORIGINAL columns the XML was built from, so every extracted
+# value is pinned exactly without DuckDB needing an XML parser.
+# Monetary fields travel as integer cents (floor(price·100), identical
+# double math both engines) — never float-to-string formatting.
+#
+# 100 TB note: all pure codegen'd expressions (from_xml/xpath are
+# JVM-side), map-only until the final tiny status aggregate — the
+# payload-upgrade-at-the-edge pattern (§1.2) for XML feeds.
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+    SELECT o_orderkey,
+           o_orderkey AS xml_id,
+           o_orderstatus AS xml_status,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS xml_cents,
+           o_orderstatus AS xp_status,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS xp_cents,
+           o_orderpriority AS rt_priority
+    FROM orders
+"""
+
+
+@query("qz8_xml", oracle=_XML_ORACLE)
+def qz8_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parse battery: from_xml attribute+element mapping, typed
+    xpath extraction, and a to_xml→from_xml round-trip, each pinned to
+    the source columns (header comment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><cents>"),
+        cents.cast("string"),
+        F.lit("</cents></order>"),
+    )
+    parsed = F.from_xml(xml, "_id BIGINT, status STRING, cents BIGINT")
+    roundtrip = F.from_xml(
+        F.to_xml(F.struct(F.col("o_orderpriority").alias("priority"))),
+        "priority STRING",
+    )
+    return orders.select(
+        "o_orderkey",
+        parsed["_id"].alias("xml_id"),
+        parsed["status"].alias("xml_status"),
+        parsed["cents"].alias("xml_cents"),
+        F.xpath_string(xml, F.lit("/order/status")).alias("xp_status"),
+        F.xpath_long(xml, F.lit("/order/cents")).alias("xp_cents"),
+        roundtrip["priority"].alias("rt_priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz8_url — URL parsing battery (round 7).  Every crawl-derived corpus
+# keys on URL components (host for per-site caps and dedup blocks,
+# path/query for boilerplate rules); this battery pins Spark's
+# parse_url HOST/PATH/QUERY/QUERY:key extraction plus url_decode by the
+# same synthesize-then-reextract construction as qz8_xml — the oracle
+# is the components the URL was assembled from, so DuckDB needs no URL
+# parser.  Pure codegen, map-only.
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = """
+    SELECT p_partkey,
+           replace(lower(p_brand), '#', '-') || '.example.com' AS host,
+           '/part/' || CAST(p_partkey AS VARCHAR) AS path,
+           'size=' || CAST(p_size AS VARCHAR) || '&q=a%20b' AS query,
+           CAST(p_size AS VARCHAR) AS size_param,
+           'a b' AS decoded
+    FROM part
+"""
+
+
+@query("qz8_url", oracle=_URL_ORACLE)
+def qz8_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url component battery over synthesized part URLs (header
+    comment has the construction)."""
+    part = load_table(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://"),
+        # '#' in the raw brand would start a URL FRAGMENT and truncate
+        # host/path/query — sanitize into a hostname-safe label
+        F.replace(F.lower(F.col("p_brand")), F.lit("#"), F.lit("-")),
+        F.lit(".example.com/part/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+        F.lit("&q=a%20b"),
+    )
+    return part.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("size")).alias("size_param"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("q"))).alias(
+            "decoded"
+        ),
+    )
