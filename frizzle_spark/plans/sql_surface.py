@@ -2819,3 +2819,154 @@ def qz8_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decoded"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz26_rfm — RFM customer segmentation (round 7).  The classic
+# marketing-analytics operator: per customer, Recency (days since last
+# order), Frequency (order count) and Monetary (total spend), each
+# scored into quintiles, concatenated into the 555-style segment code.
+# Quintiles use ntile over a UNIQUE ordering (metric, custkey) — the
+# q5_rank_stats determinism rule, or two engines split ties
+# differently and the whole segmentation is nondeterministic.
+#
+# 100 TB shape: one orders pass to per-customer aggregates, then three
+# ntile windows over |customers| rows.  Exact longs everywhere (days,
+# counts, cents); no floats.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+    WITH agg AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', max(o_orderdate),
+                    (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(floor(sum(o_totalprice) * 100) AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey)
+                AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, custkey)
+                AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents, custkey)
+                AS BIGINT) AS m_score
+    FROM agg
+"""
+
+
+@query("qz26_rfm", oracle=_RFM_ORACLE)
+def qz26_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quintile scores per customer (header
+    comment has the determinism rule)."""
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))  # 1-row fold
+    agg = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.floor(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "custkey",
+            F.datediff(F.col("h"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    f = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    m = Window.orderBy(F.asc("monetary_cents"), F.asc("custkey"))
+    return agg.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r).cast("long").alias("r_score"),
+        F.ntile(5).over(f).cast("long").alias("f_score"),
+        F.ntile(5).over(m).cast("long").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz23_gini — Gini concentration coefficient of revenue (round 7).
+# How concentrated is spend across customers / revenue across parts?
+# The rank-form identity G = (2·Σ iᵢxᵢ)/(n·Σx) − (n+1)/n (xᵢ ascending,
+# i the 1-based rank) computes the full Lorenz-curve statistic with ONE
+# ordered window + one aggregate — no pairwise |xᵢ−xⱼ| sum (the naive
+# O(n²) definition).  Ranks use a unique (value, key) ordering so both
+# engines rank ties identically.
+#
+# 100 TB shape: corpus pass → per-entity totals, a single global-order
+# window over |entities| rows (the one inherently-global sort this
+# statistic requires), then a scalar fold per dimension.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+    WITH cust AS (
+        SELECT o_custkey AS k, sum(o_totalprice) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    cr AS (
+        SELECT x, row_number() OVER (ORDER BY x, k) AS i,
+               count(*) OVER () AS n
+        FROM cust
+    ),
+    part_rev AS (
+        SELECT l_partkey AS k, sum(l_extendedprice) AS x
+        FROM lineitem GROUP BY l_partkey
+    ),
+    pr AS (
+        SELECT x, row_number() OVER (ORDER BY x, k) AS i,
+               count(*) OVER () AS n
+        FROM part_rev
+    )
+    SELECT 'customer_spend' AS dim,
+           round(2.0 * sum(i * x) / (max(n) * sum(x))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM cr
+    UNION ALL
+    SELECT 'part_revenue' AS dim,
+           round(2.0 * sum(i * x) / (max(n) * sum(x))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM pr
+"""
+
+
+@query("qz23_gini", oracle=_GINI_ORACLE)
+def qz23_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficients of customer spend and per-part revenue via the
+    rank-form identity (header comment — one window, no pairwise
+    sums)."""
+
+    def gini(df: DataFrame, key: str, val: str, dim: str) -> DataFrame:
+        totals = df.groupBy(F.col(key).alias("k")).agg(
+            F.sum(val).alias("x")
+        )
+        w = Window.orderBy(F.asc("x"), F.asc("k"))
+        ranked = totals.select(
+            "x", F.row_number().over(w).cast("double").alias("i")
+        )
+        return ranked.agg(
+            F.lit(dim).alias("dim"),
+            F.round(
+                F.lit(2.0)
+                * F.sum(F.col("i") * F.col("x"))
+                / (F.count(F.lit(1)) * F.sum("x"))
+                - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return gini(orders, "o_custkey", "o_totalprice", "customer_spend").unionAll(
+        gini(li, "l_partkey", "l_extendedprice", "part_revenue")
+    )
