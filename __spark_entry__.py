@@ -29,6 +29,7 @@ import frizzle_spark.plans.multimodal_queries  # noqa: F401
 import frizzle_spark.plans.joins_extra  # noqa: F401
 import frizzle_spark.plans.udf_queries  # noqa: F401
 import frizzle_spark.plans.sql_surface  # noqa: F401
+import frizzle_spark.plans.tpch_extra  # noqa: F401
 from frizzle_spark.plans.registry import REGISTRY
 
 

@@ -565,3 +565,63 @@ def test_band_join_is_bucketed_equi_join(plan_of):
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
     assert "Explode" in phys or "Generate" in phys, phys
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion block (plans/tpch_extra.py) — representatives.  The
+# block's 100 TB contract: every dimension side broadcasts, exactly ONE
+# exchange carries fact rows per fact pass, filters (including the Q19
+# disjunction) reach the parquet scan, and top-k compiles to a heap.
+# ---------------------------------------------------------------------------
+def _phys(plan: str) -> str:
+    return plan[plan.index("== Physical Plan ==") :]
+
+
+def test_tpch_volume_shipping_one_fact_shuffle_all_dims_broadcast(plan_of):
+    phys = _phys(plan_of("qz27_volume_shipping"))
+    assert phys.count("BroadcastHashJoin") == 5, "supplier/customer/n1/n2 + orders side must broadcast"
+    assert phys.count("Exchange hashpartitioning") == 1, "only the groupBy may shuffle"
+    assert "CartesianProduct" not in phys
+    assert "GreaterThanOrEqual(l_shipdate" in phys, "ship-date filter must reach the scan"
+
+
+def test_tpch_disjunctive_rev_pushes_or_filter(plan_of):
+    phys = _phys(plan_of("qz27_disjunctive_rev"))
+    # the three OR'd quantity bands must reach the lineitem scan as one
+    # pushed Or(...) — the difference between scanning 1/3 and 3/3 of
+    # the fact table at 100 TB
+    assert "Or(Or(" in phys
+    assert phys.count("BroadcastHashJoin") == 1
+    assert phys.count("Exchange hashpartitioning") == 0, "map-only up to the 1-row agg"
+
+
+def test_tpch_returned_items_topk_is_heap(plan_of):
+    phys = _phys(plan_of("qz27_returned_items"))
+    assert "TakeOrderedAndProject" in phys, "LIMIT 20 must be heap+merge, not a global sort"
+    assert "EqualTo(l_returnflag,R)" in phys, "returnflag filter must reach the scan"
+    assert phys.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_big_orders_agg_side_broadcasts_back(plan_of):
+    phys = _phys(plan_of("qz27_big_orders"))
+    # the >190 survivor set is tiny: it must broadcast into orders and
+    # customer joins — the fact table shuffles once (the orderkey agg)
+    assert phys.count("BroadcastHashJoin") == 2
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in phys
+
+
+def test_tpch_idle_customers_anti_join_and_1row_threshold(plan_of):
+    phys = _phys(plan_of("qz27_idle_customers"))
+    assert "LeftAnti" in phys
+    # the avg-acctbal threshold is a guaranteed-1-row broadcast fold —
+    # the ONLY tolerated nested-loop shape
+    assert phys.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in phys
+    assert "GreaterThanOrEqual(o_orderdate,2000-06-01" in phys, "recency filter must prune orders at the scan"
+
+
+def test_tpch_small_qty_rev_brand_filter_pushed(plan_of):
+    phys = _phys(plan_of("qz27_small_qty_rev"))
+    assert "EqualTo(p_brand,Brand#1)" in phys
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys
