@@ -1,0 +1,192 @@
+"""Distributed PCA over the embedding corpus (round 7).
+
+The similarity tier quantizes vectors (IVF/PQ/SQ8) but the engine
+lacked the standard DECORRELATION operator a training-data pipeline
+runs before any of those: PCA for dimensionality reduction, whitening,
+and drift diagnostics over an embedding column.  Spark-shaped:
+
+* **moments** (the corpus-sized stage) is one ``mapInPandas`` pass —
+  each Arrow batch emits ONE partial row (count, Σx ‖ vec(Σxxᵀ) as a
+  single d+d² array), so the only thing that ever leaves Python is
+  per-batch sufficient statistics, never vectors;
+* the partials fold JVM-side (posexplode → groupBy(pos).sum — the same
+  bounded-fold shape as kmeans' centroid update) and the driver
+  collects EXACTLY d+d² component rows plus one count: a constant in
+  the data size, the sanctioned bounded-collect shape;
+* the d×d eigendecomposition runs on the driver (d = 64 here; the
+  crossover where this stops being trivial is d ≈ 10⁴, far past any
+  embedding column) with a DETERMINISTIC sign fix per component:
+  the largest-|loading| coordinate is made positive (first index on
+  ties), so two runs — and the numpy twin in tests — agree exactly;
+* **projection** broadcasts the k×d component matrix in the closure
+  and GEMMs each batch: coords = (X − μ)Wᵀ, one corpus scan, map-only.
+
+100 TB shape: two corpus scans total (moments, projection), one
+#partitions×(d+d²) skinny shuffle, one d+d² collect.  No driver loop
+over data, no per-row Python.
+
+Covariance is the POPULATION moment C = E[xxᵀ] − μμᵀ (matching the
+numpy twin exactly); eigenvalues therefore sum to the population
+variance, which is what the explained-variance ratios are over.
+
+Reference note: the reference bus has no analytics layer at all
+(frizzle.go:97-107); PCA is part of this engine's §2.3 similarity
+extension tier (Pearson 1901; Halko et al. SIAM Rev. 2011 for the
+sketch-based variant you'd swap in past d ≈ 10⁴).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frizzle_spark.operators.similarity import _corpus
+from frizzle_spark.plans.registry import query
+
+PCA_K = 8
+
+
+def pca_fit(corpus: DataFrame) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA on ``corpus`` (vec_id, v) → (n, mu, eigvals, W).
+
+    ``W`` is (k_all=d, d): ALL components, rows ordered by eigenvalue
+    descending, each sign-fixed.  Callers slice the top-k they need.
+    Empty corpus → (0, empty, empty, empty).
+    """
+    spark = corpus.sparkSession
+    first = corpus.select("v").first()
+    if first is None:
+        z = np.zeros((0,))
+        return 0, z, z, np.zeros((0, 0))
+    d = len(first["v"])
+
+    def partials(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            s = x.sum(axis=0)
+            g = x.T @ x  # d×d Gram partial
+            yield pd.DataFrame(
+                {"cnt": [len(x)], "arr": [np.concatenate([s, g.ravel()]).tolist()]}
+            )
+
+    part = corpus.select("v").mapInPandas(
+        partials, schema="cnt long, arr array<double>"
+    )
+    # JVM-side fold of the partial rows: posexplode → one narrow shuffle of
+    # #partitions×(d+d²) (pos, val) rows → exactly d+d² collected components
+    folded = (
+        part.select(F.posexplode("arr").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .orderBy("pos")
+        .collect()
+    )
+    n = part.agg(F.sum("cnt")).collect()[0][0] or 0
+    if n == 0:
+        z = np.zeros((0,))
+        return 0, z, z, np.zeros((0, 0))
+    flat = np.asarray([r["val"] for r in folded], dtype=np.float64)
+    s, g = flat[:d], flat[d:].reshape(d, d)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    # symmetrize against float noise so eigh sees an exactly-Hermitian input
+    cov = (cov + cov.T) / 2.0
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-eigvals, kind="stable")
+    eigvals = eigvals[order]
+    w = eigvecs[:, order].T  # (d, d): one component per row
+    # deterministic sign: largest-|loading| coordinate positive (first
+    # index on exact ties) — the rule the numpy twin replays
+    for i in range(w.shape[0]):
+        j = int(np.argmax(np.abs(w[i])))
+        if w[i, j] < 0:
+            w[i] = -w[i]
+    return int(n), mu, eigvals, w
+
+
+def pca_project(
+    corpus: DataFrame, mu: np.ndarray, w: np.ndarray, k: int
+) -> DataFrame:
+    """Map-only projection: (vec_id, pc_0..pc_{k-1}) = (x − μ)Wᵀ,
+    rounded 6 dp.  Components ride in the closure (k×d doubles)."""
+    wk = np.ascontiguousarray(w[:k])
+    m = mu.copy()
+
+    def project(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            coords = np.round((x - m) @ wk.T, 6)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for i in range(wk.shape[0]):
+                out[f"pc_{i}"] = coords[:, i]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(
+        f"pc_{i} double" for i in range(wk.shape[0])
+    )
+    return corpus.select("vec_id", "v").mapInPandas(project, schema=schema)
+
+
+@query("qz12_pca")
+def qz12_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto the top-8 principal
+    components (vec_id, pc_0..pc_7, 6 dp).  Rows-only at the driver
+    (iterative linear algebra, not single-statement SQL); pytest gates
+    (tests/test_decomposition.py): bit-level numpy twin of the full
+    moments→eigh→sign-fix→project pipeline at tolerance 1e-6,
+    component orthonormality, projected-variance ≍ eigenvalue, and
+    empty-corpus totality."""
+    corpus = _corpus(spark, sf_dir)
+    n, mu, _vals, w = pca_fit(corpus)
+    if n == 0:
+        schema = "vec_id long, " + ", ".join(
+            f"pc_{i} double" for i in range(PCA_K)
+        )
+        return spark.createDataFrame([], schema)
+    k = min(PCA_K, w.shape[0])
+    return pca_project(corpus, mu, w, k)
+
+
+@query("qz12_pca_variance")
+def qz12_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA explained-variance summary: one row per top-8 component with
+    its eigenvalue, explained ratio, and cumulative ratio (6 dp) —
+    the drift/intrinsic-dimension diagnostic a pipeline reads before
+    choosing a quantization budget.  Same gates as qz12_pca."""
+    corpus = _corpus(spark, sf_dir)
+    n, _mu, vals, _w = pca_fit(corpus)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "component long, eigenvalue double, explained double, cumulative double"
+        )
+    total = float(vals.sum())
+    k = min(PCA_K, vals.shape[0])
+    rows = []
+    cum = 0.0
+    for i in range(k):
+        ratio = float(vals[i]) / total if total > 0 else 0.0
+        cum += ratio
+        rows.append(
+            (
+                i,
+                round(float(vals[i]), 6),
+                round(ratio, 6),
+                round(cum, 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "component long, eigenvalue double, explained double, cumulative double"
+    )
