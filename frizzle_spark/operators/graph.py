@@ -527,3 +527,93 @@ def qz25_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("vec_id")))
     )
     return corners.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (Raghavan et al., Phys. Rev. E 2007)
+# — SYNCHRONOUS variant with a deterministic tie-break, as join algebra.
+#
+# Connected components (dedup.dup_clusters) answers "what touches what";
+# LPA answers the denser question a curation pipeline asks of a similarity
+# graph: which groups of items are MUTUALLY similar (a giant weakly-
+# connected blob usually hides several dense communities).  Asynchronous
+# LPA is order-dependent by construction; the synchronous variant with
+# (count DESC, label ASC) tie-break is fully deterministic, which is what
+# lets a numpy twin replay it bit-for-bit (tests/test_graph.py).
+#
+# Per round: labels ⋈ edges on src (message pass), groupBy(dst, label)
+# count, one window per dst picks the plurality label — two shuffles and
+# one window, ZERO driver actions; lineage truncated by localCheckpoint
+# every LPA_CHECKPOINT_EVERY rounds (same posture as pagerank).  Isolated
+# nodes never occur here (every kNN node has out-degree k and the edge
+# set is symmetrized), but the final left join keeps any node that lost
+# all messages on its own label — totality over degenerate corpora.
+#
+# 100 TB: messages carry (node, label) longs only; the plurality count
+# is partial-aggregated map-side; fixed LPA_ITERS rounds bound the cost
+# (synchronous LPA converges or 2-cycles in O(10) rounds on similarity
+# graphs — a fixpoint loop would add a per-round driver action for no
+# stability gain, since 2-cycles never terminate it).
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 5
+LPA_CHECKPOINT_EVERY = 2
+
+
+def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
+    """Synchronous LPA over an (src, dst) edge DataFrame → (node, community).
+
+    Labels start as the node id; each round every node adopts the
+    plurality label among its in-neighbors on the SYMMETRIZED edge set
+    (ties → smallest label).  Deterministic: same input, same labels,
+    every run — the property the numpy twin asserts.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for it in range(n_iter):
+        msgs = (
+            labels.join(sym, labels["node"] == sym["src"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winners = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("w_node"), F.col("label").alias("w_label"))
+        )
+        labels = (
+            labels.select("node", F.col("label").alias("old_label"))
+            .join(winners, F.col("node") == F.col("w_node"), "left_outer")
+            .select(
+                "node",
+                F.coalesce(F.col("w_label"), F.col("old_label")).alias("label"),
+            )
+        )
+        if (it + 1) % LPA_CHECKPOINT_EVERY == 0 or it == n_iter - 1:
+            labels = labels.localCheckpoint()
+    return labels.select("node", F.col("label").alias("community"))
+
+
+@query("qz25_communities")
+def qz25_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the kNN similarity
+    graph (node, community).  Rows-only at the driver (iterative, not
+    single-statement SQL); pytest gates: numpy twin replaying the
+    identical synchronous rounds on identical edges, planted two-clique
+    separation, and determinism across invocations.  Rides the same
+    per-process scratch kNN index as the other graph consumers."""
+    edges = _cached_knn_edges(spark, sf_dir)
+    return label_propagation(edges)

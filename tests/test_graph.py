@@ -241,3 +241,87 @@ def test_static_plan_checkpoint_captures_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Exchange hashpartitioning" not in plan, plan[:400]
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (synchronous LPA)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_numpy(edges: list[tuple[int, int]], n_iter: int) -> dict[int, int]:
+    """Pure-python twin of label_propagation: symmetrize, then
+    synchronous plurality updates with (count DESC, label ASC) ties."""
+    sym = set()
+    for s, d in edges:
+        sym.add((s, d))
+        sym.add((d, s))
+    nodes = sorted({s for s, _ in sym})
+    nbrs: dict[int, list[int]] = {n: [] for n in nodes}
+    for s, d in sym:
+        nbrs[d].append(s)  # message flows src -> dst
+    labels = {n: n for n in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for n in nodes:
+            counts: dict[int, int] = {}
+            for m in nbrs[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            if counts:
+                new[n] = min(
+                    counts, key=lambda lab: (-counts[lab], lab)
+                )
+            else:
+                new[n] = labels[n]
+        labels = new
+    return labels
+
+
+def test_lpa_matches_python_twin_on_knn_graph(spark, sf_dir):
+    from frizzle_spark.operators.graph import (
+        LPA_ITERS,
+        _cached_knn_edges,
+        label_propagation,
+    )
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in _cached_knn_edges(spark, sf_dir).select("src", "dst").collect()
+    ]
+    want = _lpa_numpy(edges, LPA_ITERS)
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _cached_knn_edges(spark, sf_dir)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_lpa_separates_planted_cliques(spark):
+    from frizzle_spark.operators.graph import label_propagation
+
+    # two 6-cliques joined by ONE bridge edge: LPA must give each clique
+    # a single internal community and not merge them through the bridge
+    edges = []
+    for base in (0, 10):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    edges.append((5, 10))  # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["community"] for r in label_propagation(df).collect()}
+    a = {got[i] for i in range(6)}
+    b = {got[i] for i in range(10, 16)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_lpa_deterministic_across_runs(spark, sf_dir):
+    from frizzle_spark.plans.registry import REGISTRY
+
+    r1 = sorted(
+        map(tuple, REGISTRY["qz25_communities"].fn(spark, sf_dir).collect())
+    )
+    r2 = sorted(
+        map(tuple, REGISTRY["qz25_communities"].fn(spark, sf_dir).collect())
+    )
+    assert r1 == r2 and len(r1) > 0
