@@ -24,12 +24,14 @@ import frizzle_spark.operators.chunking  # noqa: F401
 import frizzle_spark.operators.similarity  # noqa: F401
 import frizzle_spark.operators.graph  # noqa: F401
 import frizzle_spark.operators.clustering  # noqa: F401
+import frizzle_spark.operators.decomposition  # noqa: F401
 import frizzle_spark.plans.streaming_queries  # noqa: F401
 import frizzle_spark.plans.multimodal_queries  # noqa: F401
 import frizzle_spark.plans.joins_extra  # noqa: F401
 import frizzle_spark.plans.udf_queries  # noqa: F401
 import frizzle_spark.plans.sql_surface  # noqa: F401
 import frizzle_spark.plans.tpch_extra  # noqa: F401
+import frizzle_spark.plans.ordered_set  # noqa: F401
 from frizzle_spark.plans.registry import REGISTRY
 
 
