@@ -1155,3 +1155,81 @@ def qz11_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive component CTE, the q14 quality formula, and the survivor
     window, so the end-to-end survivor selection is hash-checked."""
     return canonical_keep(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring detection (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL 2022) — the suffix-array
+# primitive re-expressed for Spark: every W-word window that recurs in
+# the corpus ACROSS documents is a memorization hazard even when the
+# containing documents are not near-duplicates (boilerplate, licenses,
+# quoted passages).  The suffix-array formulation is inherently
+# sequential; the windowed-fingerprint formulation is map-only until one
+# count shuffle and finds the identical ≥W-word repeats (a repeat of
+# length L ≥ W is reported as its L−W+1 constituent windows).
+#
+# Scale shape: windows expand inside codegen (sequence → slice →
+# concat_ws, no Python); the ONLY shuffle carries (16-byte md5, doc_id)
+# — never window text.  Count-distinct-docs is a partial-aggregated
+# groupBy.  At 100 TB the md5 key space keeps collision probability
+# ≈ n²/2¹²⁸ ≈ 0 and the output is the hazard TABLE a removal pass
+# anti-joins against (the same consumption pattern as the blocklist
+# decontamination tier).
+# ---------------------------------------------------------------------------
+
+REPEAT_W = 8
+
+
+def _repeated_ngrams_oracle() -> str:
+    w = REPEAT_W
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    wins AS (
+        SELECT doc_id, md5(array_to_string(ws[i:i+{w - 1}], ' ')) AS fp
+        FROM toks, unnest(generate_series(1, len(ws) - {w - 1})) AS t(i)
+        WHERE len(ws) >= {w}
+    )
+    SELECT fp,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM wins GROUP BY fp
+    HAVING count(DISTINCT doc_id) >= 2
+    """
+
+
+@query("qz11_repeated_ngrams", oracle=_repeated_ngrams_oracle())
+def qz11_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact repeated {REPEAT_W}-word windows:
+    (fp, n_docs, n_occurrences) for every window text appearing in ≥2
+    distinct documents.  fp = md5 of the lowercased window — identical
+    in both engines, so the query is fully oracle-backed while the
+    shuffle never carries text."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = REPEAT_W
+    wins = (
+        docs.select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"),
+        )
+        .where(F.size("ws") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {w - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(ws, i, {w}))))"
+                )
+            ).alias("fp"),
+        )
+    )
+    return (
+        wins.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

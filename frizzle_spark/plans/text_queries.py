@@ -966,3 +966,61 @@ def qz14_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     ) + F.lit(CLF_BIAS)
     return feats.withColumn("clf_score", F.round(1.0 / (1.0 + F.exp(-z)), 6))
+
+
+# ---------------------------------------------------------------------------
+# BPE-pair statistics — the first iteration of byte-pair-encoding
+# tokenizer training (Sennrich et al., ACL 2016): global frequencies of
+# adjacent character pairs, weighted by word frequency.
+#
+# Scale shape (the part worth pinning): pairs are expanded from the
+# DISTINCT word table, not the corpus — the first shuffle carries one
+# row per word occurrence (the unavoidable vocabulary fold), the second
+# carries |vocab|×(avg_len−1) pair rows, which is corpus-size-INDEPENDENT.
+# A naive per-occurrence pair explode would shuffle ~5× the corpus token
+# count instead.  Top-k compiles to TakeOrderedAndProject (heap), never a
+# global sort.
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_ORACLE = r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '{WS}')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wc AS (
+      SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY 1
+    ),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair, c
+      FROM wc, unnest(generate_series(1, length(w) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+    FROM pairs GROUP BY 1
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 50
+"""
+
+
+@query("qz14_bpe_pairs", oracle=_BPE_PAIRS_ORACLE.replace("{WS}", T.WS_RE))
+def qz14_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs by corpus frequency (the BPE
+    merge-candidate table): whitespace words, lowercased, pairs expanded
+    from the distinct-word table weighted by occurrence count.
+    Deterministic top-k: (cnt DESC, pair ASC)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = docs.select(
+        F.explode(T.words(F.lower(F.col("text")))).alias("w")
+    ).where(F.length("w") >= 2)
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(50)
+    )

@@ -625,3 +625,30 @@ def test_tpch_small_qty_rev_brand_filter_pushed(plan_of):
     phys = _phys(plan_of("qz27_small_qty_rev"))
     assert "EqualTo(p_brand,Brand#1)" in phys
     assert "CartesianProduct" not in phys and "BroadcastNestedLoopJoin" not in phys
+
+
+def test_bpe_pairs_vocab_fold_then_heap(plan_of):
+    phys = _phys(plan_of("qz14_bpe_pairs"))
+    # two shuffles exactly: the word-occurrence fold and the pair fold
+    # (pairs expand from the DISTINCT word table, corpus-size-independent)
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in phys, "top-50 must be heap+merge"
+    assert "Python" not in phys, "pair expansion must stay in codegen"
+
+
+def test_repeated_ngrams_md5_shuffle_no_python(plan_of):
+    phys = _phys(plan_of("qz11_repeated_ngrams"))
+    # window expansion in codegen; the only shuffles are the two-phase
+    # distinct-doc count over (fp, doc_id) — text never crosses the wire
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert "Python" not in phys
+    assert "md5" in phys, "shuffle key must be the fingerprint, not the window text"
+
+
+def test_ordered_set_aggs_one_sort_per_group_pass(plan_of):
+    phys = _phys(plan_of("qz28_ordered_set_aggs"))
+    # exact order statistics need one hash-partitioned sort per group —
+    # and nothing more (no global sort, no cartesian fallback)
+    assert phys.count("Exchange hashpartitioning") == 3
+    assert "CartesianProduct" not in phys
+    assert phys.count("BroadcastHashJoin") == 1, "mode side must broadcast"
