@@ -94,6 +94,16 @@ HEAVY = [
     "qz16_band_join",
     "qz26_bitmap_semijoin",
     "qz26_fuzzy_join",
+    # round-7 third wave: TPC-H completion block (star-schema tier),
+    # PCA/LPA (embeddings-scaled), ordered-set aggregates (events-scaled
+    # per-group sort — the exact tier whose sf1 curve justifies the
+    # sketch tier)
+    "qz27_volume_shipping",
+    "qz27_big_orders",
+    "qz27_small_qty_rev",
+    "qz12_pca",
+    "qz25_communities",
+    "qz28_ordered_set_aggs",
 ]
 
 
