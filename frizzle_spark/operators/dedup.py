@@ -1225,11 +1225,17 @@ def qz11_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
     )
+    # two-stage distinct (groupBy (fp,doc_id) → groupBy fp) instead of
+    # countDistinct: same result, no Expand node, and the second shuffle
+    # carries one row per (window, doc) instead of raw occurrences —
+    # measured 13.8→9.6 s cold at sf1 (warm runs within noise)
     return (
-        wins.groupBy("fp")
+        wins.groupBy("fp", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("fp")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
         )
         .where(F.col("n_docs") >= 2)
     )
