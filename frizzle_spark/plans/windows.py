@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from frizzle_spark.plans.registry import query
 from frizzle_spark.sources.tables import load_table
@@ -833,4 +834,115 @@ def qz10_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.round(F.corr("rev", "rev_l1"), 6).alias("acf_lag1"),
         F.round(F.corr("rev", "rev_l7"), 6).alias("acf_lag7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution (first-touch / last-touch) — the behavioral-
+# analytics classic the event-window family didn't cover: credit each
+# purchase to the first (resp. last) click/view by the same user in the
+# 7 days before it, with a deterministic (ts, event_id) tie order, and
+# '(none)' when no touch qualifies (direct conversion).
+#
+# Scale shape: purchases ⋈ touches is an EQUI join on user_id with the
+# 7-day band as a post-join predicate (the q16_range_join contract: never
+# a nested loop); per-purchase argmin/argmax is one window over the
+# candidate rows, whose fan-out is bounded by a user's touches per week,
+# not the corpus.  Revenue sums in DECIMAL(12,2) (order-independent, the
+# tpch_extra money contract).
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+    WITH purch AS (
+      SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+             CAST(value AS DECIMAL(12,2)) AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS t_user, ts AS t_ts, event_type AS t_type,
+             event_id AS t_id
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    cand AS (
+      SELECT p.*, t.t_type, t.t_ts, t.t_id
+      FROM purch p LEFT OUTER JOIN touch t
+        ON t.t_user = p.p_user
+       AND t.t_ts <= p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY p_id
+                           ORDER BY t_ts ASC  NULLS LAST, t_id ASC)  AS rn_first,
+        row_number() OVER (PARTITION BY p_id
+                           ORDER BY t_ts DESC NULLS LAST, t_id DESC) AS rn_last
+      FROM cand
+    ),
+    credited AS (
+      SELECT 'first_touch' AS model, coalesce(t_type, '(none)') AS touch_type,
+             p_value
+      FROM ranked WHERE rn_first = 1
+      UNION ALL
+      SELECT 'last_touch' AS model, coalesce(t_type, '(none)') AS touch_type,
+             p_value
+      FROM ranked WHERE rn_last = 1
+    )
+    SELECT model, touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(round(sum(p_value), 2) AS DOUBLE) AS attributed_revenue
+    FROM credited GROUP BY 1, 2
+"""
+
+
+@query("qz10_attribution", oracle=_ATTRIBUTION_ORACLE)
+def qz10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch purchase attribution over a 7-day
+    lookback: (model, touch_type, n_conversions, attributed_revenue).
+    Direct conversions (no qualifying touch) credit '(none)'."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(12,2)").alias("p_value"),
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+        F.col("event_id").alias("t_id"),
+    )
+    cand = purch.join(
+        touch,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+        "left_outer",
+    )
+    w_first = Window.partitionBy("p_id").orderBy(
+        F.asc_nulls_last("t_ts"), F.asc("t_id")
+    )
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.desc_nulls_last("t_ts"), F.desc("t_id")
+    )
+    ranked = cand.select(
+        "p_id",
+        "p_value",
+        "t_type",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    touch_col = F.coalesce(F.col("t_type"), F.lit("(none)")).alias("touch_type")
+    credited = (
+        ranked.where(F.col("rn_first") == 1)
+        .select(F.lit("first_touch").alias("model"), touch_col, "p_value")
+        .unionAll(
+            ranked.where(F.col("rn_last") == 1).select(
+                F.lit("last_touch").alias("model"), touch_col, "p_value"
+            )
+        )
+    )
+    return credited.groupBy("model", "touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum("p_value"), 2).cast("double").alias("attributed_revenue"),
     )

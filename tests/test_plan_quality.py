@@ -652,3 +652,11 @@ def test_ordered_set_aggs_one_sort_per_group_pass(plan_of):
     assert phys.count("Exchange hashpartitioning") == 3
     assert "CartesianProduct" not in phys
     assert phys.count("BroadcastHashJoin") == 1, "mode side must broadcast"
+
+
+def test_attribution_band_join_keeps_equi_key(plan_of):
+    phys = _phys(plan_of("qz10_attribution"))
+    # user_id must be the hash key; the 7-day band rides as a post-join
+    # predicate — never a nested loop over purchases×touches
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
