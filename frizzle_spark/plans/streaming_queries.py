@@ -592,3 +592,62 @@ def qz13_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_isolated_stream(
         spark, build, f"qz13_cusum_{_stable_suffix(sf_dir)}", "update"
     )
+
+
+_STREAM_ATTRIBUTION_ORACLE = """
+    WITH purch AS (
+      SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS t_user, ts AS t_ts, event_type AS t_type,
+             event_id AS t_id
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+      SELECT p.p_id, p.p_value, t.t_type,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts DESC NULLS LAST,
+                                         t.t_id DESC) AS rn
+      FROM purch p LEFT OUTER JOIN touch t
+        ON t.t_user = p.p_user
+       AND t.t_ts <= p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT p_id, coalesce(t_type, '(none)') AS touch_type,
+           round(p_value, 2) AS p_value
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("qz13_stream_attribution", oracle=_STREAM_ATTRIBUTION_ORACLE)
+def qz13_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution as a query: per-purchase credit
+    rows (p_id, touch_type, p_value) emitted by the per-user state
+    machine the moment each purchase arrives — the real-time twin of
+    qz10_attribution's last-touch model.
+
+    The replay drains in one availableNow micro-batch, and the in-batch
+    walk reproduces the batch argmax exactly (see
+    streaming/analytics.last_touch_attribution's ordering contract), so
+    the custom-stateful query is FULLY oracle-backed; time-ordered
+    multi-batch replay is separately pinned by the equivalence test in
+    tests/test_streaming_analytics.py."""
+    from frizzle_spark.streaming.analytics import last_touch_attribution
+
+    def build(child: SparkSession) -> DataFrame:
+        enable_nanos_scan(child)
+        raw = (
+            child.readStream.schema(events_raw_schema(child, sf_dir))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return last_touch_attribution(
+            normalize_events_ts(raw).select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+        )
+
+    return _run_isolated_stream(
+        spark, build, f"qz13_attr_{_stable_suffix(sf_dir)}", "append"
+    )

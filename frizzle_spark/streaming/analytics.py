@@ -285,3 +285,75 @@ def cusum_monitor(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def last_touch_attribution(
+    stream: DataFrame, lookback_days: int = 7
+) -> DataFrame:
+    """Streaming last-touch attribution: per-user state machine via
+    ``applyInPandasWithState`` that remembers the most recent click/view
+    and credits every purchase to it (within the lookback) the moment
+    the purchase arrives — the real-time form of qz10_attribution's
+    last-touch model.
+
+    State per user: (last-touch epoch-µs, type, event_id) — three
+    scalars, evicted never (a TTL timeout would bound it in production;
+    the replay corpus has ~20 events/user so the state table is tiny).
+
+    Within a micro-batch a user's rows arrive unordered, so the walk
+    sorts by (ts, is_purchase, event_id): touches at a timestamp apply
+    BEFORE purchases at the same timestamp (matching the batch model's
+    inclusive t_ts <= p_ts), and ascending event_id leaves the
+    max-event_id touch in state for equal timestamps (matching the
+    batch (t_ts DESC, t_id DESC) argmax).  Across batches the state
+    carries forward, so time-ordered replay splits emit identical
+    credits — pinned by the multi-batch equivalence test.
+    """
+    lb_us = lookback_days * 86_400_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t_us, t_type, t_id = (
+            state.get if state.exists else (None, None, None)
+        )
+        out_id, out_type, out_val = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.assign(
+                us=pdf["ts"].astype("int64") // 1000,
+                is_p=(pdf["event_type"] == "purchase").astype("int8"),
+            ).sort_values(["us", "is_p", "event_id"], kind="mergesort")
+            for us, etype, eid, val in zip(
+                pdf["us"].to_numpy(),
+                pdf["event_type"].to_numpy(),
+                pdf["event_id"].to_numpy(),
+                pdf["value"].to_numpy(),
+            ):
+                if etype == "purchase":
+                    if t_us is not None and t_us >= us - lb_us:
+                        out_type.append(t_type)
+                    else:
+                        out_type.append("(none)")
+                    out_id.append(int(eid))
+                    out_val.append(round(float(val), 2))
+                else:  # click / view
+                    t_us, t_type, t_id = int(us), str(etype), int(eid)
+        if t_us is not None:
+            state.update((t_us, t_type, t_id))
+        yield pd.DataFrame(
+            {"p_id": out_id, "touch_type": out_type, "p_value": out_val}
+        )
+
+    return (
+        stream.where(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="p_id long, touch_type string, p_value double",
+            stateStructType="t_us long, t_type string, t_id long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -319,3 +320,119 @@ def test_state_data_source_audits_checkpoint(spark, tmp_path):
     assert md[0]["numPartitions"] == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def time_split_replay(spark, sf_dir, tmp_path):
+    """Events split into 3 files by TIME RANGE (not hash), so a
+    maxFilesPerTrigger=1 replay forms micro-batches that respect event
+    order — the arrival pattern the cross-batch state carry is for."""
+    d = str(tmp_path / "events_timesplit")
+    from frizzle_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev = ev.withColumn(
+        "bucket", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    for b in (1, 2, 3):
+        ev.where(F.col("bucket") == b).drop("bucket").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    return d
+
+
+def test_stream_attribution_multibatch_matches_batch(spark, time_split_replay):
+    from frizzle_spark.streaming.analytics import last_touch_attribution
+
+    sdf = last_touch_attribution(_stream(spark, time_split_replay, 1))
+    got = {
+        (r["p_id"], r["touch_type"], r["p_value"])
+        for r in _run_to_memory(
+            spark, sdf, "attr_multibatch", "append"
+        ).collect()
+    }
+    # batch argmax over the same corpus
+    ev = spark.read.parquet(time_split_replay)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touch = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+        F.col("event_id").alias("t_id"),
+    )
+    cand = purch.join(
+        touch,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+        "left_outer",
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.desc_nulls_last("t_ts"), F.desc("t_id")
+    )
+    want = {
+        (r["p_id"], r["touch_type"], r["p_value"])
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_id",
+            F.coalesce(F.col("t_type"), F.lit("(none)")).alias("touch_type"),
+            F.round("p_value", 2).alias("p_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_attribution_state_carries_across_batches(spark, tmp_path):
+    """A touch in batch 1 must credit a purchase in batch 2 (pure state
+    carry: batch 2 contains no touch)."""
+    import pandas as pd
+
+    from frizzle_spark.streaming.analytics import last_touch_attribution
+
+    d = str(tmp_path / "carry")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": [t0],
+            "user_id": [7],
+            "event_type": ["click"],
+            "value": [0.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "event_id": [2],
+            "ts": [t0 + pd.Timedelta(hours=1)],
+            "user_id": [7],
+            "event_type": ["purchase"],
+            "value": [9.99],
+        }
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    for pdf in (b1, b2):
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    sdf = last_touch_attribution(_stream(spark, d, 1))
+    rows = _run_to_memory(spark, sdf, "attr_carry", "append").collect()
+    assert [(r["p_id"], r["touch_type"], r["p_value"]) for r in rows] == [
+        (2, "click", 9.99)
+    ]
