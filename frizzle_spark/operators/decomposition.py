@@ -190,3 +190,50 @@ def qz12_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component long, eigenvalue double, explained double, cumulative double"
     )
+
+
+@query(
+    "qz12_dim_stats",
+    oracle="""
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(x), 6) AS mn,
+           round(max(x), 6) AS mx,
+           round(avg(x), 6) AS mean,
+           round(stddev_pop(x), 6) AS std
+    FROM (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    GROUP BY dim
+    """,
+)
+def qz12_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (n, min, max, mean, population
+    std) — the feature-health profile a pipeline reads before
+    normalization/quantization (dead dims, scale outliers, drifted
+    coordinates).  Spark-shaped: posexplode keeps the expansion in
+    codegen and the single shuffle carries partial aggregates per dim
+    (64 groups), never the vectors.  Fully oracle-backed — the DuckDB
+    twin unnests with generate_subscripts; 6-dp rounding on both sides
+    absorbs summation-order noise (values are O(1), sums are far from
+    any 1e-6 grid boundary on this corpus — the differential sweep
+    pins it)."""
+    from frizzle_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+    )
+    ex = emb.select(F.posexplode("v").alias("dim0", "x")).select(
+        (F.col("dim0") + 1).cast("long").alias("dim"), "x"
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("x"), 6).alias("mn"),
+        F.round(F.max("x"), 6).alias("mx"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_pop("x"), 6).alias("std"),
+    )
