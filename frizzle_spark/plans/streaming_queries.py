@@ -205,13 +205,27 @@ def _run_isolated_stream(
     return child.table(name)
 
 
-@query("qz16_interval_join", oracle=None)
+_INTERVAL_JOIN_ORACLE = """
+    SELECT c.event_id AS click_id, p.event_id AS buy_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("qz16_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
 def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join run for real (availableNow): clicks
     joined to purchases within 1h per user, both sides watermarked
-    streams over the same events replay.  Rows-only at the driver (qz
-    tier); tests/test_streaming_analytics.py asserts the result equals
-    the identical join computed in batch.  State stays bounded because
+    streams over the same events replay.  FULLY ORACLE-BACKED
+    (round 7): the availableNow drain emits every in-interval pair —
+    watermarks only bound state, they drop nothing on a replay whose
+    files are all present — so the streaming result hash-matches the
+    batch SQL join (event timestamps carry no sub-microsecond
+    component, so the µs-rebuilt stream clock preserves every strict
+    inequality).  tests/test_streaming_analytics.py additionally
+    asserts multi-batch equivalence.  State stays bounded because
     the join condition bounds event time in both directions — see
     streaming/analytics.interval_join.  Runs on an isolated child
     session (state-partition sizing notes: _run_isolated_stream).

@@ -1024,3 +1024,98 @@ def qz14_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining via pointwise mutual information (Church & Hanks,
+# CL 1990) — which word pairs co-occur within a ±3 window far more often
+# than their marginal frequencies predict (multiword expressions,
+# boilerplate signatures, entity bigrams).
+#
+# Scale shape: the pair fan-out is ≤3 per token and expands INSIDE
+# codegen (nested transform over the words array, flatten, explode) —
+# no self-join on position, which is the naive formulation's quadratic
+# trap.  Marginal counts broadcast back into the pair table; N (token
+# count) is a 1-row broadcast fold.  PMI is computed on exact integer
+# counts; ln noise lives at 1e-16, ten orders under the 6-dp grid.
+# ---------------------------------------------------------------------------
+
+_COLLOCATION_MIN_PAIR = 20
+
+
+def _collocations_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '{T.WS_RE}') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+      SELECT ws[i] AS a, ws[j] AS b
+      FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i),
+           unnest(generate_series(i + 1, least(i + 3, len(ws)))) u(j)
+    ),
+    pc AS (
+      SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2
+      HAVING count(*) >= {_COLLOCATION_MIN_PAIR}
+    ),
+    wc AS (
+      SELECT unnest(ws) AS w FROM toks
+    ),
+    wcnt AS (SELECT w, count(*) AS c FROM wc GROUP BY 1),
+    n AS (SELECT count(*) AS n_tokens FROM wc)
+    SELECT a, b, c_ab,
+           round(ln(CAST(c_ab AS DOUBLE) * n_tokens
+                    / (wa.c * wb.c)), 6) AS pmi
+    FROM pc
+    JOIN wcnt wa ON wa.w = a
+    JOIN wcnt wb ON wb.w = b
+    CROSS JOIN n
+    """
+
+
+@query("qz14_collocations", oracle=_collocations_oracle())
+def qz14_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (±3) word-pair collocations with PMI, for pairs seen
+    ≥{_COLLOCATION_MIN_PAIR} times: (a, b, c_ab, pmi).  Counts are
+    exact integers in both engines, so the query is fully
+    oracle-backed."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(T.words(F.lower(F.col("text"))).alias("ws"))
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(ws) - 1), i -> "
+        "transform(sequence(i + 1, least(i + 3, size(ws))), j -> "
+        "struct(element_at(ws, i) AS a, element_at(ws, j) AS b))))"
+    )
+    pairs = (
+        toks.where(F.size("ws") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    pc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _COLLOCATION_MIN_PAIR)
+    )
+    wc = toks.select(F.explode("ws").alias("w"))
+    wcnt = wc.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = wc.agg(F.count(F.lit(1)).alias("n_tokens"))
+    wa = wcnt.select(F.col("w").alias("wa_w"), F.col("c").alias("c_a"))
+    wb = wcnt.select(F.col("w").alias("wb_w"), F.col("c").alias("c_b"))
+    return (
+        pc.join(F.broadcast(wa), F.col("a") == F.col("wa_w"))
+        .join(F.broadcast(wb), F.col("b") == F.col("wb_w"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_tokens")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

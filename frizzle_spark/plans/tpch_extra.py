@@ -675,3 +675,44 @@ def qz27_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q16 (adapted) — supplier variety: how many distinct suppliers have
+# shipped each (brand, type, size) combination, for a size subset and
+# excluding one brand.  The classic reads partsupp; without it, the
+# shipped-lineitem relation IS the part-supplier association.
+# Scale: part filters broadcast into the fact scan; count(DISTINCT) is
+# the two-stage groupBy (no Expand), so both shuffles carry narrow
+# (attrs, suppkey) rows.
+# --------------------------------------------------------------------------
+@query(
+    "qz27_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY 1, 2, 3
+    """,
+)
+def qz27_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combination, via the shipped-lineitem association."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size", "l_suppkey")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+    )
