@@ -716,3 +716,45 @@ def qz27_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count(F.lit(1)).alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q12 (adapted) — late-shipment priority analysis: per ship year, how
+# many lineitems shipped >30 days after their order date, split into
+# critical (1-URGENT / 2-HIGH) vs other priorities.  The classic reads
+# l_shipmode/l_commitdate/l_receiptdate; the available lateness signal
+# is shipdate − orderdate.
+# Scale: one fact-fact join on orderkey (orders side carries only key,
+# date, priority), conditional aggregation in one pass; the lateness
+# predicate is join-dependent so it evaluates post-join, but the year
+# grouping keeps the shuffle at |years| rows.
+# --------------------------------------------------------------------------
+@query(
+    "qz27_late_shipments",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS BIGINT) AS critical_late,
+           CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS BIGINT) AS other_late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+    """,
+)
+def qz27_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment counts by priority class and year."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.count(F.when(crit, 1)).alias("critical_late"),
+            F.count(F.when(~crit, 1)).alias("other_late"),
+        )
+    )
