@@ -1239,3 +1239,72 @@ def qz11_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# -- persisted repeated-ngram hazard index ----------------------------------
+# The amortized operating mode for qz11_repeated_ngrams, mirroring the
+# MinHash index: window fingerprints are computed ONCE per document and
+# stored as append-only (fp, doc_id, occ) facts; the hazard table (which
+# windows recur across documents) is a shrinking aggregate over the
+# stored facts.  Ingesting a new crawl slice appends ONLY the new
+# documents' rows — old text is never re-tokenized — and cross-slice
+# repeats surface automatically because the aggregate spans all slices.
+
+REPEAT_INDEX_SCHEMA = "fp string, doc_id long, occ long"
+
+
+def _window_fps(docs: DataFrame, w: int = REPEAT_W) -> DataFrame:
+    """(fp, doc_id, occ): per-document occurrence counts of each W-word
+    window fingerprint — the append-only fact rows the index stores."""
+    wins = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"),
+        )
+        .where(F.size("ws") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {w - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(ws, i, {w}))))"
+                )
+            ).alias("fp"),
+        )
+    )
+    return wins.groupBy("fp", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+
+
+def materialize_repeat_index(docs: DataFrame, base_path: str) -> None:
+    """Build the hazard index for a corpus snapshot (overwrite)."""
+    _window_fps(docs).select("fp", "doc_id", "occ").write.mode(
+        "overwrite"
+    ).parquet(f"{base_path}/window_fps")
+
+
+def append_to_repeat_index(new_docs: DataFrame, base_path: str) -> None:
+    """Ingest a new slice: tokenize ONLY the new documents and append
+    their fact rows.  Caller contract (same as the MinHash index): a
+    doc_id is ingested at most once."""
+    _window_fps(new_docs).select("fp", "doc_id", "occ").write.mode(
+        "append"
+    ).parquet(f"{base_path}/window_fps")
+
+
+def repeat_hazards(spark: SparkSession, base_path: str) -> DataFrame:
+    """The hazard table over everything ingested so far: (fp, n_docs,
+    n_occurrences) for windows in ≥2 distinct documents — identical
+    output contract to qz11_repeated_ngrams, served from the index.
+    Explicit schema: an empty corpus writes a bare _SUCCESS dir."""
+    facts = spark.read.schema(REPEAT_INDEX_SCHEMA).parquet(
+        f"{base_path}/window_fps"
+    )
+    return (
+        facts.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

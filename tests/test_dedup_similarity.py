@@ -858,3 +858,39 @@ def test_leakage_split_from_index_identity(spark, sf_dir, tmp_path):
         for r in REGISTRY["qz22_leakage_safe_split"].fn(spark, sf_dir).collect()
     }
     assert from_index == registry and len(registry) > 0
+
+
+def test_repeat_index_identity_and_incremental_append(spark, sf_dir, tmp_path):
+    """The persisted repeated-ngram hazard index must (a) reproduce the
+    direct qz11_repeated_ngrams output exactly when built from the full
+    corpus, and (b) reach the identical state by ingesting the corpus
+    in two slices — new slices never re-tokenize old documents, yet
+    cross-slice repeats surface in the aggregate."""
+    import frizzle_spark.operators.dedup as dd
+    from frizzle_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = {
+        (r["fp"], r["n_docs"], r["n_occurrences"])
+        for r in dd.qz11_repeated_ngrams(spark, sf_dir).collect()
+    }
+    assert direct, "testdata must contain cross-document repeats"
+
+    # (a) full-corpus build
+    base_full = str(tmp_path / "repeat_full")
+    dd.materialize_repeat_index(docs, base_full)
+    served = {
+        (r["fp"], r["n_docs"], r["n_occurrences"])
+        for r in dd.repeat_hazards(spark, base_full).collect()
+    }
+    assert served == direct
+
+    # (b) two-slice ingest: split by doc_id parity
+    base_inc = str(tmp_path / "repeat_inc")
+    dd.materialize_repeat_index(docs.where(F.col("doc_id") % 2 == 0), base_inc)
+    dd.append_to_repeat_index(docs.where(F.col("doc_id") % 2 == 1), base_inc)
+    incremental = {
+        (r["fp"], r["n_docs"], r["n_occurrences"])
+        for r in dd.repeat_hazards(spark, base_inc).collect()
+    }
+    assert incremental == direct
