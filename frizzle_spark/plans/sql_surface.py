@@ -2970,3 +2970,89 @@ def qz23_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini(orders, "o_custkey", "o_totalprice", "customer_spend").unionAll(
         gini(li, "l_partkey", "l_extendedprice", "part_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value — the revenue side of q10_cohort_retention:
+# users grouped by signup month, their purchase revenue laid out by
+# months-since-signup, normalized per cohort member (the LTV curve a
+# growth team reads).  Month age is the integer (year·12+month) delta —
+# identical arithmetic in both engines, no interval-semantics trap.
+# Scale: signup table is |users| rows → broadcast into purchases; two
+# shrinking aggregations; decimal revenue per the money contract.
+# ---------------------------------------------------------------------------
+
+_COHORT_LTV_ORACLE = """
+    WITH signup AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    cohort AS (
+      SELECT user_id,
+             CAST(year(s_ts) * 12 + month(s_ts) AS BIGINT) AS cohort_m
+      FROM signup
+    ),
+    csize AS (
+      SELECT cohort_m, count(*) AS n_users FROM cohort GROUP BY 1
+    ),
+    buys AS (
+      SELECT c.cohort_m,
+             CAST(year(b.ts) * 12 + month(b.ts) AS BIGINT) - c.cohort_m
+               AS age_months,
+             CAST(b.value AS DECIMAL(12,2)) AS v
+      FROM events b JOIN cohort c ON c.user_id = b.user_id
+      WHERE b.event_type = 'purchase'
+    ),
+    agg AS (
+      SELECT cohort_m, age_months,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             sum(v) AS rev
+      FROM buys GROUP BY 1, 2
+    )
+    SELECT a.cohort_m, a.age_months, a.n_purchases,
+           CAST(round(a.rev, 2) AS DOUBLE) AS revenue,
+           cs.n_users,
+           round(CAST(a.rev AS DOUBLE) / cs.n_users, 6) AS ltv_per_user
+    FROM agg a JOIN csize cs ON cs.cohort_m = a.cohort_m
+"""
+
+
+@query("qz26_cohort_ltv", oracle=_COHORT_LTV_ORACLE)
+def qz26_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signup-cohort revenue by months-since-signup, normalized per
+    cohort member: (cohort_m, age_months, n_purchases, revenue, n_users,
+    ltv_per_user).  Months are integer year·12+month indices; purchases
+    by never-signed-up users are excluded (inner join, matching the
+    cohort definition)."""
+    ev = load_table(spark, sf_dir, "events")
+    month_idx = lambda c: (F.year(c) * 12 + F.month(c)).cast("long")  # noqa: E731
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .select("user_id", month_idx(F.col("s_ts")).alias("cohort_m"))
+    )
+    csize = cohort.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("n_users"))
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").cast("decimal(12,2)").alias("v"))
+        .join(F.broadcast(cohort), "user_id")
+        .select(
+            "cohort_m",
+            (month_idx(F.col("ts")) - F.col("cohort_m")).alias("age_months"),
+            "v",
+        )
+    )
+    agg = buys.groupBy("cohort_m", "age_months").agg(
+        F.count(F.lit(1)).alias("n_purchases"), F.sum("v").alias("rev")
+    )
+    return agg.join(F.broadcast(csize), "cohort_m").select(
+        "cohort_m",
+        "age_months",
+        "n_purchases",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        "n_users",
+        F.round(F.col("rev").cast("double") / F.col("n_users"), 6).alias(
+            "ltv_per_user"
+        ),
+    )
