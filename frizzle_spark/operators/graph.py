@@ -100,6 +100,18 @@ def knn_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
         "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
     )
     n = _corpus_size(spark, sf_dir)
+    return knn_topk_of(spark, unit, n, k)
+
+
+def knn_topk_of(
+    spark: SparkSession, unit: DataFrame, n: int, k: int
+) -> DataFrame:
+    """The GEMM-grid top-k over an arbitrary prepared (vec_id, u)
+    unit-vector frame — factored out of ``knn_edges`` so eval harnesses
+    (the matryoshka dimension-ablation in operators/similarity.py) run
+    the IDENTICAL tie-inclusive local-then-global selection on derived
+    corpora (truncated/renormalized vectors) without duplicating the
+    grid.  Same semantics, same plan; knn_edges' oracle pins it."""
     packed = _pack_blocks(unit, n, NEARDUP_CHUNK_ROWS)
     a = packed.select(
         F.col("blk").alias("b1"), F.col("ids").alias("ids1"), F.col("mat").alias("m1")

@@ -1399,3 +1399,121 @@ def candidate_fractions(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     except Exception:
         pass
     return fracs
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension ablation (Kusupati et al., NeurIPS 2022): how much
+# exact-search quality survives truncating the embedding to its first
+# d' coordinates — the eval a pipeline runs before committing to a
+# cheaper dimension budget (MRL-trained embeddings keep most recall at
+# d/4; non-MRL embeddings don't — this query measures which kind you
+# have).  For each budget, vectors are truncated, RE-normalized, and the
+# IDENTICAL tie-inclusive GEMM-grid top-k runs (graph.knn_topk_of — the
+# same machinery knn_edges' oracle pins); recall@k is the pair-set
+# intersection against the full-dimension ranking, reported as exact
+# integer hit counts plus one rational division (deterministic in both
+# engines).
+#
+# Scale: one grid per budget over n·d' packed floats — truncation makes
+# the cheap budgets genuinely cheaper (the 8-dim grid moves 1/8 the
+# bytes); n_queries is corpus-count, a catalog fact.  Zero-norm
+# truncations (possible when the first d' coords are all zero) drop out
+# of that budget's candidates and queries on BOTH sides by the same
+# nrm > 0 rule.
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+MATRYOSHKA_K = 10
+
+
+def _matryoshka_oracle() -> str:
+    k = MATRYOSHKA_K
+    budgets = []
+    for d in MATRYOSHKA_DIMS:
+        budgets.append(f"""
+    t{d} AS (
+        SELECT vec_id, v[1:{d}] AS t,
+               sqrt(list_dot_product(v[1:{d}], v[1:{d}])) AS nrm
+        FROM corpus
+    ),
+    p{d} AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.t, b.t) / (a.nrm * b.nrm) DESC,
+                          b.vec_id ASC) AS rn
+        FROM t{d} a JOIN t{d} b
+          ON a.vec_id <> b.vec_id AND a.nrm > 0 AND b.nrm > 0
+    ),
+    top{d} AS (SELECT src, dst FROM p{d} WHERE rn <= {k})""")
+    full = MATRYOSHKA_DIMS[-1]
+    unions = []
+    for d in MATRYOSHKA_DIMS:
+        unions.append(f"""
+    SELECT CAST({d} AS BIGINT) AS dims,
+           (SELECT count(*) FROM t{full} WHERE nrm > 0) AS n_queries,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM top{d} x JOIN top{full} f
+                ON f.src = x.src AND f.dst = x.dst) AS hits,
+           round((SELECT count(*) FROM top{d} x JOIN top{full} f
+                    ON f.src = x.src AND f.dst = x.dst)
+                 / ({k}.0 * greatest((SELECT count(*) FROM t{full}
+                                      WHERE nrm > 0), 1)), 6) AS recall_at_k""")
+    return (
+        """
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),"""
+        + ",".join(budgets)
+        + "\n"
+        + "\n    UNION ALL".join(unions)
+    )
+
+
+@query("qz12_matryoshka", oracle=_matryoshka_oracle())
+def qz12_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-search recall@{MATRYOSHKA_K} of dimension-truncated
+    embeddings vs the full vectors, per budget: (dims, n_queries, hits,
+    recall_at_k).  Fully oracle-backed — hit counts are exact integers
+    and the single division is the same rational in both engines."""
+    from frizzle_spark.operators.graph import knn_topk_of
+
+    corpus = _corpus(spark, sf_dir)
+    n = _corpus_size(spark, sf_dir)
+    spark_ = spark
+    if n == 0:
+        return spark_.createDataFrame(
+            [], "dims long, n_queries long, hits long, recall_at_k double"
+        )
+    k = MATRYOSHKA_K
+
+    def topk_at(d: int):
+        t = corpus.select("vec_id", F.expr(f"slice(v, 1, {d})").alias("t"))
+        t = t.withColumn("tn", V.norm(F.col("t"))).where(F.col("tn") > 0)
+        unit = t.select(
+            "vec_id",
+            F.transform(F.col("t"), lambda x: x / F.col("tn")).alias("u"),
+        )
+        return knn_topk_of(spark_, unit, n, k).select("src", "dst")
+
+    full_d = MATRYOSHKA_DIMS[-1]
+    full = topk_at(full_d)
+    n_queries = (
+        corpus.where(F.col("nrm") > 0).count()
+    )  # catalog fact, bounded collect
+    rows = []
+    for d in MATRYOSHKA_DIMS:
+        tk = full if d == full_d else topk_at(d)
+        hits = tk.join(full, ["src", "dst"]).count()
+        rows.append(
+            (
+                d,
+                n_queries,
+                hits,
+                round(hits / (float(k) * max(n_queries, 1)), 6),
+            )
+        )
+    return spark_.createDataFrame(
+        rows, "dims long, n_queries long, hits long, recall_at_k double"
+    )
