@@ -665,3 +665,67 @@ def qz13_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_isolated_stream(
         spark, build, f"qz13_attr_{_stable_suffix(sf_dir)}", "append"
     )
+
+
+_STREAM_FUNNEL_ORACLE = """
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, min(e.ts) AS t4
+      FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN s4.user_id IS NOT NULL THEN 4
+                     WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     WHEN s1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    LEFT JOIN s4 ON s4.user_id = u.user_id
+"""
+
+
+@query("qz13_stream_funnel", oracle=_STREAM_FUNNEL_ORACLE)
+def qz13_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel stage per user: the applyInPandasWithState
+    machine advances signup → view → click → purchase with the strict
+    same-ts exclusion rule, reproducing qz10_funnel's batch min-ts
+    chain exactly on the availableNow drain — FULLY ORACLE-BACKED
+    (per-user reached stage vs the four-CTE SQL chain); cross-batch
+    state carry is pinned in tests/test_streaming_analytics.py."""
+    from frizzle_spark.streaming.analytics import funnel_progress
+
+    def build(child: SparkSession) -> DataFrame:
+        enable_nanos_scan(child)
+        raw = (
+            child.readStream.schema(events_raw_schema(child, sf_dir))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return funnel_progress(
+            normalize_events_ts(raw).select("event_id", "ts", "user_id", "event_type")
+        )
+
+    return _run_isolated_stream(
+        spark, build, f"qz13_funnel_{_stable_suffix(sf_dir)}", "update"
+    )

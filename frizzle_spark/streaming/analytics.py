@@ -357,3 +357,56 @@ def last_touch_attribution(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_progress(stream: DataFrame) -> DataFrame:
+    """Streaming funnel stage tracking: per-user state machine that
+    advances through signup → view → click → purchase, each stage
+    requiring an event STRICTLY after the previous stage's completion
+    time — the real-time twin of qz10_funnel's batch chain.
+
+    State per user: (stage, completion epoch-µs) — two scalars.  The
+    in-batch walk sorts by (ts, event_id); the strict > rule makes the
+    result independent of the order equal-timestamp events are walked
+    in (a same-ts next-stage event never qualifies), so the single
+    drain reproduces the batch min-ts chain exactly and multi-batch
+    replays land in the same states.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stage, t_prev = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.assign(us=pdf["ts"].astype("int64") // 1000).sort_values(
+                ["us", "event_id"], kind="mergesort"
+            )
+            for us, etype in zip(
+                pdf["us"].to_numpy(), pdf["event_type"].to_numpy()
+            ):
+                if (
+                    stage < len(FUNNEL_STAGES)
+                    and etype == FUNNEL_STAGES[stage]
+                    and us > t_prev
+                ):
+                    stage += 1
+                    t_prev = int(us)
+        state.update((stage, t_prev))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return (
+        stream.where(F.col("event_type").isin(*FUNNEL_STAGES))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, stage long",
+            stateStructType="stage long, t_prev long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -436,3 +436,47 @@ def test_stream_attribution_state_carries_across_batches(spark, tmp_path):
     assert [(r["p_id"], r["touch_type"], r["p_value"]) for r in rows] == [
         (2, "click", 9.99)
     ]
+
+
+def test_stream_funnel_state_carries_across_batches(spark, tmp_path):
+    """signup in batch 1, view in batch 2, click in batch 3 → stage 3;
+    a same-timestamp next-stage event must NOT advance (strict > rule)."""
+    import pandas as pd
+
+    from frizzle_spark.streaming.analytics import funnel_progress
+
+    d = str(tmp_path / "funnel_carry")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    batches = [
+        pd.DataFrame(
+            {"event_id": [1], "ts": [t0], "user_id": [7], "event_type": ["signup"]}
+        ),
+        pd.DataFrame(
+            {
+                # the same-ts view must not count; the later one advances
+                "event_id": [2, 3],
+                "ts": [t0, t0 + pd.Timedelta(minutes=5)],
+                "user_id": [7, 7],
+                "event_type": ["view", "view"],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "event_id": [4],
+                "ts": [t0 + pd.Timedelta(minutes=10)],
+                "user_id": [7],
+                "event_type": ["click"],
+            }
+        ),
+    ]
+    for pdf in batches:
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(d)
+    sdf = funnel_progress(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    rows = _run_to_memory(spark, sdf, "funnel_carry", "update").collect()
+    # update mode appends one row per batch (collect order is not batch
+    # order): the monotone stage sequence must be exactly 1 → 2 → 3
+    stages = sorted(r["stage"] for r in rows if r["user_id"] == 7)
+    assert stages == [1, 2, 3]
