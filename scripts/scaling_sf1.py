@@ -104,6 +104,15 @@ HEAVY = [
     "qz12_pca",
     "qz25_communities",
     "qz28_ordered_set_aggs",
+    "qz14_bpe_pairs",
+    "qz11_repeated_ngrams",
+    # round-7 fourth wave
+    "qz14_collocations",
+    "qz12_matryoshka",
+    "qz27_late_shipments",
+    "qz26_cohort_ltv",
+    "qz10_attribution",
+    "qz28_quantile_2pass",
 ]
 
 
