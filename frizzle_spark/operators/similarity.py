@@ -1471,49 +1471,141 @@ def _matryoshka_oracle() -> str:
     )
 
 
+def _multi_budget_topk(
+    spark: SparkSession, raw: DataFrame, n: int, k: int, budgets: tuple[int, ...]
+) -> DataFrame:
+    """Tie-inclusive exact top-k for EVERY dimension budget from ONE
+    packed-block grid: raw (un-normalized) vectors shuffle once; each
+    grid cell slices its matrices to each budget, renormalizes the
+    truncated rows in-kernel, and GEMMs — so 4 budgets cost one shuffle
+    plus 4 cheap submatrix products instead of 4 independent grids
+    (measured 6.3 → ~2.5 s at sf0.1).  Zero-norm truncations drop out
+    as queries AND candidates (the nrm > 0 rule).  Returns (dims, src,
+    dst) after the same (cos_sim DESC, dst ASC) global window the
+    single-budget path uses."""
+    from pyspark.sql.window import Window as _W
+
+    packed = _pack_blocks(
+        raw.select("vec_id", F.col("v").alias("u")), n, NEARDUP_CHUNK_ROWS
+    )
+    a = packed.select(
+        F.col("blk").alias("b1"), F.col("ids").alias("ids1"), F.col("mat").alias("m1")
+    )
+    b = packed.select(
+        F.col("blk").alias("b2"), F.col("ids").alias("ids2"), F.col("mat").alias("m2")
+    )
+    n_blocks = _n_blocks(n, NEARDUP_CHUNK_ROWS)
+    n_tasks = min(
+        n_blocks * (n_blocks + 1) // 2, spark.sparkContext.defaultParallelism
+    )
+    grid = a.join(b, F.col("b1") <= F.col("b2")).repartition(n_tasks)
+    buds = tuple(budgets)
+
+    def local_topk(batches):  # pragma: no cover - executed on executors
+        import numpy as np
+        import pandas as pd
+
+        def unitize(m, d):
+            t = m[:, :d]
+            nr = np.sqrt((t * t).sum(axis=1))
+            ok = nr > 0
+            u = np.zeros_like(t)
+            u[ok] = t[ok] / nr[ok, None]
+            return u, ok
+
+        def emit(d, ids_q, ids_c, sims, ok_q, out):
+            kk = min(k, sims.shape[1])
+            if kk == 0:
+                return
+            thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1 : kk]
+            keep = (sims >= thresh) & np.isfinite(sims) & ok_q[:, None]
+            rows, cols = np.nonzero(keep)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "dims": np.full(len(rows), d, dtype=np.int64),
+                        "src": ids_q[rows],
+                        "dst": ids_c[cols],
+                        "cos_sim": sims[rows, cols],
+                    }
+                )
+            )
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                ids1 = np.asarray(row.ids1, dtype=np.int64)
+                ids2 = np.asarray(row.ids2, dtype=np.int64)
+                m1 = np.asarray(row.m1, dtype=np.float64).reshape(len(ids1), -1)
+                m2 = np.asarray(row.m2, dtype=np.float64).reshape(len(ids2), -1)
+                for d in buds:
+                    u1, ok1 = unitize(m1, d)
+                    if row.b1 == row.b2:
+                        sims = u1 @ u1.T
+                        sims[:, ~ok1] = -np.inf
+                        np.fill_diagonal(sims, -np.inf)
+                        emit(d, ids1, ids1, sims, ok1, out)
+                    else:
+                        u2, ok2 = unitize(m2, d)
+                        sims = u1 @ u2.T
+                        s12 = sims.copy()
+                        s12[:, ~ok2] = -np.inf
+                        emit(d, ids1, ids2, s12, ok1, out)
+                        s21 = sims.T.copy()
+                        s21[:, ~ok1] = -np.inf
+                        emit(d, ids2, ids1, s21, ok2, out)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = grid.mapInPandas(
+        local_topk, schema="dims long, src long, dst long, cos_sim double"
+    )
+    w = _W.partitionBy("dims", "src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("dims", "src", "dst")
+    )
+
+
 @query("qz12_matryoshka", oracle=_matryoshka_oracle())
 def qz12_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-search recall@{MATRYOSHKA_K} of dimension-truncated
     embeddings vs the full vectors, per budget: (dims, n_queries, hits,
     recall_at_k).  Fully oracle-backed — hit counts are exact integers
-    and the single division is the same rational in both engines."""
-    from frizzle_spark.operators.graph import knn_topk_of
-
+    and the single division is the same rational in both engines.  All
+    budgets ride ONE packed-block grid (_multi_budget_topk)."""
     corpus = _corpus(spark, sf_dir)
     n = _corpus_size(spark, sf_dir)
-    spark_ = spark
     if n == 0:
-        return spark_.createDataFrame(
+        return spark.createDataFrame(
             [], "dims long, n_queries long, hits long, recall_at_k double"
         )
     k = MATRYOSHKA_K
-
-    def topk_at(d: int):
-        t = corpus.select("vec_id", F.expr(f"slice(v, 1, {d})").alias("t"))
-        t = t.withColumn("tn", V.norm(F.col("t"))).where(F.col("tn") > 0)
-        unit = t.select(
-            "vec_id",
-            F.transform(F.col("t"), lambda x: x / F.col("tn")).alias("u"),
-        )
-        return knn_topk_of(spark_, unit, n, k).select("src", "dst")
-
     full_d = MATRYOSHKA_DIMS[-1]
-    full = topk_at(full_d)
+    tk = _multi_budget_topk(
+        spark, corpus.select("vec_id", "v"), n, k, MATRYOSHKA_DIMS
+    ).localCheckpoint()
+    full = tk.where(F.col("dims") == full_d).select("src", "dst")
     n_queries = (
         corpus.where(F.col("nrm") > 0).count()
     )  # catalog fact, bounded collect
-    rows = []
-    for d in MATRYOSHKA_DIMS:
-        tk = full if d == full_d else topk_at(d)
-        hits = tk.join(full, ["src", "dst"]).count()
-        rows.append(
-            (
-                d,
-                n_queries,
-                hits,
-                round(hits / (float(k) * max(n_queries, 1)), 6),
-            )
+    hit_rows = {
+        r["dims"]: r["hits"]
+        for r in tk.join(full, ["src", "dst"])
+        .groupBy("dims")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .collect()
+    }
+    rows = [
+        (
+            d,
+            n_queries,
+            int(hit_rows.get(d, 0)),
+            round(hit_rows.get(d, 0) / (float(k) * max(n_queries, 1)), 6),
         )
-    return spark_.createDataFrame(
+        for d in MATRYOSHKA_DIMS
+    ]
+    return spark.createDataFrame(
         rows, "dims long, n_queries long, hits long, recall_at_k double"
     )
