@@ -767,3 +767,67 @@ def qz16_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo["brand_p"].alias("brand_a"),
         hi["brand_p"].alias("brand_b"),
     )
+
+
+_ASOF_FWD_ORACLE = """
+    WITH cand AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+    )
+    SELECT event_id, user_id, o_orderkey AS next_orderkey,
+           o_orderdate AS next_orderdate
+    FROM cand WHERE rn = 1
+"""
+
+
+@query("qz16_asof_forward", oracle=_ASOF_FWD_ORACLE)
+def qz16_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: the earliest order STRICTLY AFTER each event,
+    per customer — the lead-time twin of q16_asof_join's lookback (what
+    does this user buy next?).  Same union+window shape, mirrored:
+    orders sort BEFORE events at equal time (strict > means a same-
+    instant order is invisible), and ``first(..., ignorenulls)`` over
+    (currentRow, unboundedFollowing) carries the NEXT order backward.
+    One shuffle+sort of events∪orders per key; no pair explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.col("o_orderdate").alias("ord_date"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("ord_key"),
+        F.lit(None).cast("timestamp").alias("ord_date"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "side", "ord_key")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = o.unionByName(e).select(
+        "key",
+        "side",
+        "event_id",
+        F.first("ord_key", ignorenulls=True).over(w).alias("next_orderkey"),
+        F.first("ord_date", ignorenulls=True).over(w).alias("next_orderdate"),
+    )
+    return merged.where(
+        (F.col("side") == 1) & F.col("next_orderkey").isNotNull()
+    ).select(
+        "event_id",
+        F.col("key").alias("user_id"),
+        "next_orderkey",
+        "next_orderdate",
+    )

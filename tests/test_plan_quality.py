@@ -660,3 +660,9 @@ def test_attribution_band_join_keeps_equi_key(plan_of):
     # predicate — never a nested loop over purchases×touches
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_asof_forward_is_single_window_no_join(plan_of):
+    phys = _phys(plan_of("qz16_asof_forward"))
+    assert "Join" not in phys, "forward as-of must stay union+window"
+    assert phys.count("Exchange hashpartitioning") == 1
