@@ -1308,3 +1308,72 @@ def repeat_hazards(spark: SparkSession, base_path: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# -- asymmetric containment ------------------------------------------------
+# Jaccard misses the quote-inclusion case: a 40-word passage pasted into
+# a 4000-word page has J ≈ 0.01 but containment |A∩B|/|A| ≈ 1.  The
+# DIRECTED containment score (Broder's "containment", SEQUENCES 1997) is
+# the dedup signal for wrapper pages, quoted excerpts, and doc-inside-
+# doc syndication.  Same inverted-index shape as q11_ngram_jaccard —
+# shuffle by shingle then by ordered pair — with an INTEGER-EXACT
+# threshold (5·c ≥ 4·n ⇔ c/n ≥ 0.8: shingle counts are ints, so the
+# boundary can never float-flip between engines).
+
+CONTAINMENT_THRESHOLD_NUM = 4  # c/n >= 4/5
+CONTAINMENT_THRESHOLD_DEN = 5
+
+_CONTAINMENT_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM words WHERE len(ws) >= {NGRAM_N}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT contained, container,
+           round(c / CAST(s.n AS DOUBLE), 6) AS containment
+    FROM inter JOIN sizes s ON contained = s.doc_id
+    WHERE {CONTAINMENT_THRESHOLD_DEN} * c >= {CONTAINMENT_THRESHOLD_NUM} * s.n
+"""
+
+
+@query("qz11_containment", oracle=_CONTAINMENT_ORACLE)
+def qz11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment ≥ 0.8: (contained, container,
+    containment) — the quote-inclusion/doc-inside-doc signal Jaccard's
+    symmetric denominator suppresses.  Fully oracle-backed."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("contained"), "shingle")
+    b = sh.select(F.col("doc_id").alias("container"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("contained") != F.col("container"))
+        .groupBy("contained", "container")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = sizes.select(F.col("doc_id").alias("contained"), "n")
+    return (
+        inter.join(s, "contained")
+        .where(
+            CONTAINMENT_THRESHOLD_DEN * F.col("c")
+            >= CONTAINMENT_THRESHOLD_NUM * F.col("n")
+        )
+        .select(
+            "contained",
+            "container",
+            F.round(F.col("c") / F.col("n").cast("double"), 6).alias("containment"),
+        )
+    )
