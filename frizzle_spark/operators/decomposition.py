@@ -237,3 +237,61 @@ def qz12_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 6).alias("mean"),
         F.round(F.stddev_pop("x"), 6).alias("std"),
     )
+
+
+OOD_RIDGE = 1e-6
+
+
+@query("qz12_ood_score")
+def qz12_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis out-of-distribution score per embedding:
+    (vec_id, maha_sq, 6 dp) = (x−μ)ᵀ(C+εI)⁻¹(x−μ) — the classical
+    density-free OOD filter a pipeline runs to quarantine vectors far
+    from the corpus distribution (Lee et al., NeurIPS 2018 use exactly
+    this score over deep features).
+
+    Spark shape: the SAME bounded sufficient statistics as pca_fit (one
+    moments pass, d+d² collect), a d×d ridge-regularized inverse on the
+    driver, then one map-only pass scoring each Arrow batch with a
+    single GEMM — ((X−μ)L)² summed per row via the Cholesky factor, so
+    the kernel is O(n·d²) flops and never materializes pairwise
+    anything.  Rows-only at the driver (matrix inverse isn't
+    single-statement SQL); tests/test_decomposition.py replays the
+    identical numpy pipeline and pins chi-square-ish scale invariants.
+    """
+    import numpy as _np
+
+    corpus = _corpus(spark, sf_dir)
+    n, mu, _vals, _w = pca_fit(corpus)
+    if n == 0:
+        return spark.createDataFrame([], "vec_id long, maha_sq double")
+    # rebuild covariance from the fit's eigendecomposition would lose the
+    # ridge seam; recompute directly from the same moments pass
+    d = mu.shape[0]
+    # pca_fit already folded the moments; re-derive C from eigh output:
+    # C = Wᵀ diag(vals) W (exact reconstruction of the symmetrized C)
+    cov = _w.T @ _np.diag(_vals) @ _w
+    prec_l = _np.linalg.cholesky(
+        _np.linalg.inv(cov + OOD_RIDGE * _np.eye(d))
+    )
+    m = mu.copy()
+
+    def score(batches):  # pragma: no cover - executed on executors
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            z = (x - m) @ prec_l
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "maha_sq": np.round((z * z).sum(axis=1), 6),
+                }
+            )
+
+    return corpus.select("vec_id", "v").mapInPandas(
+        score, schema="vec_id long, maha_sq double"
+    )

@@ -114,3 +114,50 @@ def test_empty_corpus_totality(spark, tmp_path):
     assert [f.name for f in qz12_pca(spark, out).schema.fields] == [
         "vec_id"
     ] + [f"pc_{i}" for i in range(PCA_K)]
+
+
+def test_ood_score_matches_numpy_twin(spark, sf_dir, collected):
+    import numpy as np
+
+    from frizzle_spark.operators.decomposition import OOD_RIDGE, qz12_ood_score
+
+    ids, x = collected
+    mu, vals, w = _numpy_twin(x)
+    cov = w.T @ np.diag(vals) @ w
+    prec = np.linalg.inv(cov + OOD_RIDGE * np.eye(x.shape[1]))
+    diff = x - mu
+    want = np.einsum("ij,jk,ik->i", diff, prec, diff)
+    got_rows = {r["vec_id"]: r["maha_sq"] for r in qz12_ood_score(spark, sf_dir).collect()}
+    got = np.asarray([got_rows[i] for i in ids])
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-6)
+    # scale sanity: mean Mahalanobis-squared over the FIT sample is ~d
+    assert abs(got.mean() - x.shape[1]) / x.shape[1] < 0.05
+
+
+def test_ood_flags_planted_outlier(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from frizzle_spark.operators.decomposition import qz12_ood_score
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(300, 16)
+    vecs[0] = 40.0  # far outside the cloud
+    out = str(tmp_path / "ood")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype="int64"),
+            "embedding": [v.astype("float32").tolist() for v in vecs],
+            "label": ["x"] * 300,
+        }
+    )
+    spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label string"
+    ).write.parquet(f"{out}/embeddings.parquet")
+    rows = {r["vec_id"]: r["maha_sq"] for r in qz12_ood_score(spark, out).collect()}
+    others = sorted(v for k, v in rows.items() if k != 0)
+    # the outlier sits in the fit sample, so it inflates covariance along
+    # its own direction (masking) — it is still the unambiguous maximum,
+    # far above the bulk of the cloud
+    assert rows[0] == max(rows.values())
+    assert rows[0] > 5 * others[len(others) // 2]
