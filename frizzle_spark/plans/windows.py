@@ -946,3 +946,78 @@ def qz10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_conversions"),
         F.round(F.sum("p_value"), 2).cast("double").alias("attributed_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting (user lifecycle states) — the monthly
+# new/retained/resurrected/churned decomposition every growth team
+# reads.  Month identity is the integer year·12+month index (the
+# cohort-LTV rule: no interval-semantics drift).  A user is NEW in
+# their first active month, RETAINED in month m if active in m−1,
+# RESURRECTED if active earlier but not in m−1, and CHURNED in m+1
+# when active in m but not m+1 (churn rows stop at the corpus' last
+# observed month — no phantom churn after the observation window).
+# Scale: one DISTINCT (user, month) aggregation, one per-user window
+# (lag/lead over a few rows per user), two shrinking counts.
+# ---------------------------------------------------------------------------
+
+_LIFECYCLE_ORACLE = """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m
+      FROM events
+    ),
+    mx AS (SELECT max(m) AS max_m FROM active),
+    seq AS (
+      SELECT user_id, m,
+             lag(m)  OVER (PARTITION BY user_id ORDER BY m) AS pm,
+             lead(m) OVER (PARTITION BY user_id ORDER BY m) AS nm
+      FROM active
+    ),
+    states AS (
+      SELECT m, CASE WHEN pm IS NULL THEN 'new'
+                     WHEN pm = m - 1 THEN 'retained'
+                     ELSE 'resurrected' END AS state
+      FROM seq
+      UNION ALL
+      SELECT s.m + 1, 'churned'
+      FROM seq s, mx
+      WHERE (s.nm IS NULL OR s.nm > s.m + 1) AND s.m + 1 <= mx.max_m
+    )
+    SELECT m, state, CAST(count(*) AS BIGINT) AS n_users
+    FROM states GROUP BY 1, 2
+"""
+
+
+@query("qz10_lifecycle", oracle=_LIFECYCLE_ORACLE)
+def qz10_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting: (m, state, n_users) over
+    new/retained/resurrected/churned — see header comment for the
+    state rules.  Fully oracle-backed (pure integer month algebra)."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", (F.year("ts") * 12 + F.month("ts")).cast("long").alias("m")
+    ).distinct()
+    mx = active.agg(F.max("m").alias("max_m"))
+    w = Window.partitionBy("user_id").orderBy("m")
+    seq = active.select(
+        "user_id",
+        "m",
+        F.lag("m").over(w).alias("pm"),
+        F.lead("m").over(w).alias("nm"),
+    )
+    states = seq.select(
+        "m",
+        F.when(F.col("pm").isNull(), "new")
+        .when(F.col("pm") == F.col("m") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    ).unionAll(
+        seq.crossJoin(F.broadcast(mx))
+        .where(
+            (F.col("nm").isNull() | (F.col("nm") > F.col("m") + 1))
+            & (F.col("m") + 1 <= F.col("max_m"))
+        )
+        .select((F.col("m") + 1).alias("m"), F.lit("churned").alias("state"))
+    )
+    return states.groupBy("m", "state").agg(F.count(F.lit(1)).alias("n_users"))
