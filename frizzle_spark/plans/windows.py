@@ -1021,3 +1021,52 @@ def qz10_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("m") + 1).alias("m"), F.lit("churned").alias("state"))
     )
     return states.groupBy("m", "state").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window EXACT distinct — trailing 7-day distinct users per
+# active day.  Distinct doesn't decompose over sliding windows (you
+# cannot merge per-day distinct counts), so the exact form joins the
+# tiny day-anchor list (one row per ACTIVE day — a broadcast) against
+# the distinct (user, day) activity table with a 7-day band: each
+# activity row lands in ≤7 anchors, so the expansion is 7×|user-days|,
+# never users×days.  Day identity is the integer epoch-day.  The
+# approx tier for this shape is qz9_hll_mergeable (sketches DO merge
+# across windows); this is its exact twin, same twinning as the
+# percentile tiers.
+# ---------------------------------------------------------------------------
+
+_SLIDING_DISTINCT_ORACLE = """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ),
+    anchors AS (SELECT DISTINCT day FROM active)
+    SELECT a.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+    FROM anchors a JOIN active u
+      ON u.day BETWEEN a.day - 6 AND a.day
+    GROUP BY a.day
+"""
+
+
+@query("qz10_sliding_distinct", oracle=_SLIDING_DISTINCT_ORACLE)
+def qz10_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per active day (exact):
+    (day, users_7d).  See header comment for why sliding distinct
+    needs the band join and where the sketch tier takes over."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    anchors = active.select(F.col("day").alias("a_day")).distinct()
+    return (
+        active.join(
+            F.broadcast(anchors),
+            (F.col("day") >= F.col("a_day") - 6) & (F.col("day") <= F.col("a_day")),
+        )
+        .groupBy(F.col("a_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
