@@ -1119,3 +1119,70 @@ def qz14_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring — Flesch reading ease (Flesch 1948) with the
+# standard computable proxies: sentences = runs of [.!?] (min 1),
+# syllables = vowel-group runs per lowercased text.  The exact constants
+# and evaluation order are mirrored in the oracle so the doubles agree
+# bit-for-bit (integer counts → two divisions → one linear combination).
+# A curation pipeline thresholds this to drop both word-salad (score
+# ≪ 0) and telegraphic fragments (score > 100).
+# Scale: map-only codegen (split/regexp counts), no shuffle at all.
+# ---------------------------------------------------------------------------
+
+_READABILITY_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, trim(text) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(t, '{WS}')) AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS BIGINT)
+               AS sentences,
+             CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT)
+               AS syllables
+      FROM d
+    )
+    SELECT doc_id, words, sentences, syllables,
+           round(206.835
+                 - 1.015 * (words / CAST(sentences AS DOUBLE))
+                 - 84.6 * (syllables / CAST(words AS DOUBLE)), 4) AS flesch
+    FROM c WHERE words >= 1
+"""
+
+
+@query("qz14_readability", oracle=_READABILITY_ORACLE.replace("{WS}", T.WS_RE))
+def qz14_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document with its integer components:
+    (doc_id, words, sentences, syllables, flesch).  Map-only codegen;
+    fully oracle-backed (identical constants and evaluation order)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.trim(F.col("text"))
+    words = F.size(F.split(t, T.WS_RE)).cast("long")
+    sentences = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(trim(text), '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    syllables = F.size(
+        F.expr(r"regexp_extract_all(lower(trim(text)), '[aeiouy]+', 0)")
+    ).cast("long")
+    c = docs.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).where(F.col("words") >= 1)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words") / F.col("sentences").cast("double"))
+        - F.lit(84.6) * (F.col("syllables") / F.col("words").cast("double"))
+    )
+    return c.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(flesch, 4).alias("flesch"),
+    )
