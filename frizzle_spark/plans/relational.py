@@ -965,3 +965,120 @@ def qz8_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("n_src1_ci"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contribution (share-of-parent) analysis — each nation's revenue as a
+# share of its region and of the total, plus the region's share of
+# total: the drill-path percentages a BI layer computes over the
+# rollup lattice.  Shares are ratios of DECIMAL sums (the tpch_extra
+# money rule) cast to double for the division, so both engines divide
+# identical doubles.
+# Scale: one fact aggregation at nation grain; region and grand totals
+# are WINDOW sums over the ~25-row aggregate — no second fact pass.
+# ---------------------------------------------------------------------------
+
+_CONTRIBUTION_ORACLE = """
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS dec_rev
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(round(dec_rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(dec_rev AS DOUBLE)
+                 / CAST(sum(dec_rev) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS share_of_region,
+           round(CAST(dec_rev AS DOUBLE)
+                 / CAST(sum(dec_rev) OVER () AS DOUBLE), 6) AS share_of_total
+    FROM rev
+"""
+
+
+@query("qz7_contribution", oracle=_CONTRIBUTION_ORACLE)
+def qz7_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent revenue contribution per nation: (region, nation,
+    revenue, share_of_region, share_of_total).  Decimal sums; window
+    shares over the tiny aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cus = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev_dec = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    )
+    rev = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(cus), ords["o_custkey"] == cus["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(rev_dec).alias("dec_rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round("dec_rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("dec_rev").cast("double")
+            / F.sum("dec_rev").over(w_region).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("dec_rev").cast("double")
+            / F.sum("dec_rev").over(w_all).cast("double"),
+            6,
+        ).alias("share_of_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational DIVISION (universal quantification): customers with at
+# least one order in EVERY quarter of 1996 — the "FOR ALL" query shape
+# (Codd's ÷) that EXISTS/IN subqueries don't cover.  Implemented as the
+# count-matching form: distinct (customer, quarter) → customers whose
+# distinct-quarter count equals the divisor cardinality.  The divisor
+# here is a constant (4); with a dynamic divisor table the same plan
+# broadcasts its count — never a nested NOT EXISTS double negation.
+# ---------------------------------------------------------------------------
+
+_DIVISION_ORACLE = """
+    WITH cq AS (
+      SELECT DISTINCT o_custkey, quarter(o_orderdate) AS q
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(count(*) AS BIGINT) AS n_quarters
+    FROM cq GROUP BY 1 HAVING count(*) = 4
+"""
+
+
+@query("qz20_division", oracle=_DIVISION_ORACLE)
+def qz20_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers ordering in all 4 quarters of
+    1996 (count-matching form)."""
+    ords = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    cq = ords.select(
+        "o_custkey", F.quarter("o_orderdate").alias("q")
+    ).distinct()
+    return (
+        cq.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_quarters"))
+        .where(F.col("n_quarters") == 4)
+    )
