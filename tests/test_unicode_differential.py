@@ -61,7 +61,14 @@ def _text_oracle_cases():
     return sorted(
         n
         for n, spec in REGISTRY.items()
-        if (n.startswith("q14") or n.startswith("qz14")) and spec.oracle
+        if (
+            n.startswith("q14")
+            or n.startswith("qz14")
+            # text-shingle dedup queries read the same documents.text
+            # surface and must survive the same unicode corpus
+            or n in ("qz11_repeated_ngrams", "qz11_containment")
+        )
+        and spec.oracle
     )
 
 
