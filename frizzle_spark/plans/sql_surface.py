@@ -3056,3 +3056,70 @@ def qz26_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_user"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# qz26_basket_rules — DIRECTED association rules: confidence(a→b) =
+# P(b | a baskets) for pairs above the co-purchase support floor, both
+# directions emitted (confidence is asymmetric even when support and
+# lift are not — the actionable half of Agrawal & Srikant the lift
+# matrix doesn't give you).  Confidence is a ratio of exact basket
+# counts → identical doubles in both engines.
+# Same basket-table scale shape as qz26_copurchase.
+# ---------------------------------------------------------------------------
+
+_BASKET_RULES_ORACLE = f"""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    brand_n AS (SELECT brand, count(*) AS cnt FROM baskets GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS antecedent, b.brand AS consequent, count(*) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.brand <> b.brand
+        GROUP BY 1, 2
+        HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}
+    )
+    SELECT antecedent, consequent, n_both,
+           an.cnt AS n_antecedent,
+           round(n_both / CAST(an.cnt AS DOUBLE), 6) AS confidence
+    FROM pairs JOIN brand_n an ON an.brand = antecedent
+"""
+
+
+@query("qz26_basket_rules", oracle=_BASKET_RULES_ORACLE)
+def qz26_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over order baskets: (antecedent,
+    consequent, n_both, n_antecedent, confidence) for pairs at the
+    support floor — the asymmetric companion of qz26_copurchase's
+    lift matrix."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint()
+    )
+    brand_n = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select(F.col("okey"), F.col("brand").alias("antecedent"))
+    b = baskets.select(F.col("okey").alias("okey_b"), F.col("brand").alias("consequent"))
+    pairs = (
+        a.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("antecedent") != F.col("consequent")))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= COPURCHASE_MIN_SUPPORT)
+    )
+    an = brand_n.select(
+        F.col("brand").alias("antecedent"), F.col("cnt").alias("n_antecedent")
+    )
+    return pairs.join(F.broadcast(an), "antecedent").select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_antecedent",
+        F.round(
+            F.col("n_both") / F.col("n_antecedent").cast("double"), 6
+        ).alias("confidence"),
+    )

@@ -1070,3 +1070,83 @@ def qz10_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_day").alias("day"))
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase gap distribution — the repeat-purchase cadence curve:
+# per-user gaps between consecutive purchases (lag window), pooled into
+# exact discrete percentiles via the ⌈p·n⌉ order-statistic rule (the
+# qz28 contract).  Gaps are exact integer seconds, so every output is
+# an integer a purchase pair actually exhibited.
+# Scale: one (user) window over purchases only, one global rank window
+# over the |purchase-pairs| gap table — both fact-pruned at the scan.
+# ---------------------------------------------------------------------------
+
+_PURCHASE_GAPS_ORACLE = """
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT CAST(date_diff('second',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) AS BIGINT) AS gap_s
+      FROM (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase')
+      QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NOT NULL
+    ),
+    ranked AS (
+      SELECT gap_s,
+             row_number() OVER (ORDER BY gap_s) AS rn,
+             count(*) OVER () AS n
+      FROM gaps
+    )
+    SELECT max(n) AS n_gaps,
+           max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN gap_s END) AS p25_s,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN gap_s END) AS median_s,
+           max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN gap_s END) AS p75_s,
+           max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN gap_s END) AS p90_s
+    FROM ranked
+"""
+
+
+@query("qz10_purchase_gaps", oracle=_PURCHASE_GAPS_ORACLE)
+def qz10_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles of inter-purchase gaps in seconds
+    (1 row: n_gaps, p25/median/p75/p90) — the repeat-purchase cadence
+    a retention model calibrates against."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        p.select(
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w_user))
+            )
+            .cast("long")
+            .alias("gap_s")
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    w_rank = Window.orderBy("gap_s")
+    w_all = Window.partitionBy()
+    ranked = gaps.select(
+        "gap_s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+
+    def _at(pq: float):
+        idx = F.ceil(F.lit(pq) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == idx, F.col("gap_s")))
+
+    return ranked.agg(
+        F.max("n").alias("n_gaps"),
+        _at(0.25).alias("p25_s"),
+        _at(0.50).alias("median_s"),
+        _at(0.75).alias("p75_s"),
+        _at(0.90).alias("p90_s"),
+    )
