@@ -1114,7 +1114,14 @@ _PURCHASE_GAPS_ORACLE = """
 def qz10_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete percentiles of inter-purchase gaps in seconds
     (1 row: n_gaps, p25/median/p75/p90) — the repeat-purchase cadence
-    a retention model calibrates against."""
+    a retention model calibrates against.
+
+    Scale honesty (the q5_rank_stats rule): the global rank window
+    sorts the pooled gap table through one task — inherent to exact
+    global order statistics.  At 100 TB swap in qz28_quantile_2pass's
+    histogram + selective-bin selection (same outputs, no global sort)
+    or the qz9 sketch tier when ±ε is acceptable; this query is the
+    exact reference those are gated against."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
