@@ -113,6 +113,17 @@ HEAVY = [
     "qz26_cohort_ltv",
     "qz10_attribution",
     "qz28_quantile_2pass",
+    # round-7 closing wave
+    "qz11_containment",
+    "qz10_lifecycle",
+    "qz10_sliding_distinct",
+    "qz14_readability",
+    "qz7_contribution",
+    "qz20_division",
+    "qz26_basket_rules",
+    "qz10_purchase_gaps",
+    "qz12_ood_score",
+    "qz16_asof_forward",
 ]
 
 
