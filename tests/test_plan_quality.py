@@ -666,3 +666,32 @@ def test_asof_forward_is_single_window_no_join(plan_of):
     phys = _phys(plan_of("qz16_asof_forward"))
     assert "Join" not in phys, "forward as-of must stay union+window"
     assert phys.count("Exchange hashpartitioning") == 1
+
+
+def test_contribution_one_fact_shuffle_windows_over_grid(plan_of):
+    phys = _phys(plan_of("qz7_contribution"))
+    assert phys.count("BroadcastHashJoin") == 4, "all dims must broadcast"
+    assert phys.count("Exchange hashpartitioning") == 1, "one fact shuffle; shares are windows over the 25-row grid"
+    assert "CartesianProduct" not in phys
+
+
+def test_sliding_distinct_band_join_broadcasts_anchors(plan_of):
+    phys = _phys(plan_of("qz10_sliding_distinct"))
+    # the ≤|active-days|-row anchor list is the broadcast side of the
+    # band join (nested-loop over a tiny broadcast IS the design);
+    # activity must never be the build side
+    assert phys.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in phys
+
+
+def test_division_two_shrinking_aggregations_no_join(plan_of):
+    phys = _phys(plan_of("qz20_division"))
+    assert "Join" not in phys, "count-matching division needs no join at all"
+    assert phys.count("Exchange hashpartitioning") == 2
+    assert "GreaterThanOrEqual(o_orderdate" in phys, "year filter must reach the scan"
+
+
+def test_basket_rules_no_cartesian(plan_of):
+    phys = _phys(plan_of("qz26_basket_rules"))
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
