@@ -758,3 +758,118 @@ def qz27_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~crit, 1)).alias("other_late"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q4 (adapted) — order-priority checking: for a six-month order window,
+# count orders per priority that had at least one lineitem shipped more
+# than 60 days after the order date.  The classic tests
+# l_commitdate < l_receiptdate; the available lateness signal is
+# shipdate − orderdate (same signal qz27_late_shipments uses, but THIS
+# query pins the EXISTS→left-semi shape: orders are counted once no
+# matter how many lineitems were late).
+# Scale: the date filter prunes orders at the scan; the semi join
+# shuffles both sides on orderkey and stops at the first matching
+# lineitem per order (LeftSemi short-circuit) — never a pair blowup,
+# and the lateness predicate rides the join condition so no
+# full-width intermediate materializes.
+# --------------------------------------------------------------------------
+@query(
+    "qz27_priority_check",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def qz27_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then a
+    tiny priority histogram."""
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        ords.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 (adapted) — suppliers who kept orders waiting: in finished orders
+# ('F') involving MORE than one supplier, find the supplier who was the
+# ONLY one whose items were returned, and count their offending
+# lineitems.  The classic's late-delivery signal (receipt vs commit
+# date) doesn't exist in this schema; the return flag carries the same
+# sole-offender semantics.  What this query pins that nothing else in
+# the registry does: the double-correlated EXISTS / NOT EXISTS
+# self-join, decorrelated Spark-side into ONE per-order aggregate
+# (n_suppliers, n_returning_suppliers) instead of the l1×l2×l3
+# three-way self-join a literal translation would run.
+# Scale: lineitem shuffles on orderkey twice (once into the per-order
+# aggregate, once as the candidate side); both joins are equi-joins on
+# orderkey, so AQE coalesces them over the same hash layout.  The
+# l1×l2×l3 form is quadratic per hot order; the aggregate form is
+# strictly linear.  Supplier is broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "qz27_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def qz27_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole-offender detection via per-order aggregate
+    decorrelation (no three-way self-join)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    # EXISTS(other supplier)       ⇔ n_supp > 1
+    # NOT EXISTS(other R supplier) ⇔ n_ret_supp = 1 (l1's own supplier)
+    sole = per_order.where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+    ords_f = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(sole.select("l_orderkey"), "l_orderkey")
+        .join(ords_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -1157,3 +1157,100 @@ def qz10_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         _at(0.75).alias("p75_s"),
         _at(0.90).alias("p90_s"),
     )
+
+
+_PEAK_CONCURRENCY_ORACLE = """
+    WITH ev AS (
+      SELECT epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e_us
+      FROM events
+    ), b AS (
+      SELECT s_us AS t, 1 AS d FROM ev
+      UNION ALL
+      SELECT e_us AS t, -1 AS d FROM ev
+    ), g AS (
+      SELECT t, SUM(d) AS net FROM b GROUP BY t
+    ), r AS (
+      SELECT t, SUM(net) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM g
+    )
+    SELECT make_timestamp((t // 3600000000) * 3600000000) AS hour_start,
+           CAST(max(conc) AS BIGINT) AS peak
+    FROM r
+    GROUP BY 1
+"""
+
+
+@query("qz10_peak_concurrency", oracle=_PEAK_CONCURRENCY_ORACLE)
+def qz10_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per hour via a distributed sweep line: each event
+    occupies the half-open interval [ts, ts + value seconds); the answer is
+    the max number of simultaneously-open intervals observed in each hour.
+
+    The naive formulation is an interval self-join (every pair of
+    overlapping events) — quadratic per hot hour.  The sweep line is the
+    linear form: explode each interval into a +1/-1 boundary pair, sum
+    deltas per distinct instant (so an end and a start at the SAME
+    microsecond cancel first — exactly the [s,e) semantics, mirrored by
+    construction in the oracle), then a running sum ordered by time gives
+    the concurrency after each instant.
+
+    A single global running sum would be one totally-ordered partition —
+    the classic scale-killer.  This is the two-phase distributed prefix
+    sum instead (the qz22_token_budget pattern): the running sum is
+    partitioned by hour (parallel, shuffle on hour key), and each hour's
+    starting offset is the exclusive prefix of per-hour net sums — a
+    |hours|-row window (bounded by the calendar, NOT by data volume: 30
+    days = 720 rows even at 100 TB) that broadcasts back onto the
+    per-hour partials.  All timestamp math is integer microseconds
+    (``unix_micros`` / ``epoch_us`` + ``floor``), so both engines hash
+    identical BIGINTs — no float-seconds rounding hazard.
+
+    Scale: 2 rows per event into one groupBy(t) shuffle; one shuffle on
+    the hour key; the only ordered structure is the calendar-bounded
+    hour spine.  Reference has no interval analytics (transforms are
+    opaque func(Msg) Msg, reference transform.go:8-14).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+        ).alias("e_us"),
+    )
+    bounds = ev.select(F.col("s_us").alias("t"), F.lit(1).alias("d")).unionAll(
+        ev.select(F.col("e_us").alias("t"), F.lit(-1).alias("d"))
+    )
+    per_instant = (
+        bounds.groupBy("t")
+        .agg(F.sum("d").alias("net"))
+        .withColumn("hr", F.expr("t div 3600000000"))
+    )
+    w_in_hour = (
+        Window.partitionBy("hr")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partials = per_instant.withColumn("run_in_hr", F.sum("net").over(w_in_hour))
+    # Exclusive prefix of per-hour nets = each hour's carried-in concurrency.
+    w_hours = (
+        Window.orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        per_instant.groupBy("hr")
+        .agg(F.sum("net").alias("hour_net"))
+        .withColumn("carry_in", F.coalesce(F.sum("hour_net").over(w_hours), F.lit(0)))
+        .select("hr", "carry_in")
+    )
+    return (
+        partials.join(F.broadcast(offsets), "hr")
+        .withColumn("conc", F.col("carry_in") + F.col("run_in_hr"))
+        .groupBy("hr")
+        .agg(F.max("conc").cast("long").alias("peak"))
+        .select(
+            F.timestamp_micros(F.col("hr") * F.lit(3600000000)).alias("hour_start"),
+            "peak",
+        )
+    )

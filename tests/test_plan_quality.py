@@ -695,3 +695,35 @@ def test_basket_rules_no_cartesian(plan_of):
     phys = _phys(plan_of("qz26_basket_rules"))
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_tpch_priority_check_semi_join_short_circuits(plan_of):
+    phys = _phys(plan_of("qz27_priority_check"))
+    # EXISTS must decorrelate to a LeftSemi (first-match short-circuit),
+    # never a pair-materializing inner join + distinct
+    assert "LeftSemi" in phys
+    assert "CartesianProduct" not in phys
+    assert phys.count("Exchange hashpartitioning") <= 2, (
+        "semi join + priority histogram only; no extra repartitions"
+    )
+
+
+def test_tpch_waiting_suppliers_decorrelated_no_self_join_blowup(plan_of):
+    phys = _phys(plan_of("qz27_waiting_suppliers"))
+    # the EXISTS / NOT EXISTS pair must run as ONE per-order aggregate,
+    # not the l1×l2×l3 three-way self-join (quadratic per hot order)
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert phys.count("Exchange hashpartitioning") <= 4, (
+        "per-order agg + candidate join + final groupBy; a self-join "
+        "translation adds pair-blowup shuffles beyond this budget"
+    )
+
+
+def test_peak_concurrency_single_partition_only_on_hour_spine(plan_of):
+    phys = _phys(plan_of("qz10_peak_concurrency"))
+    # the running sum must be partitioned by hour; the ONLY total order
+    # allowed is the calendar-bounded hour spine (≤ |hours| rows)
+    assert phys.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in phys
+    assert phys.count("Window") == 2, "in-hour running sum + hour-offset prefix"
