@@ -3123,3 +3123,103 @@ def qz26_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_both") / F.col("n_antecedent").cast("double"), 6
         ).alias("confidence"),
     )
+
+
+_REF_INTEGRITY_ORACLE = """
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+           CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans
+    FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_partkey) AS BIGINT),
+           CAST(count(CASE WHEN p_partkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem LEFT JOIN part ON p_partkey = l_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_suppkey) AS BIGINT),
+           CAST(count(CASE WHEN s_suppkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem LEFT JOIN supplier ON s_suppkey = l_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT)
+    FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(count(CASE WHEN n_nationkey IS NULL THEN 1 END) AS BIGINT)
+    FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT s_nationkey) AS BIGINT),
+           CAST(count(CASE WHEN n_nationkey IS NULL THEN 1 END) AS BIGINT)
+    FROM supplier LEFT JOIN nation ON n_nationkey = s_nationkey
+"""
+
+
+@query("qz23_ref_integrity", oracle=_REF_INTEGRITY_ORACLE)
+def qz23_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every star-schema foreign key:
+    per FK edge, child row count, distinct key count, and ORPHAN count
+    (child keys with no parent row).
+
+    The warehouse-onboarding primitive: before any join-based query is
+    trusted, each FK edge is audited in one pass.  Each edge is a
+    left-outer join probed for parent-side NULLs, folded immediately to
+    a 1-row aggregate — the join output is never materialized wider
+    than its partial-agg buffers (count/countDistinct partials), and
+    the six 1-row audits union into a single result.
+
+    Spark-side each parent key side is deduplicated then broadcast
+    (parent KEYS are small even when the parent table is not — distinct
+    orderkeys of a 100 TB lineitem's parent fit in a broadcast after
+    dedup ONLY for dimension parents; for the fact-fact edge
+    lineitem→orders the join falls back to a shuffled hash join on the
+    key, which AQE picks at runtime — the plan is declared, not
+    hand-scheduled).  count(DISTINCT) per edge rides the same
+    aggregation (Spark expands it to a two-phase distinct agg
+    map-side).
+
+    Scale: no edge materializes more than |child| joined rows into a
+    1-row fold; nothing is collected; the audit of N FKs is N
+    independent branches that the scheduler runs concurrently.
+    Reference has no relational layer (transform.go:8-14); this is the
+    data-quality tier's structural twin of qz23_expectations.
+    """
+    tables = {
+        name: load_table(spark, sf_dir, name)
+        for name in ("lineitem", "orders", "part", "supplier", "customer", "nation")
+    }
+
+    def audit(fk: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
+        pk = parent.select(pkey).distinct()
+        joined = child.select(ckey).join(
+            pk, F.col(ckey) == F.col(pkey), "left_outer"
+        )
+        return joined.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.countDistinct(ckey).alias("n_keys"),
+            F.count(F.when(F.col(pkey).isNull(), 1)).alias("n_orphans"),
+        )
+
+    t = tables
+    audits = [
+        audit("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        audit("lineitem.l_partkey->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        audit("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        audit("customer.c_nationkey->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        audit("supplier.s_nationkey->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out

@@ -1254,3 +1254,65 @@ def qz10_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak",
         )
     )
+
+
+_STREAKS_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_id
+      FROM events
+    ), islands AS (
+      SELECT user_id,
+             day_id - row_number() OVER (PARTITION BY user_id ORDER BY day_id)
+               AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days
+      FROM islands GROUP BY user_id, island
+    ), longest AS (
+      SELECT user_id, max(streak_days) AS best
+      FROM streaks GROUP BY user_id
+    )
+    SELECT best AS streak_days, CAST(count(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY 1
+"""
+
+
+@query("qz10_streaks", oracle=_STREAKS_ORACLE)
+def qz10_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as a
+    histogram (streak length → user count) — the classic gaps-and-islands
+    shape that qz10_sessionize's time-gap form does NOT cover: islands
+    here are defined on the integer DAY grid (``day_id − row_number()``
+    is constant exactly while days are consecutive), not on arbitrary
+    timestamp gaps.
+
+    Scale: one distinct over (user, day) collapses the fact table to at
+    most |users|·|days| rows before anything ordered happens; the only
+    window is partitioned by user (bounded state per key, never a global
+    sort); the two follow-up groupBys shrink monotonically, and the
+    histogram output is at most |days| rows.  All arithmetic is integer
+    epoch-days — no timezone/rounding hazard between engines (session
+    timezone is UTC, and both engines truncate the SAME timestamp).
+
+    Reference has no event-time analytics at all (msg.go:19 carries a
+    timestamp the engine never consumes).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day_id"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_id")
+    islands = days.withColumn(
+        "island", F.col("day_id") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("streak_days").alias("best")
+    )
+    return longest.groupBy(F.col("best").alias("streak_days")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

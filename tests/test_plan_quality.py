@@ -727,3 +727,19 @@ def test_peak_concurrency_single_partition_only_on_hour_spine(plan_of):
     assert phys.count("Exchange SinglePartition") == 1
     assert "CartesianProduct" not in phys
     assert phys.count("Window") == 2, "in-hour running sum + hour-offset prefix"
+
+
+def test_ref_integrity_six_folded_joins_no_cartesian(plan_of):
+    phys = _phys(plan_of("qz23_ref_integrity"))
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    # six FK edges = six outer joins, each folded to a 1-row aggregate
+    assert phys.count("LeftOuter") == 6
+    assert "Union" in phys
+
+
+def test_streaks_window_partitioned_by_user(plan_of):
+    phys = _phys(plan_of("qz10_streaks"))
+    # the gaps-and-islands window must be per-user, never a global sort
+    assert "Exchange SinglePartition" not in phys
+    assert "CartesianProduct" not in phys
