@@ -1186,3 +1186,90 @@ def qz14_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syllables",
         F.round(flesch, 4).alias("flesch"),
     )
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+    WITH vocab AS (
+      SELECT DISTINCT source, token FROM (
+        SELECT source,
+               unnest(string_split_regex(trim(text), '{T.WS_RE}')) AS token
+        FROM documents
+      ) WHERE token <> ''
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.src_a
+    JOIN sizes sb ON sb.source = inter.src_b
+"""
+
+
+@query("qz14_source_overlap", oracle=_SOURCE_OVERLAP_ORACLE)
+def qz14_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grain vocabulary overlap: exact Jaccard similarity of the
+    distinct-token vocabularies of every SOURCE pair — the
+    corpus-composition diagnostic (which feeds deduplicate? which
+    sources are near-mirrors?) that the doc-grain dedup family never
+    computes.
+
+    Shape: inverted index at the CORPUS grain.  One explode+distinct
+    collapses the text to (source, token); the pairwise intersection is
+    an equi-join on token (shuffle carries tokens once), aggregated by
+    source pair; vocabulary sizes broadcast back onto the ≤|S|² result.
+    Nothing is ever all-pairs over documents — the pair lattice lives
+    at the source grain, which is an organizational unit (10s–100s even
+    at 100 TB).
+
+    The quadratic risk is a token present in ALL sources (contributes
+    |S|²/2 join rows): bounded by |S| being corpus-grain small; for
+    catalog-scale |S| the df-capped variant (drop tokens in >cap
+    sources, exact for the discriminative mass, the NGRAM_DF_CAP
+    posture in operators/dedup.py) is the documented fallback.
+
+    Tokenization is the module-wide whitespace convention (functions/
+    text.py WS_RE) — textually identical in the oracle, no lowercasing
+    (locale-dependent case folding is the one cross-engine hazard
+    qz8_collation pins separately).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(T.words(F.col("text"))).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, ["token"])
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

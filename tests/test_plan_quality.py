@@ -743,3 +743,11 @@ def test_streaks_window_partitioned_by_user(plan_of):
     # the gaps-and-islands window must be per-user, never a global sort
     assert "Exchange SinglePartition" not in phys
     assert "CartesianProduct" not in phys
+
+
+def test_source_overlap_inverted_index_no_cartesian(plan_of):
+    phys = _phys(plan_of("qz14_source_overlap"))
+    # pairwise intersection must ride the token equi-join (inverted
+    # index), never a source×source cross product over vocabularies
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
