@@ -124,6 +124,15 @@ HEAVY = [
     "qz10_purchase_gaps",
     "qz12_ood_score",
     "qz16_asof_forward",
+    # round-7 final wave: Q21/Q4 decorrelations + sweep line +
+    # gaps-and-islands (star/events-scaled), FK audit (all tables),
+    # corpus-grain vocabulary overlap (documents-scaled)
+    "qz27_waiting_suppliers",
+    "qz27_priority_check",
+    "qz10_peak_concurrency",
+    "qz10_streaks",
+    "qz23_ref_integrity",
+    "qz14_source_overlap",
 ]
 
 
