@@ -1316,3 +1316,108 @@ def qz10_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest.groupBy(F.col("best").alias("streak_days")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# qz10_match_path — MATCH_RECOGNIZE-lite sequence pattern matching
+# (round 7, final wave).  The one event-analytics shape the registry
+# still lacked as a first-class operator: regular-expression matching
+# over each user's ORDERED event-type path, the portable core of SQL's
+# MATCH_RECOGNIZE (Flink CEP / Oracle 12c / Trino all expose the same
+# regex-over-rows semantics).  Each user's history collapses to a
+# character string (one char per event type, ordered by ts with
+# event_id as the deterministic tie-break); behavioral patterns are
+# ordinary regexes counted non-overlapping left-to-right — exactly
+# MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW policy.
+#
+# The reference bus has no sequence semantics at all (msg.go:19 carries
+# a timestamp the engine never consumes); this is the committed
+# extension shape.
+#
+# Oracle-exactness: Java regex (Spark regexp_count) and RE2 (DuckDB
+# regexp_extract_all) agree on these patterns — plain character
+# classes with greedy +, no backrefs/lookarounds, and both engines use
+# leftmost non-overlapping scan.  Path order is (ts, event_id), the
+# same deterministic key every other q10 query pins.
+#
+# Scale shape: ONE shuffle — groupBy(user_id) builds each path with a
+# map-side-combinable collect_list (state bounded by per-user event
+# count, the same bound session windows already rely on); the 3-row
+# pattern table joins broadcast-nested-loop (3 literals, no shuffle);
+# the result is |patterns| rows.  At 100 TB the only risk is a
+# pathological power user inflating one path string — the same key-skew
+# exposure as any per-entity sessionization, handled by the standard
+# per-user event cap upstream (qz22_source_cap's shape).
+# ---------------------------------------------------------------------------
+
+_MATCH_PATH_ORACLE = """
+    WITH path AS (
+        SELECT user_id,
+               string_agg(CASE event_type
+                              WHEN 'view'     THEN 'v'
+                              WHEN 'click'    THEN 'c'
+                              WHEN 'purchase' THEN 'p'
+                              WHEN 'error'    THEN 'e'
+                              WHEN 'signup'   THEN 's'
+                              ELSE 'x' END,
+                          '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ),
+    pat(pattern, rx) AS (
+        VALUES ('browse_to_buy',  '[vc]+p'),
+               ('error_recovery', 'e+p'),
+               ('signup_bounce',  'se')
+    ),
+    m AS (
+        SELECT pat.pattern,
+               len(regexp_extract_all(path.s, pat.rx)) AS n
+        FROM path CROSS JOIN pat
+    )
+    SELECT pattern,
+           CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT)                        AS n_matches
+    FROM m GROUP BY pattern
+"""
+
+
+@query("qz10_match_path", oracle=_MATCH_PATH_ORACLE)
+def qz10_match_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: count non-overlapping regex pattern matches
+    over each user's ordered event-type path (header comment has the
+    exactness and scale notes)."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
+    )
+    paths = (
+        ev.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda s: s["ch"]
+                ),
+            ).alias("s")
+        )
+    )
+    pats = spark.createDataFrame(
+        [
+            ("browse_to_buy", "[vc]+p"),
+            ("error_recovery", "e+p"),
+            ("signup_bounce", "se"),
+        ],
+        "pattern string, rx string",
+    )
+    matched = paths.join(F.broadcast(pats)).select(
+        "pattern", F.regexp_count("s", F.col("rx")).alias("n")
+    )
+    return matched.groupBy("pattern").agg(
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_matches"),
+    )
