@@ -231,6 +231,50 @@ def qz12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_knn_edges(spark, sf_dir)
 
 
+# Per-row broadcast-size estimate for the superstep's skinny node-side
+# tables (contrib is (dst, c): 8 B key + 8 B double + UnsafeRow/estimate
+# overhead; ranks adds deg + w).  48 B/row tracks Spark's own plan-stats
+# sizing for a 2-4 numeric-column row and errs toward switching EARLY —
+# the co-partitioned path is identity-tested, so an early switch costs
+# only the bench-scale AQE-broadcast win, never correctness.
+PR_NODE_ROW_BYTES = 48
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("10485760", "10485760b",
+    "10MB", "-1") into bytes.  Mirrors Spark's JavaUtils.byteStringAs
+    for the suffixes the threshold conf actually uses."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            mult, raw = m, raw[: -len(suffix)].strip()
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def auto_co_partition(spark: SparkSession, n_nodes: int) -> bool:
+    """The size-based superstep-mode switch (round 8, VERDICT r7 #1).
+
+    AQE saves the per-round exchanges only while it can broadcast-convert
+    the skinny node-side tables (ranks/contrib, one row per node); past
+    ``spark.sql.autoBroadcastJoinThreshold`` it falls back to shuffled
+    SMJ and the default path pays TWO exchanges per superstep
+    (SCALE.md's measured condition).  So: co-partition exactly when the
+    estimated node-table size exceeds the threshold — i.e. exactly when
+    AQE stops saving the shuffle.  A disabled threshold (≤ 0) means AQE
+    can never broadcast, so the one-exchange mode is always right."""
+    thresh = _conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
+    return thresh <= 0 or n_nodes * PR_NODE_ROW_BYTES > thresh
+
+
 @contextmanager
 def _static_plan(spark: SparkSession):
     """AQE-off scope for ``localCheckpoint`` calls.  Under AQE the
@@ -254,8 +298,9 @@ def pagerank(
     damping: float = PR_DAMPING,
     n_iter: int = PR_ITERS,
     checkpoint_every: int = PR_CHECKPOINT_EVERY,
-    co_partition: bool = False,
+    co_partition: bool | None = None,
     teleport: DataFrame | None = None,
+    _probe: dict | None = None,
 ) -> DataFrame:
     """Static (fixed-iteration) PageRank over an (src, dst) edge
     DataFrame — GraphX ``staticPageRank`` semantics, as join algebra.
@@ -302,20 +347,23 @@ def pagerank(
     # That is the 100 TB operating mode: ranks has one row per node —
     # far past broadcast range — and every avoided exchange is a full
     # network pass over the node set; on a real cluster the equivalent
-    # is the edge list bucketed by src in storage.  Default False for
-    # local/bench scale, where AQE's runtime broadcast conversion of
-    # the skinny ranks table beats exchange-free static SMJ (measured
-    # sf0.01 warm: 3.3 s adaptive vs 8.0 s static).  Both paths are
-    # identity-tested against each other.
+    # is the edge list bucketed by src in storage.  At local/bench
+    # scale, AQE's runtime broadcast conversion of the skinny ranks
+    # table beats exchange-free static SMJ (measured sf0.01 warm:
+    # 3.3 s adaptive vs 8.0 s static).  The default (None) is the
+    # size-based AUTO switch — ``auto_co_partition`` flips to the
+    # one-exchange mode exactly when the node table outgrows
+    # ``autoBroadcastJoinThreshold``, i.e. exactly when AQE stops
+    # saving the shuffle (round 8; SCALE.md names the condition).
+    # Both paths are identity-tested against each other (<1e-12).
     spark = edges.sparkSession
 
-    def _ckpt(df, key=None):
-        if not co_partition:
-            return df.localCheckpoint()
-        with _static_plan(spark):
-            return (df.repartition(key) if key else df).localCheckpoint()
-
-    e = _ckpt(edges.select("src", "dst"), "src")
+    # Materialize the raw edge list first (one pass over the possibly
+    # expensive edge plan — the kNN GEMM grid), count the node set,
+    # THEN decide the superstep mode; under co_partition the cheap
+    # already-materialized edges take one extra shuffle into the
+    # src-hashed layout, amortized over every superstep.
+    e = edges.select("src", "dst").localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -323,6 +371,20 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if co_partition is None:
+        co_partition = auto_co_partition(spark, n)
+    if _probe is not None:
+        _probe["co_partition"] = co_partition
+        _probe["n_nodes"] = n
+
+    def _ckpt(df, key=None):
+        if not co_partition:
+            return df.localCheckpoint()
+        with _static_plan(spark):
+            return (df.repartition(key) if key else df).localCheckpoint()
+
+    if co_partition:
+        e = _ckpt(e, "src")
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -402,6 +464,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if _probe is not None and it == 0:
+            # plan-gate hook: the first superstep's physical plan, read
+            # BEFORE checkpointing erases the lineage — tests count its
+            # shuffle exchanges (one-exchange gate for co_partition)
+            _probe["superstep_plan"] = (
+                ranks._jdf.queryExecution().executedPlan().toString()
+            )
         if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
             # under co_partition, static-plan capture keeps hash(node)
             # alive across the truncation, so the next round's ranks
@@ -422,7 +491,10 @@ def qz25_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ~1e-15, far below the rounding grid, so output is hash-stable
     across runs.  Edges come from the per-process scratch kNN index
     (built once per corpus snapshot, shared with qz12_knn_graph) — at
-    100 TB the iteration always starts from a persisted edge list."""
+    100 TB the iteration always starts from a persisted edge list.
+    Superstep mode is the AUTO size switch (round 8): one-exchange
+    co-partitioned supersteps kick in exactly when the node table
+    outgrows the broadcast threshold (see ``auto_co_partition``)."""
     edges = _cached_knn_edges(spark, sf_dir)
     return pagerank(edges).select("node", F.round("rank", 9).alias("rank"))
 
