@@ -25,6 +25,7 @@ import frizzle_spark.operators.similarity  # noqa: F401
 import frizzle_spark.operators.graph  # noqa: F401
 import frizzle_spark.operators.clustering  # noqa: F401
 import frizzle_spark.operators.decomposition  # noqa: F401
+import frizzle_spark.operators.bpe  # noqa: F401
 import frizzle_spark.plans.streaming_queries  # noqa: F401
 import frizzle_spark.plans.multimodal_queries  # noqa: F401
 import frizzle_spark.plans.joins_extra  # noqa: F401

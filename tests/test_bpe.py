@@ -1,0 +1,173 @@
+"""BPE subword tokenizer gates (round 8, VERDICT r7 #5).
+
+The oracle here is a pure-Python SEQUENTIAL reference encoder — the
+textbook formulation that applies the merge list in training order,
+one full left-to-right pass per merge.  The engine's kernel uses the
+greedy lowest-rank formulation (GPT-2 ``bpe()``); the two are provably
+equivalent when merge tables come from real training (a pair involving
+a merged symbol can only be learned after that symbol exists), and the
+differential below checks it over the whole corpus vocabulary plus
+adversarial synthetics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from frizzle_spark.functions import text as T
+from frizzle_spark.operators.bpe import (
+    BPE_N_MERGES,
+    EOW,
+    corpus_merges,
+    encode_word,
+    train_bpe,
+)
+from frizzle_spark.sources.tables import load_table
+
+
+def ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sequential reference: apply each merge in training order with one
+    left-to-right non-overlapping pass — deliberately a DIFFERENT
+    algorithm shape than the engine's greedy-by-rank kernel."""
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_train_bpe_deterministic_and_orders_by_frequency():
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    m1 = train_bpe(wc, n_merges=10)
+    m2 = train_bpe(list(reversed(wc)), n_merges=10)
+    assert m1 == m2, "merge table must be input-order independent"
+    # 'est' dominates: e+s appears in newest+widest with weight 9 — the
+    # first merge must be the (count DESC, pair ASC) winner
+    pair_counts = {}
+    for w, c in wc:
+        syms = list(w) + [EOW]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+    want_first = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert m1[0] == want_first
+    assert len(m1) <= 10
+
+
+def test_encode_word_matches_sequential_reference_synthetics():
+    wc = [("aaab", 4), ("abab", 3), ("banana", 5), ("bandana", 2), ("ab", 9)]
+    merges = train_bpe(wc, n_merges=15)
+    ranks = {p: i for i, p in enumerate(merges)}
+    cases = [
+        "aaab", "abab", "banana", "bandana", "ab",  # trained words
+        "a", "b", "",  # degenerate
+        "aaaaaaa", "bananaband",  # overlap stress
+        "zzz", "añob",  # unseen chars / unicode
+    ]
+    for w in cases:
+        assert encode_word(w, ranks) == ref_encode(w, merges), w
+        # reconstruction: concatenating subwords restores word + EOW
+        assert "".join(encode_word(w, ranks)) == w + EOW, w
+
+
+def test_encode_word_matches_reference_over_corpus_vocab(spark, sf_dir):
+    """Full-vocabulary differential: every distinct corpus word encodes
+    identically under greedy-by-rank and sequential-apply, with exact
+    reconstruction."""
+    merges = corpus_merges(spark, sf_dir)
+    assert 0 < len(merges) <= BPE_N_MERGES
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = [
+        r["w"]
+        for r in (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select(F.explode(T.words(F.lower(F.col("text")))).alias("w"))
+            .where(F.length("w") >= 1)
+            .distinct()
+            .collect()
+        )
+    ]
+    assert len(words) >= 20  # sf0.001's synthetic vocab is ~30 words
+    for w in words:
+        got = encode_word(w, ranks)
+        assert got == ref_encode(w, merges), w
+        assert "".join(got) == w + EOW, w
+
+
+def test_bpe_encode_query_invariants(spark, sf_dir):
+    """qz14_bpe_encode: counts consistent, order-preserved reconstruction
+    — flattened subwords per doc concatenate back to the lowercased
+    whitespace-token stream (with one EOW per word), run-to-run
+    deterministic."""
+    from frizzle_spark.plans.registry import REGISTRY
+
+    fn = REGISTRY["qz14_bpe_encode"].fn
+    rows = {r["doc_id"]: r for r in fn(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    }
+    merges = corpus_merges(spark, sf_dir)
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert set(rows) == {
+        d for d, t in docs.items() if [w for w in t.lower().split() if w]
+    }
+    for doc_id, r in rows.items():
+        assert r["n_bpe_tokens"] == len(r["bpe_toks"])
+        wordlist = [w for w in docs[doc_id].lower().split() if w]
+        want = [s for w in wordlist for s in encode_word(w, ranks)]
+        assert r["bpe_toks"] == want, doc_id
+
+
+def test_token_budget_bpe_recomputation_gate(spark, sf_dir):
+    """qz22_token_budget_bpe: per-doc n_tokens re-derives independently
+    via the sequential reference encoder; cum_tokens is exactly the
+    running sum in global (md5 key, doc_id) order; the slice respects
+    the budget and is the MAXIMAL prefix."""
+    import hashlib
+
+    from frizzle_spark.plans.registry import REGISTRY
+    from frizzle_spark.plans.sql_surface import (
+        BPE_TOKEN_BUDGET,
+        TOKEN_BUDGET_SEED,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in REGISTRY["qz22_token_budget_bpe"].fn(spark, sf_dir).collect()
+    }
+    merges = corpus_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    counts = {}
+    for r in docs:
+        wordlist = [w for w in (r["text"] or "").lower().split() if w]
+        counts[r["doc_id"]] = sum(len(ref_encode(w, merges)) for w in wordlist)
+
+    def key(doc_id):
+        return hashlib.md5(f"{doc_id}:{TOKEN_BUDGET_SEED}".encode()).hexdigest()
+
+    order = sorted(counts, key=lambda d: (key(d), d))
+    cum = 0
+    want = {}
+    for d in order:
+        cum += counts[d]
+        if cum > BPE_TOKEN_BUDGET:
+            break
+        want[d] = cum
+    assert set(got) == set(want)
+    for d, r in got.items():
+        assert r["n_tokens"] == counts[d], d
+        assert r["cum_tokens"] == want[d], d
+    assert want, "budget must select a non-empty prefix at test scale"
