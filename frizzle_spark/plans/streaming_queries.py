@@ -84,15 +84,12 @@ def q13_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flips (micros read as longs, divided by 1000 → 1970 timestamps).
 
 
-@query("q13_stream", oracle=_ROUTING_ORACLE)
-def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real streaming bus run end-to-end (availableNow), then its
-    sink contents returned for the differential check.
-
-    Sinks are ParquetSink (executor-parallel, partitioned by dest) —
-    rows never funnel through the driver, so the same pipeline shape
-    holds when the bus carries 100 TB; the golden-output test keeps
-    MemorySink for the reference's basic-sink semantics."""
+def run_bus_pipeline(spark: SparkSession, sf_dir: str) -> str:
+    """Assemble and run the REAL streaming bus end-to-end (availableNow):
+    file-replay source → separator transform → fail routing → parquet
+    sinks, checkpointed.  Returns the sink dir.  Shared by q13_stream
+    (correctness differential) and bench_stream.py (the isolated O18
+    throughput record, round 8) so both measure the identical pipeline."""
     import tempfile
 
     from frizzle_spark.streaming.metrics import DictStats
@@ -131,6 +128,19 @@ def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe.start()
     pipe.stop(flush_timeout=300)
+    return base
+
+
+@query("q13_stream", oracle=_ROUTING_ORACLE)
+def q13_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real streaming bus run end-to-end (availableNow), then its
+    sink contents returned for the differential check.
+
+    Sinks are ParquetSink (executor-parallel, partitioned by dest) —
+    rows never funnel through the driver, so the same pipeline shape
+    holds when the bus carries 100 TB; the golden-output test keeps
+    MemorySink for the reference's basic-sink semantics."""
+    base = run_bus_pipeline(spark, sf_dir)
 
     try:
         out = spark.read.parquet(base)
