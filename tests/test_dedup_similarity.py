@@ -894,3 +894,85 @@ def test_repeat_index_identity_and_incremental_append(spark, sf_dir, tmp_path):
         for r in dd.repeat_hazards(spark, base_inc).collect()
     }
     assert incremental == direct
+
+
+def test_append_cluster_index_identity_vs_full_rebuild(spark, tmp_path):
+    """Round-8 gate (VERDICT r7 #7): append_cluster_index over planted
+    cluster-MERGING / cluster-EXTENDING / brand-NEW / DUPLICATE slices
+    must equal a full rebuild over the unioned pair set, row for row —
+    and a second identical append must be a no-op (idempotence)."""
+    from frizzle_spark.operators.dedup import (
+        append_cluster_index,
+        load_cluster_index,
+        materialize_cluster_index,
+    )
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "d1 long, d2 long")
+
+    # initial crawl: clusters {1,2,3} (rep 1), {10,11} (rep 10), {20,21}
+    p1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    base = str(tmp_path / "cidx_inc")
+    materialize_cluster_index(pairs(p1), base)
+
+    # new crawl: MERGE {1,2,3}+{10,11} via (3,10); EXTEND {20,21} with
+    # new doc 22; NEW cluster {30,31}; DUPLICATE old pair (1,2); a pair
+    # between two docs already in the same cluster (2,3)
+    p2 = [(3, 10), (22, 21), (30, 31), (1, 2), (2, 3)]
+    meta = append_cluster_index(spark, pairs(p2), base)
+
+    full_base = str(tmp_path / "cidx_full")
+    full_meta = materialize_cluster_index(pairs(p1 + p2), full_base)
+    got = {tuple(r) for r in load_cluster_index(spark, base).collect()}
+    want = {tuple(r) for r in load_cluster_index(spark, full_base).collect()}
+    assert got == want and len(got) == 10  # {1,2,3,10,11} {20,21,22} {30,31}
+    assert meta["n_clustered_docs"] == full_meta["n_clustered_docs"]
+    assert meta["n_clusters"] == full_meta["n_clusters"] == 3
+    assert meta["n_appends"] == 1
+    # reps are component minima after the merge
+    assert {r for _, r in got} == {1, 20, 30}
+
+    # idempotence: the same slice again changes nothing but the counter
+    meta2 = append_cluster_index(spark, pairs(p2), base)
+    got2 = {tuple(r) for r in load_cluster_index(spark, base).collect()}
+    assert got2 == got
+    assert meta2["n_appends"] == 2
+    assert meta2["n_clustered_docs"] == meta["n_clustered_docs"]
+
+
+def test_append_cluster_index_random_slices_vs_rebuild(spark, tmp_path):
+    """Randomized multi-append differential: three successive random
+    pair slices appended incrementally must equal the one-shot rebuild
+    at every step (seeded — deterministic)."""
+    import random
+
+    from frizzle_spark.operators.dedup import (
+        append_cluster_index,
+        load_cluster_index,
+        materialize_cluster_index,
+    )
+
+    rng = random.Random(8)
+    slices = []
+    for _ in range(4):
+        sl = set()
+        while len(sl) < 12:
+            a, b = rng.randrange(50), rng.randrange(50)
+            if a != b:
+                sl.add((min(a, b), max(a, b)))
+        slices.append(sorted(sl))
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "d1 long, d2 long")
+
+    base = str(tmp_path / "cidx_rand")
+    materialize_cluster_index(pairs(slices[0]), base)
+    seen = list(slices[0])
+    for i, sl in enumerate(slices[1:]):
+        append_cluster_index(spark, pairs(sl), base)
+        seen += sl
+        full = str(tmp_path / f"cidx_rand_full{i}")
+        materialize_cluster_index(pairs(seen), full)
+        got = {tuple(r) for r in load_cluster_index(spark, base).collect()}
+        want = {tuple(r) for r in load_cluster_index(spark, full).collect()}
+        assert got == want, f"divergence after append {i}"
