@@ -243,7 +243,9 @@ OOD_RIDGE = 1e-6
 
 
 @query("qz12_ood_score")
-def qz12_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qz12_ood_score(
+    spark: SparkSession, sf_dir: str, sample_n: int | None = None
+) -> DataFrame:
     """Mahalanobis out-of-distribution score per embedding:
     (vec_id, maha_sq, 6 dp) = (x−μ)ᵀ(C+εI)⁻¹(x−μ) — the classical
     density-free OOD filter a pipeline runs to quarantine vectors far
@@ -258,11 +260,26 @@ def qz12_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything.  Rows-only at the driver (matrix inverse isn't
     single-statement SQL); tests/test_decomposition.py replays the
     identical numpy pipeline and pins chi-square-ish scale invariants.
-    """
+
+    ``sample_n`` (round 8, VERDICT r7 #8): the (μ, C) FIT runs on a
+    deterministic hash-sample of ~sample_n rows while the SCORING pass
+    still covers every vector (map-only — that part was always
+    scale-correct).  The fit's moments pass is bounded either way
+    (d+d² collect); sampling bounds the pass's INPUT too, which is the
+    100 TB posture the docstring used to merely assert.  Convergence
+    gate in pytest: scores under a half-sample fit stay within ε of the
+    full fit; registry default (None) unchanged."""
     import numpy as _np
 
+    from frizzle_spark.operators.similarity import _corpus_size, hash_sample
+
     corpus = _corpus(spark, sf_dir)
-    n, mu, _vals, _w = pca_fit(corpus)
+    fit_corpus = corpus
+    if sample_n is not None and sample_n > 0:
+        n_all = _corpus_size(spark, sf_dir)
+        if sample_n < n_all:
+            fit_corpus = hash_sample(corpus, "vec_id", sample_n / n_all)
+    n, mu, _vals, _w = pca_fit(fit_corpus)
     if n == 0:
         return spark.createDataFrame([], "vec_id long, maha_sq double")
     # rebuild covariance from the fit's eigendecomposition would lose the

@@ -1568,15 +1568,47 @@ def _multi_budget_topk(
     )
 
 
+SAMPLE_HASH_SEED = 12
+
+
+def hash_sample(df: DataFrame, id_col: str, frac: float) -> DataFrame:
+    """Deterministic per-row hash sample (the qz22_hash_split move): a
+    row is in the sample iff xxhash64(seed, id) mod 1e6 < frac·1e6 —
+    a pure function of the id, so the sample is reproducible across
+    engines/runs and STABLE under corpus growth (new rows join or not;
+    existing membership never flips).  No ordering, no RNG state."""
+    if frac >= 1.0:
+        return df
+    bound = int(frac * 1_000_000)
+    return df.where(
+        F.pmod(
+            F.xxhash64(F.lit(SAMPLE_HASH_SEED), F.col(id_col)), F.lit(1_000_000)
+        )
+        < bound
+    )
+
+
 @query("qz12_matryoshka", oracle=_matryoshka_oracle())
-def qz12_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qz12_matryoshka(
+    spark: SparkSession, sf_dir: str, sample_n: int | None = None
+) -> DataFrame:
     """Exact-search recall@{MATRYOSHKA_K} of dimension-truncated
     embeddings vs the full vectors, per budget: (dims, n_queries, hits,
     recall_at_k).  Fully oracle-backed — hit counts are exact integers
     and the single division is the same rational in both engines.  All
-    budgets ride ONE packed-block grid (_multi_budget_topk)."""
+    budgets ride ONE packed-block grid (_multi_budget_topk).
+
+    ``sample_n`` (round 8, VERDICT r7 #8): the recall metric is an
+    ESTIMATE whose eval grid is O(n²) — at 100 TB it runs on a
+    deterministic hash-sample (``hash_sample``), never the corpus.
+    The pytest convergence gate pins the estimator: per-budget recall
+    stable within ε across 2× sample sizes, and the registry default
+    (None = full corpus at oracle scale) is unchanged."""
     corpus = _corpus(spark, sf_dir)
     n = _corpus_size(spark, sf_dir)
+    if sample_n is not None and 0 < sample_n < n:
+        corpus = hash_sample(corpus, "vec_id", sample_n / n).localCheckpoint()
+        n = corpus.count()
     if n == 0:
         return spark.createDataFrame(
             [], "dims long, n_queries long, hits long, recall_at_k double"
