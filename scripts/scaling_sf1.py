@@ -133,6 +133,10 @@ HEAVY = [
     "qz10_streaks",
     "qz23_ref_integrity",
     "qz14_source_overlap",
+    # round-8: true-token-space tier (documents-scaled; the encode pass
+    # is vocab-bounded so 10× corpus should cost ≪ 10×)
+    "qz14_bpe_encode",
+    "qz22_token_budget_bpe",
 ]
 
 
