@@ -171,3 +171,39 @@ def test_token_budget_bpe_recomputation_gate(spark, sf_dir):
         assert r["n_tokens"] == counts[d], d
         assert r["cum_tokens"] == want[d], d
     assert want, "budget must select a non-empty prefix at test scale"
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: the greedy-by-rank / sequential-apply equivalence must
+# hold for ANY trained merge table, not just the hand-picked synthetics —
+# random tiny-alphabet corpora maximize merge collisions ("ab"+"ab",
+# merged symbols re-pairing with their own constituents).
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ALPHA = "abc"
+    _words = st.text(alphabet=_ALPHA, min_size=1, max_size=10)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        wc=st.lists(
+            st.tuples(_words, st.integers(min_value=1, max_value=9)),
+            min_size=1,
+            max_size=12,
+        ),
+        probes=st.lists(_words, min_size=1, max_size=8),
+        n_merges=st.integers(min_value=1, max_value=25),
+    )
+    def test_encode_word_fuzz_matches_reference(wc, probes, n_merges):
+        merges = train_bpe(wc, n_merges=n_merges)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in probes + [w for w, _ in wc]:
+            got = encode_word(w, ranks)
+            assert got == ref_encode(w, merges), (w, merges)
+            assert "".join(got) == w + EOW, (w, merges)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
