@@ -140,13 +140,18 @@ HEAVY = [
 ]
 
 
-def build_sf1(spark, base: str) -> None:
+def build_sf1(spark, base: str, n_reps: int = 10, src: str = SF01) -> None:
+    """Replicate the ``src`` corpus ``n_reps``× with structure-preserving
+    mutation (docstring above).  n_reps=10 from sf0.1 is the sf1 build;
+    n_reps=100 from sf0.1 is the sf10 build (scripts/scaling_sf10.py) —
+    the per-table key offsets accommodate up to ~100 replicas of sf0.1
+    (max source keys: doc 5k<10k, custkey 15k<100k, orderkey<1M)."""
     from pyspark.sql import functions as F
 
     k_lit = F.col("_k")
-    reps = spark.range(10).select(F.col("id").cast("int").alias("_k"))
+    reps = spark.range(n_reps).select(F.col("id").cast("int").alias("_k"))
 
-    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    docs = spark.read.parquet(f"{src}/documents.parquet")
     ws = F.split(F.trim(F.col("text")), r"\s+")
     salt = F.concat(F.lit("r"), k_lit.cast("string"))
     # replica 0 keeps the original text; k>0 salts every 2nd word (no
@@ -173,7 +178,7 @@ def build_sf1(spark, base: str) -> None:
         .parquet(f"{base}/documents.parquet")
     )
 
-    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").crossJoin(reps).select(
+    emb = spark.read.parquet(f"{src}/embeddings.parquet").crossJoin(reps).select(
         (F.col("vec_id") + k_lit.cast("long") * 2_000).alias("vec_id"),
         "embedding",
         "label",
@@ -200,7 +205,7 @@ def build_sf1(spark, base: str) -> None:
         perturb, "vec_id long, embedding array<float>, label int"
     ).write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
 
-    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    ev = spark.read.parquet(f"{src}/events.parquet")
     (
         ev.crossJoin(reps)
         .select(
@@ -226,7 +231,7 @@ def build_sf1(spark, base: str) -> None:
         dst = f"{base}/{table}.parquet"
         if os.path.islink(dst):  # upgrade an old symlinked build
             os.unlink(dst)
-        df = spark.read.parquet(f"{SF01}/{table}.parquet")
+        df = spark.read.parquet(f"{src}/{table}.parquet")
         cols = [
             (F.col(c) + k_lit.cast("long") * offsets[c]).alias(c)
             if c in offsets
@@ -247,7 +252,7 @@ def build_sf1(spark, base: str) -> None:
     for t in ("region", "nation"):
         dst = f"{base}/{t}.parquet"
         if not os.path.exists(dst):
-            os.symlink(f"{SF01}/{t}.parquet", dst)
+            os.symlink(f"{src}/{t}.parquet", dst)
 
 
 def shuffle_totals(app_base: str) -> tuple[int, int]:
