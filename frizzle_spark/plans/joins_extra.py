@@ -157,19 +157,15 @@ def q16_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract), and broadcast keeps the join shuffle-free — at 100 TB the
     stream side never repartitions for this join.
     """
-    from frizzle_spark.sources.tables import enable_nanos_scan, events_raw_schema
+    from frizzle_spark.sources.tables import enable_nanos_scan
 
     # Schema comes from the parquet footer (events_raw_schema) so the
     # stream reads whichever ts physical type the dataset variant ships;
     # ts itself is unused here, so the select prunes it before the join.
     enable_nanos_scan(spark)
-    stream = (
-        spark.readStream.schema(events_raw_schema(spark, sf_dir))
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .select("user_id", "value")
-    )
+    from frizzle_spark.plans.streaming_queries import _stream_events_raw
+
+    stream = _stream_events_raw(spark, sf_dir).select("user_id", "value")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )

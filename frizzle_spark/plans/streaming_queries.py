@@ -215,6 +215,26 @@ def _run_isolated_stream(
     return child.table(name)
 
 
+def _stream_events_raw(child: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events table, DIRECTORY- or FILE-shaped.
+
+    A ``pathGlobFilter`` names leaf files; when ``{sf_dir}/events.parquet``
+    is itself a directory (every Spark-written table, e.g. the sf1/sf10
+    replicated corpora) its part files don't match the glob and the
+    stream silently reads ZERO files — the empty-input hazard caught in
+    round 8.  Mirror of FileReplaySource.load's resolution
+    (streaming/pipeline.py).  Local-path check: a remote
+    directory-shaped table should pass the table dir itself.
+    """
+    import os as _os
+
+    sub = _os.path.join(sf_dir, "events.parquet")
+    reader = child.readStream.schema(events_raw_schema(child, sf_dir))
+    if _os.path.isdir(sub):
+        return reader.parquet(sub)
+    return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+
+
 _INTERVAL_JOIN_ORACLE = """
     SELECT c.event_id AS click_id, p.event_id AS buy_id
     FROM events c JOIN events p
@@ -244,15 +264,9 @@ def qz16_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(child: SparkSession) -> DataFrame:
         enable_nanos_scan(child)
-        raw_schema = events_raw_schema(child, sf_dir)
 
         def load_stream():
-            df = (
-                child.readStream.schema(raw_schema)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-            )
-            return normalize_events_ts(df, out="ets")
+            return normalize_events_ts(_stream_events_raw(child, sf_dir), out="ets")
 
         clicks = (
             load_stream()
@@ -401,11 +415,7 @@ def qz13_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(child: SparkSession) -> DataFrame:
         enable_nanos_scan(child)
-        raw = (
-            child.readStream.schema(events_raw_schema(child, sf_dir))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = _stream_events_raw(child, sf_dir)
         return streaming_dedup(
             normalize_events_ts(raw).select("ts", "user_id", "event_type"),
             keys=["user_id", "event_type"],
@@ -448,11 +458,7 @@ def qz13_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(child: SparkSession) -> DataFrame:
         enable_nanos_scan(child)
-        raw = (
-            child.readStream.schema(events_raw_schema(child, sf_dir))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = _stream_events_raw(child, sf_dir)
         return running_counts(normalize_events_ts(raw).select("user_id", "value"))
 
     return _run_isolated_stream(
@@ -487,11 +493,7 @@ def run_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(child: SparkSession) -> DataFrame:
         enable_nanos_scan(child)
-        raw = (
-            child.readStream.schema(events_raw_schema(child, sf_dir))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = _stream_events_raw(child, sf_dir)
         return running_counts_tws(
             normalize_events_ts(raw).select("user_id", "value")
         )
@@ -601,11 +603,7 @@ def qz13_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(child: SparkSession) -> DataFrame:
         enable_nanos_scan(child)
-        raw = (
-            child.readStream.schema(events_raw_schema(child, sf_dir))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = _stream_events_raw(child, sf_dir)
         return cusum_monitor(
             normalize_events_ts(raw).select("ts", "event_type"),
             params,
@@ -661,11 +659,7 @@ def qz13_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(child: SparkSession) -> DataFrame:
         enable_nanos_scan(child)
-        raw = (
-            child.readStream.schema(events_raw_schema(child, sf_dir))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = _stream_events_raw(child, sf_dir)
         return last_touch_attribution(
             normalize_events_ts(raw).select(
                 "event_id", "ts", "user_id", "event_type", "value"
@@ -727,11 +721,7 @@ def qz13_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(child: SparkSession) -> DataFrame:
         enable_nanos_scan(child)
-        raw = (
-            child.readStream.schema(events_raw_schema(child, sf_dir))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        raw = _stream_events_raw(child, sf_dir)
         return funnel_progress(
             normalize_events_ts(raw).select("event_id", "ts", "user_id", "event_type")
         )

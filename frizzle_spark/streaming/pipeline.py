@@ -86,9 +86,22 @@ class FileReplaySource:
         reader = spark.readStream.schema(self.schema).format(self.fmt)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        path = self.path
         if self.glob_filter:
-            reader = reader.option("pathGlobFilter", self.glob_filter)
-        df = reader.load(self.path)
+            # A glob names leaf FILES.  When {path}/{glob} is itself a
+            # DIRECTORY (a Spark-written table: part-*.parquet inside),
+            # the part files don't match the glob and the stream would
+            # silently read ZERO files — caught at sf1, where every
+            # replicated table is directory-shaped.  Stream the directory
+            # itself in that case.  (Local-path check; a remote
+            # directory-shaped table should pass the table dir as
+            # ``path`` with no glob.)
+            sub = os.path.join(path, self.glob_filter)
+            if os.path.isdir(sub):
+                path = sub
+            else:
+                reader = reader.option("pathGlobFilter", self.glob_filter)
+        df = reader.load(path)
         return self.to_envelope(df) if self.to_envelope else df
 
 
