@@ -705,3 +705,34 @@ def test_compaction_concurrent_writers_one_clean_loser(spark, tmp_path):
     assert got == truth, "contention must never duplicate or drop rows"
     m = sink._read_manifest(spark)
     assert len(m["live_gens"]) == 1 and set(m["folded"]) >= set(range(5))
+
+
+def test_bus_reads_directory_shaped_tables(spark, sf_dir, tmp_path):
+    """Round-8 regression gate: a Spark-WRITTEN events table (directory
+    of part files, the sf1/sf10 layout) must flow through the bus and
+    the stateful stream helper in full — pathGlobFilter alone matches
+    zero part files inside the directory, which silently emptied every
+    sf1 streaming record before the fix (streaming/pipeline.py
+    FileReplaySource.load, plans/streaming_queries._stream_events_raw).
+    """
+    import glob as _glob
+
+    from frizzle_spark.plans.streaming_queries import run_bus_pipeline
+    from frizzle_spark.sources.tables import load_table
+
+    d = str(tmp_path / "dirshape")
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    # write a DIRECTORY-shaped copy (the load_table ts is already micros;
+    # raw-schema stream reads it as native timestamp)
+    ev.write.parquet(f"{d}/events.parquet")
+    assert _glob.glob(f"{d}/events.parquet/part-*"), "setup: expected part files"
+
+    base = run_bus_pipeline(spark, d)
+    assert spark.read.parquet(base).count() == n
+
+    from frizzle_spark.plans.registry import REGISTRY
+
+    got = REGISTRY["qz13_stream_counts"].fn(spark, d)
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert got.count() == users
