@@ -61,8 +61,11 @@ def main() -> None:
         "median_rows_per_sec": sorted(rates)[len(rates) // 2],
     }
     print(json.dumps(record))
+    # sf0.1 keeps the headline record; other SFs write a suffixed file
+    # (same convention as bench.py's BENCH_LOCAL)
+    suffix = "" if sf_dir.rstrip("/").endswith("sf0.1") else f"_sf{record['sf']}"
     out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM.json"
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_STREAM{suffix}.json"
     )
     with open(out, "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
