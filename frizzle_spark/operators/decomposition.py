@@ -275,11 +275,19 @@ def qz12_ood_score(
 
     corpus = _corpus(spark, sf_dir)
     fit_corpus = corpus
+    sampled = False
     if sample_n is not None and sample_n > 0:
         n_all = _corpus_size(spark, sf_dir)
         if sample_n < n_all:
             fit_corpus = hash_sample(corpus, "vec_id", sample_n / n_all)
+            sampled = True
     n, mu, _vals, _w = pca_fit(fit_corpus)
+    if n == 0 and sampled:
+        # an unluckily-empty hash sample of a NON-empty corpus must not
+        # yield an empty score report — fall back to the full-corpus
+        # fit (ADVICE r8: the sampled fit is an optimization, never a
+        # correctness trade)
+        n, mu, _vals, _w = pca_fit(corpus)
     if n == 0:
         return spark.createDataFrame([], "vec_id long, maha_sq double")
     # rebuild covariance from the fit's eigendecomposition would lose the

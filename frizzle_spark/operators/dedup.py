@@ -744,6 +744,41 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 CLUSTER_INDEX_SCHEMA = "doc_id long, cluster_rep long"
 
 
+def _read_cluster_meta(base_path: str) -> dict:
+    import json
+    import os
+
+    try:
+        with open(os.path.join(base_path, "cluster_meta.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_cluster_meta(base_path: str, meta: dict) -> None:
+    """Atomic meta swap (write-temp + os.replace): the meta file is the
+    index's COMMIT POINT — readers follow its ``generation`` pointer,
+    so a crash mid-update leaves them on the previous, intact
+    generation (the manifest-PUT pattern ParquetSink compaction uses,
+    streaming/pipeline.py)."""
+    import json
+    import os
+
+    path = os.path.join(base_path, "cluster_meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
+
+
+def _cluster_data_dir(base_path: str) -> str:
+    """Current generation's data dir: ``clusters`` for a fresh
+    materialize (generation 0 / legacy index), ``clusters_gen{N}``
+    after N incremental appends."""
+    gen = int(_read_cluster_meta(base_path).get("generation", 0))
+    return f"{base_path}/clusters" if gen == 0 else f"{base_path}/clusters_gen{gen}"
+
+
 def materialize_cluster_index(pairs: DataFrame, base_path: str) -> dict:
     """Run the pointer-doubling fixpoint ONCE over a near-dup pair set
     and persist the resulting (doc_id, cluster_rep) map to
@@ -752,9 +787,6 @@ def materialize_cluster_index(pairs: DataFrame, base_path: str) -> dict:
     fraction of any deduplicated corpus); singletons are implicit —
     consumers LEFT-join and coalesce to the doc's own id, so the stored
     table stays skinny (2 longs/row) no matter the corpus size."""
-    import json
-    import os
-
     clusters = dedup_clusters(pairs)
     clusters.write.mode("overwrite").parquet(f"{base_path}/clusters")
     stats = clusters.agg(
@@ -764,18 +796,19 @@ def materialize_cluster_index(pairs: DataFrame, base_path: str) -> dict:
     meta = {
         "n_clustered_docs": int(stats["nd"]),
         "n_clusters": int(stats["nc"]),
+        "generation": 0,
     }
-    with open(os.path.join(base_path, "cluster_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    _write_cluster_meta(base_path, meta)
     return meta
 
 
 def load_cluster_index(spark: SparkSession, base_path: str) -> DataFrame:
-    """Read a materialized cluster map.  Explicit schema: a corpus with
-    no near-dup pairs legitimately writes an empty parquet directory
-    (only _SUCCESS), and inference would fail on exactly that index."""
+    """Read a materialized cluster map (the generation the meta commit
+    points at).  Explicit schema: a corpus with no near-dup pairs
+    legitimately writes an empty parquet directory (only _SUCCESS), and
+    inference would fail on exactly that index."""
     return spark.read.schema(CLUSTER_INDEX_SCHEMA).parquet(
-        f"{base_path}/clusters"
+        _cluster_data_dir(base_path)
     )
 
 
@@ -807,11 +840,20 @@ def append_cluster_index(
 
     Write-back remaps the stored table's cluster_rep through the delta
     result (left join + coalesce — untouched components copy through)
-    and unions the new-doc rows; the update is localCheckpoint-
-    materialized BEFORE overwriting, since Spark cannot lazily
-    overwrite a parquet path it is still reading."""
-    import json
-    import os
+    and unions the new-doc rows.
+
+    Crash safety (round 9, ADVICE r8): the update lands in a FRESH
+    generation dir (``clusters_gen{N+1}``) and only the atomic
+    cluster_meta.json replace commits it — readers follow the meta's
+    ``generation`` pointer, so a crash mid-write (ENOSPC included)
+    leaves the previous generation intact and pointed-at; the old dir
+    is deleted only after the commit.  Meta updates MERGE into the
+    previous dict (foreign keys a prior writer stored survive).
+    Concurrency contract: SINGLE WRITER per index — two concurrent
+    appenders would race the generation pointer (last meta replace
+    wins, the loser's merge is silently dropped); serialize appends
+    per base_path, as with any snapshot-pointer table format."""
+    import shutil
 
     old = load_cluster_index(spark, base_path)
     p = new_pairs.select("d1", "d2")
@@ -837,25 +879,30 @@ def append_cluster_index(
         )
     )
     new_rows = delta.join(old.select("doc_id"), "doc_id", "left_anti")
-    updated = old_remapped.unionByName(new_rows).localCheckpoint()
-    updated.write.mode("overwrite").parquet(f"{base_path}/clusters")
-    stats = updated.agg(
+    updated = old_remapped.unionByName(new_rows)
+    prev = _read_cluster_meta(base_path)
+    prev_dir = _cluster_data_dir(base_path)
+    gen = int(prev.get("generation", 0)) + 1
+    new_dir = f"{base_path}/clusters_gen{gen}"
+    # write the NEW generation while the old one still backs `old`'s
+    # lineage — no overwrite-while-reading hazard, no localCheckpoint
+    # materialization needed, and a crash here leaves the committed
+    # generation untouched
+    updated.write.mode("overwrite").parquet(new_dir)
+    committed = spark.read.schema(CLUSTER_INDEX_SCHEMA).parquet(new_dir)
+    stats = committed.agg(
         F.count(F.lit(1)).alias("nd"),
         F.countDistinct("cluster_rep").alias("nc"),
     ).collect()[0]
-    meta_path = os.path.join(base_path, "cluster_meta.json")
-    try:
-        with open(meta_path) as fh:
-            prev = json.load(fh)
-    except (OSError, ValueError):
-        prev = {}
     meta = {
+        **prev,
         "n_clustered_docs": int(stats["nd"]),
         "n_clusters": int(stats["nc"]),
         "n_appends": int(prev.get("n_appends", 0)) + 1,
+        "generation": gen,
     }
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh)
+    _write_cluster_meta(base_path, meta)  # ← the commit point
+    shutil.rmtree(prev_dir, ignore_errors=True)
     return meta
 
 

@@ -1576,10 +1576,17 @@ def hash_sample(df: DataFrame, id_col: str, frac: float) -> DataFrame:
     row is in the sample iff xxhash64(seed, id) mod 1e6 < frac·1e6 —
     a pure function of the id, so the sample is reproducible across
     engines/runs and STABLE under corpus growth (new rows join or not;
-    existing membership never flips).  No ordering, no RNG state."""
+    existing membership never flips).  No ordering, no RNG state.
+
+    Degenerate fractions (ADVICE r8): frac ≤ 0 is a caller bug —
+    raise, never return a silently-empty sample; 0 < frac < 1e-6
+    floors the bound at 1 (an ≈1-per-million sample), so a tiny but
+    positive request can still select rows instead of none."""
+    if frac <= 0.0:
+        raise ValueError(f"hash_sample: frac must be > 0, got {frac}")
     if frac >= 1.0:
         return df
-    bound = int(frac * 1_000_000)
+    bound = max(1, int(frac * 1_000_000))
     return df.where(
         F.pmod(
             F.xxhash64(F.lit(SAMPLE_HASH_SEED), F.col(id_col)), F.lit(1_000_000)

@@ -222,17 +222,18 @@ def _stream_events_raw(child: SparkSession, sf_dir: str) -> DataFrame:
     is itself a directory (every Spark-written table, e.g. the sf1/sf10
     replicated corpora) its part files don't match the glob and the
     stream silently reads ZERO files — the empty-input hazard caught in
-    round 8.  Mirror of FileReplaySource.load's resolution
-    (streaming/pipeline.py).  Local-path check: a remote
-    directory-shaped table should pass the table dir itself.
+    round 8.  Round 9: resolution goes through the shared Hadoop-FS
+    helper (streaming/pipeline.resolve_stream_input), so remote
+    directory-shaped tables resolve too and a zero-file input raises
+    instead of silently draining over nothing (ADVICE r8 medium).
     """
-    import os as _os
+    from frizzle_spark.streaming.pipeline import resolve_stream_input
 
-    sub = _os.path.join(sf_dir, "events.parquet")
+    path, glob = resolve_stream_input(child, sf_dir, "events.parquet")
     reader = child.readStream.schema(events_raw_schema(child, sf_dir))
-    if _os.path.isdir(sub):
-        return reader.parquet(sub)
-    return reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)
 
 
 _INTERVAL_JOIN_ORACLE = """

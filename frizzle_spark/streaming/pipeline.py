@@ -69,6 +69,73 @@ DEFAULT_FLUSH_SECONDS = 30  # options.go:13-15
 
 
 # ---------------------------------------------------------------- sources
+def resolve_stream_input(
+    spark: SparkSession,
+    path: str,
+    glob_filter: str | None,
+    require_files: bool = True,
+) -> tuple[str, str | None]:
+    """Resolve a file-stream (path, glob) pair against what is actually
+    on storage, via the Hadoop FileSystem API — so s3://, hdfs:// and
+    local paths all behave identically (round 9, ADVICE medium).
+
+    Two hazards, both of which previously produced a stream that
+    silently read ZERO files:
+
+    * A ``pathGlobFilter`` names leaf FILES.  When ``{path}/{glob}`` is
+      itself a DIRECTORY (every Spark-written table: part-*.parquet
+      inside), the part files never match the glob — stream the
+      directory itself instead.  Round 8 fixed this with a local-only
+      ``os.path.isdir``; the Hadoop FS check covers remote stores too.
+    * Whatever the resolution, if no visible data file matches at
+      resolve time the replay would drain instantly over nothing.
+      ``require_files=True`` (the replay/test-source default) raises
+      instead; pass False only for a genuinely live directory that a
+      producer fills later.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = _hpath(path).getFileSystem(hconf)
+
+    def _is_dir(p: str) -> bool:
+        hp = _hpath(p)
+        return fs.exists(hp) and fs.getFileStatus(hp).isDirectory()
+
+    def _visible_files(p: str, glob: str | None) -> int:
+        """# of non-hidden data files one level under p (matching glob)."""
+        hp = _hpath(p + "/" + glob) if glob else _hpath(p)
+        statuses = fs.globStatus(hp) if glob else (
+            fs.listStatus(hp) if fs.exists(hp) else None
+        )
+        if statuses is None:
+            return 0
+        n = 0
+        for st in statuses:
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            n += 1 if st.isFile() else _visible_files(
+                st.getPath().toString(), None
+            )
+        return n
+
+    glob: str | None = glob_filter
+    if glob_filter and _is_dir(path.rstrip("/") + "/" + glob_filter):
+        path, glob = path.rstrip("/") + "/" + glob_filter, None
+    if require_files and _visible_files(path, glob) == 0:
+        raise FileNotFoundError(
+            f"stream source resolved to ZERO input files: path={path!r} "
+            f"glob={glob!r} — a replay over this would silently drain "
+            "over nothing (pass require_files=False only for a live "
+            "directory a producer fills later)"
+        )
+    return path, glob
+
+
 @dataclass(frozen=True)
 class FileReplaySource:
     """Replay a file directory as a stream (the test/replay source; the
@@ -81,26 +148,21 @@ class FileReplaySource:
     max_files_per_trigger: int | None = None
     to_envelope: Callable[[DataFrame], DataFrame] | None = None
     glob_filter: str | None = None  # file streams need a DIRECTORY path
+    allow_empty: bool = False  # replay over zero files is a config bug
 
     def load(self, spark: SparkSession) -> DataFrame:
         reader = spark.readStream.schema(self.schema).format(self.fmt)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        path = self.path
-        if self.glob_filter:
-            # A glob names leaf FILES.  When {path}/{glob} is itself a
-            # DIRECTORY (a Spark-written table: part-*.parquet inside),
-            # the part files don't match the glob and the stream would
-            # silently read ZERO files — caught at sf1, where every
-            # replicated table is directory-shaped.  Stream the directory
-            # itself in that case.  (Local-path check; a remote
-            # directory-shaped table should pass the table dir as
-            # ``path`` with no glob.)
-            sub = os.path.join(path, self.glob_filter)
-            if os.path.isdir(sub):
-                path = sub
-            else:
-                reader = reader.option("pathGlobFilter", self.glob_filter)
+        # Hadoop-FS-aware resolution + zero-input guard (see
+        # resolve_stream_input): directory-shaped tables stream the
+        # directory itself, and an input matching no visible data file
+        # fails LOUDLY unless allow_empty says the producer is live.
+        path, glob = resolve_stream_input(
+            spark, self.path, self.glob_filter, require_files=not self.allow_empty
+        )
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
         df = reader.load(path)
         return self.to_envelope(df) if self.to_envelope else df
 

@@ -815,7 +815,7 @@ def test_cluster_index_identity(spark, sf_dir, tmp_path):
     empty = spark.createDataFrame([], "d1 long, d2 long, jaccard double")
     base2 = str(tmp_path / "cidx_empty")
     meta2 = materialize_cluster_index(empty, base2)
-    assert meta2 == {"n_clustered_docs": 0, "n_clusters": 0}
+    assert meta2 == {"n_clustered_docs": 0, "n_clusters": 0, "generation": 0}
     assert load_cluster_index(spark, base2).count() == 0
 
 
@@ -976,3 +976,54 @@ def test_append_cluster_index_random_slices_vs_rebuild(spark, tmp_path):
         got = {tuple(r) for r in load_cluster_index(spark, base).collect()}
         want = {tuple(r) for r in load_cluster_index(spark, full).collect()}
         assert got == want, f"divergence after append {i}"
+
+
+def test_append_cluster_index_generation_swap_and_meta_merge(spark, tmp_path):
+    """Round-9 gates (ADVICE r8): (a) appends land in fresh generation
+    dirs committed by the atomic meta replace — a writer crash BEFORE
+    the commit leaves the previous generation intact and pointed-at;
+    (b) meta updates merge, so a foreign key a prior writer stored
+    survives; (c) the superseded generation dir is cleaned up."""
+    import json
+    import os
+
+    from frizzle_spark.operators.dedup import (
+        append_cluster_index,
+        load_cluster_index,
+        materialize_cluster_index,
+    )
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "d1 long, d2 long")
+
+    base = str(tmp_path / "cidx_gen")
+    materialize_cluster_index(pairs([(1, 2)]), base)
+
+    # a prior writer's foreign metadata must survive the append's merge
+    meta_path = os.path.join(base, "cluster_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["source_crawl"] = "2026-08-01"
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+    m1 = append_cluster_index(spark, pairs([(3, 4)]), base)
+    assert m1["source_crawl"] == "2026-08-01"
+    assert m1["generation"] == 1
+    assert os.path.isdir(os.path.join(base, "clusters_gen1"))
+    assert not os.path.isdir(os.path.join(base, "clusters"))  # cleaned
+
+    m2 = append_cluster_index(spark, pairs([(2, 3)]), base)
+    assert m2["generation"] == 2 and m2["source_crawl"] == "2026-08-01"
+    assert not os.path.isdir(os.path.join(base, "clusters_gen1"))
+    before = {tuple(r) for r in load_cluster_index(spark, base).collect()}
+    assert before == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+    # crash simulation: a half-written next generation dir with NO meta
+    # commit must be invisible to readers
+    os.makedirs(os.path.join(base, "clusters_gen3"))
+    with open(os.path.join(base, "clusters_gen3", "part-junk.parquet"), "wb"):
+        pass
+    assert {
+        tuple(r) for r in load_cluster_index(spark, base).collect()
+    } == before

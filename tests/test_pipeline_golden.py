@@ -736,3 +736,57 @@ def test_bus_reads_directory_shaped_tables(spark, sf_dir, tmp_path):
     got = REGISTRY["qz13_stream_counts"].fn(spark, d)
     users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert got.count() == users
+
+
+def test_stream_source_zero_input_files_fail_loudly(spark, tmp_path):
+    """Round-9 gate (ADVICE r8 medium): a replay source whose resolved
+    (path, glob) matches ZERO visible data files must raise at load
+    time — the silent-empty-input failure mode the round-8 directory
+    fix addressed can otherwise recur on any path shape the resolver
+    mishandles (remote stores included; resolution now goes through the
+    Hadoop FileSystem API).  ``allow_empty=True`` opts a genuinely live
+    directory out."""
+    from frizzle_spark.streaming.pipeline import resolve_stream_input
+
+    empty = tmp_path / "empty_tbl"
+    empty.mkdir()
+    src = FileReplaySource(path=str(empty), schema=MSG_SCHEMA)
+    with pytest.raises(FileNotFoundError, match="ZERO input files"):
+        src.load(spark)
+    # a glob matching no file in a non-empty dir raises too
+    (tmp_path / "t2").mkdir()
+    (tmp_path / "t2" / "data.csv").write_text("x")
+    with pytest.raises(FileNotFoundError, match="ZERO input files"):
+        resolve_stream_input(spark, str(tmp_path / "t2"), "*.parquet")
+    # live-directory opt-out: builds a (still-unstarted) stream fine
+    FileReplaySource(
+        path=str(empty), schema=MSG_SCHEMA, allow_empty=True
+    ).load(spark)
+
+
+def test_resolve_stream_input_directory_shape_via_hadoop_fs(spark, tmp_path):
+    """The directory-shaped-table resolution must work through the
+    Hadoop FS API (not os.path): {path}/{glob} that IS a directory of
+    part files streams the directory itself; a FILE-shaped single
+    parquet keeps the glob.  Nested part files count as visible input
+    (the require_files guard passes)."""
+    from frizzle_spark.streaming.pipeline import resolve_stream_input
+
+    d = str(tmp_path / "tbl")
+    spark.createDataFrame([("a",)], "id string").write.parquet(
+        f"{d}/msgs.parquet"
+    )
+    path, glob = resolve_stream_input(spark, d, "msgs.parquet")
+    assert path.endswith("/msgs.parquet") and glob is None
+
+    # FILE-shaped: a bare parquet file beside others keeps the glob
+    import shutil
+
+    f = str(tmp_path / "flat")
+    os.makedirs(f)
+    part = next(
+        p for p in os.listdir(f"{d}/msgs.parquet") if p.startswith("part-")
+    )
+    shutil.copy(f"{d}/msgs.parquet/{part}", f"{f}/msgs.parquet")
+    path2, glob2 = resolve_stream_input(spark, f, "msgs.parquet")
+    assert path2 == f and glob2 == "msgs.parquet"

@@ -99,3 +99,23 @@ def test_hash_sample_stable_under_growth(spark):
     assert s_small == {v for v in s_big if v < 1000}
     # and the rate lands near the requested fraction
     assert 0.2 <= len(s_big) / 2000 <= 0.4
+
+
+def test_hash_sample_degenerate_fractions(spark):
+    """Round-9 gate (ADVICE r8): frac ≤ 0 raises (never a silently
+    empty sample); a tiny positive frac floors the bound at 1-per-
+    million instead of rounding to zero, so it selects exactly the
+    rows a 1e-6 request would."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.operators.similarity import hash_sample
+
+    df = spark.range(5000).select(F.col("id").alias("vec_id"))
+    with pytest.raises(ValueError, match="frac must be > 0"):
+        hash_sample(df, "vec_id", 0.0)
+    with pytest.raises(ValueError, match="frac must be > 0"):
+        hash_sample(df, "vec_id", -0.1)
+    tiny = {r["vec_id"] for r in hash_sample(df, "vec_id", 1e-9).collect()}
+    floor = {r["vec_id"] for r in hash_sample(df, "vec_id", 1e-6).collect()}
+    assert tiny == floor  # bound floored at 1, not silently 0
