@@ -24,9 +24,11 @@ state is one double per node; each round is two hash joins on the edge
 list (shuffle by node, then by dst) with ZERO per-round driver actions
 (fixed supersteps; dangling mass folds in as a 1-row broadcast) and
 lineage truncated by localCheckpoint every few rounds.
-At 100 TB the edge list comes from the ANN tier
-(qz12_ivf / qz12_ann_lsh candidates) instead of the exact grid; the
-iteration algebra is unchanged.
+Past ``KNN_EXACT_MAX_N`` the edge build auto-switches (round 9) to
+LSH-blocked candidates + exact re-rank — the exact grid's shuffle is
+measured-quadratic and dies ENOSPC at n=500k in this sandbox while the
+blocked build completes (NEARDUP_CROSSOVER.json /
+KNN_EDGE_CROSSOVER.json); the iteration algebra above it is unchanged.
 """
 
 from __future__ import annotations
@@ -37,12 +39,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from frizzle_spark.functions import vectors as V
 from frizzle_spark.operators.similarity import (
+    DIM,
     NEARDUP_CHUNK_ROWS,
     _corpus,
     _corpus_size,
+    _lsh_codes,
+    _lsh_planes,
+    _lsh_probe_codes,
     _n_blocks,
     _pack_blocks,
+    _unit,
+    lsh_params,
 )
 from frizzle_spark.plans.registry import query
 
@@ -80,27 +89,119 @@ _KNN_ORACLE = f"""
     """
 
 
-def knn_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
-    """Exact directed kNN edge list (src, dst, cos_sim, rank).
+# Size-based exact↔approx switch for the kNN edge build (round 9,
+# VERDICT r8 #1).  The exact GEMM grid's shuffle is cleanly quadratic
+# (NEARDUP_CROSSOVER.json: 227 MB @20k → 1.3 GB @50k → 5.2 GB @100k →
+# 20.5 GB @200k, and the attempted 500k run died ENOSPC mid-grid) while
+# the LSH-blocked path's wall crossed below exact between n=100k and
+# n=200k and completed at 500k at recall 0.994.  KNN_EDGE_CROSSOVER.json
+# re-measures the crossover for THIS operator's clustered-corpus edge
+# build; past the threshold the auto default switches to LSH-blocked
+# candidates + exact re-rank — the identical top-k reducer, so the
+# switch is plan-shape only.  Exact remains the oracle tier (every
+# registry/driver corpus sits far below the threshold) and callers can
+# force either mode with ``exact=``.
+KNN_EXACT_MAX_N = 150_000
 
-    Block-GEMM grid (upper-triangle of block pairs — the only shuffle
-    carries packed matrices), but unlike the threshold scan each cell
-    emits per-row LOCAL top-k in BOTH directions (A-rows vs B and
-    B-rows vs A; the diagonal cell reuses one GEMM for both).  The
-    global top-k per source then needs only a window over O(n·k·B)
-    candidate rows.  Local-then-global is lossless: every global
-    top-k neighbor of a row survives its cell's local selection,
-    because local selection is tie-inclusive at the kth similarity —
-    exact ties (duplicate embeddings are routine in a dedup corpus)
-    are ALL forwarded and broken deterministically by the global
-    (cos_sim DESC, dst ASC) window, matching the oracle's order.
-    """
-    corpus = _corpus(spark, sf_dir)
-    unit = corpus.select(
-        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
+
+def knn_lsh_candidates(spark: SparkSession, unit: DataFrame, n: int) -> DataFrame:
+    """Directed candidate pairs (src, dst) of the LSH-blocked kNN build:
+    every vector probes its ``bits+1`` query-directed bucket variants
+    per table (the same margin-ranked flip machinery as the near-dup
+    blocker, operators/similarity._lsh_probe_codes) against the
+    map-side-coded corpus; a collision in EITHER direction feeds both
+    directed pairs, since query-directed variant sets are asymmetric
+    (the canonicalize-then-expand move measured at +0.08 recall on the
+    near-dup blocker).  The only shuffles carry (table_id, code) / id
+    PAIRS — never vectors, never n² rows: candidate volume is
+    Σ per-bucket occupancy², bounded by the ⌈log2 n⌉+1 bit growth."""
+    bits, tables, _ = lsh_params(n)
+    bc_planes = spark.sparkContext.broadcast(_lsh_planes(bits, tables, DIM))
+    coded = _lsh_codes(unit, bc_planes)
+    probe = _lsh_probe_codes(unit, bc_planes, budget=bits + 1)
+    und = (
+        probe.alias("a")
+        .join(coded.alias("b"), ["table_id", "code"])
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("id1"),
+            F.greatest("a.vec_id", "b.vec_id").alias("id2"),
+        )
+        .distinct()
     )
+    return und.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
+        und.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+
+
+def knn_topk_lsh(
+    spark: SparkSession, unit: DataFrame, n: int, k: int
+) -> DataFrame:
+    """Approximate kNN edges: LSH-blocked candidate generation + exact
+    cosine re-rank + the IDENTICAL per-source top-k reducer as the
+    exact grid (same window, same tie order, same output schema) — so
+    switching tiers changes candidate coverage only, never semantics.
+    Scoring joins move skinny pairs plus one linear pass of unit
+    vectors per side (O(n·d) bytes, never n²); the dot product is the
+    JVM-side zip_with/aggregate kernel."""
+    cand = knn_lsh_candidates(spark, unit, n)
+    u1 = unit.select(F.col("vec_id").alias("src"), F.col("u").alias("u_src"))
+    u2 = unit.select(F.col("vec_id").alias("dst"), F.col("u").alias("u_dst"))
+    scored = (
+        cand.join(u1, "src")
+        .join(u2, "dst")
+        .withColumn("cos_sim", V.dot(F.col("u_src"), F.col("u_dst")))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def knn_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    exact: bool | None = None,
+    _probe: dict | None = None,
+) -> DataFrame:
+    """Directed kNN edge list (src, dst, cos_sim, rank).
+
+    ``exact=None`` (default) auto-selects by corpus size — the same
+    posture as pagerank's ``auto_co_partition``: the EXACT block-GEMM
+    grid below ``KNN_EXACT_MAX_N`` (the oracle tier; every registry
+    corpus lands here), the LSH-blocked approximate build above it,
+    where the measured crossover says the exact grid's quadratic
+    shuffle stops being runnable at all (died ENOSPC at n=500k in this
+    sandbox — NEARDUP_CROSSOVER.json / KNN_EDGE_CROSSOVER.json).
+
+    Exact tier: block-GEMM grid (upper-triangle of block pairs — the
+    only shuffle carries packed matrices), each cell emitting per-row
+    LOCAL top-k in BOTH directions (A-rows vs B and B-rows vs A; the
+    diagonal cell reuses one GEMM for both).  The global top-k per
+    source then needs only a window over O(n·k·B) candidate rows.
+    Local-then-global is lossless: every global top-k neighbor of a
+    row survives its cell's local selection, because local selection
+    is tie-inclusive at the kth similarity — exact ties (duplicate
+    embeddings are routine in a dedup corpus) are ALL forwarded and
+    broken deterministically by the global (cos_sim DESC, dst ASC)
+    window, matching the oracle's order.
+
+    Approx tier: ``knn_topk_lsh`` — same reducer, LSH-blocked
+    candidates (recall-gated ≥0.95 directed-edge recall vs exact on a
+    clustered corpus, tests/test_graph.py)."""
+    corpus = _corpus(spark, sf_dir)
+    unit = _unit(corpus)
     n = _corpus_size(spark, sf_dir)
-    return knn_topk_of(spark, unit, n, k)
+    if exact is None:
+        exact = n <= KNN_EXACT_MAX_N
+    if _probe is not None:
+        _probe.update({"exact": exact, "n": n})
+    if exact:
+        return knn_topk_of(spark, unit, n, k)
+    return knn_topk_lsh(spark, unit, n, k)
 
 
 def knn_topk_of(
@@ -204,7 +305,9 @@ def _cached_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     exit — the same sanctioned pattern as dedup's per-process cluster
     index: repeated registry invocations (bench min-of-n, the PageRank
     consumer, pytest gates) reuse the materialized edge list instead of
-    re-running the block-GEMM grid, which IS the 100 TB operating mode.
+    re-running the edge build, which IS the 100 TB operating mode.
+    The build is ``knn_edges``'s AUTO tier: the exact (oracle) grid at
+    registry scale, the LSH-blocked build past ``KNN_EXACT_MAX_N``.
     The tempdir is driver-local and therefore LOCAL-MODE ONLY; on a
     cluster call ``materialize_knn_index``/``load_knn_index`` with a
     base on shared storage."""
@@ -644,14 +747,39 @@ LPA_ITERS = 5
 LPA_CHECKPOINT_EVERY = 2
 
 
-def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = LPA_ITERS,
+    co_partition: bool | None = None,
+    _probe: dict | None = None,
+) -> DataFrame:
     """Synchronous LPA over an (src, dst) edge DataFrame → (node, community).
 
     Labels start as the node id; each round every node adopts the
     plurality label among its in-neighbors on the SYMMETRIZED edge set
     (ties → smallest label).  Deterministic: same input, same labels,
     every run — the property the numpy twin asserts.
+
+    ``co_partition`` (round 9, VERDICT r8 #2 — the exact move pagerank
+    got in round 8): past broadcast range AQE stops converting the
+    skinny labels frame and the default round pays exchanges at the
+    labels⋈sym join, the (dst, label) aggregation AND the per-dst
+    window.  The co-partitioned mode pre-hashes sym by src and labels
+    by node (captured through AQE-off localCheckpoint, ``_static_plan``)
+    so the message join is exchange-free, and routes the plurality
+    count through ONE explicit hash(dst) repartition that the compound
+    groupBy, the window and the write-back join all reuse
+    (hash(dst) satisfies ClusteredDistribution(dst, label), and the
+    winners frame rides it into the labels join) — exactly ONE shuffle
+    per round, the algorithmic minimum (messages must regroup from
+    src- to dst-alignment).  Trade named: repartitioning RAW messages
+    forgoes map-side partial aggregation of (dst, label) counts — on a
+    kNN similarity graph (in-degree ≈ 2k) partial combine almost never
+    fires anyway, so the avoided exchange dominates.  Default (None) =
+    ``auto_co_partition``: flips exactly when the node table outgrows
+    ``autoBroadcastJoinThreshold``; both modes identity-tested.
     """
+    spark = edges.sparkSession
     sym = (
         edges.select("src", "dst")
         .unionAll(
@@ -660,34 +788,64 @@ def label_propagation(edges: DataFrame, n_iter: int = LPA_ITERS) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
-    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    if co_partition is None:
+        co_partition = auto_co_partition(spark, n)
+    if _probe is not None:
+        _probe["co_partition"] = co_partition
+        _probe["n_nodes"] = n
+
+    def _ckpt(df, key=None):
+        if not co_partition:
+            return df.localCheckpoint()
+        with _static_plan(spark):
+            return (df.repartition(key) if key else df).localCheckpoint()
+
+    if co_partition:
+        sym = _ckpt(sym, "src")
+    # checkpoint the SINGLE-column node table and alias `label` AFTER
+    # the scan: checkpointing Project[node, node AS label] captures the
+    # hash partitioning against the alias attribute (probe-verified:
+    # hashpartitioning(label) — same values, but the node-keyed joins
+    # can't use it), which silently re-introduced per-round exchanges.
+    nd = _ckpt(nodes, "node")
+    labels = nd.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
     for it in range(n_iter):
-        msgs = (
-            labels.join(sym, labels["node"] == sym["src"])
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        # ONE reference to the prior labels per round (same discipline
+        # as pagerank's single-ranks-reference): the write-back joins
+        # winners against the static `nd` table, not the prior labels —
+        # on the symmetrized edge set every node has in-degree ≥ 1, so
+        # every node receives messages every round and the coalesce
+        # fallback (own id = initial label) is unreachable; it exists
+        # for totality only.
+        msgs = labels.join(sym, labels["node"] == sym["src"]).select(
+            "dst", "label"
+        )
+        if co_partition:
+            # the round's ONE exchange; hash(dst) then satisfies the
+            # compound aggregation, the window AND the write-back join
+            msgs = msgs.repartition("dst")
+        counted = msgs.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
         winners = (
-            msgs.withColumn("rn", F.row_number().over(w))
+            counted.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select(F.col("dst").alias("w_node"), F.col("label").alias("w_label"))
         )
-        labels = (
-            labels.select("node", F.col("label").alias("old_label"))
-            .join(winners, F.col("node") == F.col("w_node"), "left_outer")
-            .select(
-                "node",
-                F.coalesce(F.col("w_label"), F.col("old_label")).alias("label"),
-            )
+        labels = nd.join(
+            winners, nd["node"] == winners["w_node"], "left_outer"
+        ).select(
+            "node", F.coalesce(F.col("w_label"), F.col("node")).alias("label")
         )
+        if _probe is not None and it == 0:
+            _probe["superstep_plan"] = (
+                labels._jdf.queryExecution().executedPlan().toString()
+            )
         if (it + 1) % LPA_CHECKPOINT_EVERY == 0 or it == n_iter - 1:
-            labels = labels.localCheckpoint()
+            labels = _ckpt(labels)
     return labels.select("node", F.col("label").alias("community"))
 
 

@@ -388,3 +388,146 @@ def test_lpa_deterministic_across_runs(spark, sf_dir):
         map(tuple, REGISTRY["qz25_communities"].fn(spark, sf_dir).collect())
     )
     assert r1 == r2 and len(r1) > 0
+
+
+def _clustered_embedding_dir(tmp_path, n_clusters=40, per=100, d=64, seed=9):
+    """Clustered synthetic corpus (tight cos≈0.95 clusters) written as a
+    file-shaped embeddings.parquet — the corpus where kNN recall is a
+    meaningful bar (the random testdata's top-k is a ~0.3-0.4 floor for
+    ANY bucketed method; SCALE.md documents the same split for the ANN
+    tiers)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, d)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) + 0.03 * rng.randn(n_clusters * per, d)
+    n = len(vecs)
+    flat = pa.array(vecs.astype(np.float64).ravel(), type=pa.float64())
+    off = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(off, flat),
+        }
+    )
+    out = str(tmp_path / "knn_clustered")
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(tbl, os.path.join(out, "embeddings.parquet"))
+    return out, n
+
+
+def test_knn_edges_lsh_recall_vs_exact_clustered(spark, tmp_path):
+    """Round-9 gate (VERDICT r8 #1): the LSH-blocked approximate edge
+    build must reach ≥0.95 directed-edge recall vs the exact grid on a
+    clustered corpus (measured 1.0 at n=4,000), with the identical
+    output schema and exact cosine values on every emitted edge (the
+    re-rank scores exactly — approximation is candidate coverage
+    only)."""
+    from frizzle_spark.operators.graph import KNN_EXACT_MAX_N
+
+    d, n = _clustered_embedding_dir(tmp_path)
+    assert n <= KNN_EXACT_MAX_N  # the regime where both tiers run
+    exact_rows = knn_edges(spark, d, exact=True).collect()
+    approx_rows = knn_edges(spark, d, exact=False).collect()
+    exact = {(r["src"], r["dst"]): r["cos_sim"] for r in exact_rows}
+    approx = {(r["src"], r["dst"]): r["cos_sim"] for r in approx_rows}
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.95, f"directed-edge recall {recall:.3f} < 0.95"
+    for pair in set(approx) & set(exact):
+        assert approx[pair] == exact[pair], pair  # exact re-rank scores
+
+
+def test_knn_edges_auto_switch_modes(spark, sf_dir, tmp_path):
+    """The auto default must pick the exact (oracle) tier at registry
+    scale, and the forced-approx tier must plan NO quadratic grid: no
+    nested-loop/cartesian join anywhere, and the candidate set it
+    scores stays far below n(n-1) on a clustered corpus."""
+    from frizzle_spark.operators.graph import knn_lsh_candidates
+    from frizzle_spark.operators.similarity import (
+        _corpus,
+        _corpus_size,
+        _unit,
+    )
+
+    probe = {}
+    knn_edges(spark, sf_dir, _probe=probe)
+    assert probe["exact"] is True  # registry corpora stay on the oracle tier
+
+    d, n = _clustered_embedding_dir(tmp_path, n_clusters=20, per=50)
+    plan = (
+        knn_edges(spark, d, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    # the exact grid's block-pair join IS nested-loop (b1 <= b2) — the
+    # absence above is the no-n²-shuffle statement; candidate volume
+    # confirms it quantitatively
+    n_cand = knn_lsh_candidates(
+        spark, _unit(_corpus(spark, d)), _corpus_size(spark, d)
+    ).count()
+    assert n_cand < 0.15 * n * (n - 1), (n_cand, n)
+
+
+def test_lpa_auto_switch_one_exchange_per_superstep(spark):
+    """Round-9 gate (VERDICT r8 #2 — pagerank's round-8 gate applied to
+    LPA): with the broadcast threshold forced below the node-table
+    estimate, the AUTO default must (a) pick the co-partitioned mode,
+    (b) plan exactly ONE distinct shuffle exchange in the superstep
+    (the hash(dst) message regroup — the compound (dst, label)
+    aggregation, the per-dst window and the write-back join all reuse
+    it), and (c) produce communities identical to the adaptive default
+    path."""
+    import re
+
+    from frizzle_spark.operators.graph import label_propagation
+
+    edges = [(i, (i * 7) % 23) for i in range(60) if i != (i * 7) % 23] + [
+        (100, 1),
+        (101, 100),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, co_partition=False).collect()
+    }
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1k")
+    try:
+        probe = {}
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(e, _probe=probe).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert probe["co_partition"] is True, probe
+    plan = probe["superstep_plan"]
+    raw_shuffles = [
+        ln.split("Exchange", 1)[1].strip()
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert raw_shuffles and all(
+        s.startswith("hashpartitioning(dst") for s in raw_shuffles
+    ), "non-regroup shuffle in superstep:\n" + "\n".join(raw_shuffles)
+    distinct_shuffles = {
+        re.sub(r"#\d+L?|plan_id=\d+", "#", s) for s in raw_shuffles
+    }
+    assert len(distinct_shuffles) == 1, (
+        f"superstep planned {len(distinct_shuffles)} distinct shuffles:\n"
+        + "\n".join(sorted(distinct_shuffles))
+    )
+    assert got == want
+
+    # at bench scale (threshold untouched, small n) auto stays adaptive
+    probe_small = {}
+    label_propagation(e, n_iter=1, _probe=probe_small)
+    assert probe_small["co_partition"] is False, probe_small
