@@ -145,6 +145,28 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 _MERGES_CACHE: dict[str, list[tuple[str, str]]] = {}
 
 
+def corpus_wordcounts(
+    spark: SparkSession, sf_dir: str, cap: int | None = BPE_WORD_CAP
+) -> DataFrame:
+    """(w, c) frequency table of the corpus vocabulary — the trainers'
+    shared input.  The shuffle is the word-count reduce (map-side
+    combined); ``cap`` keeps the driver trainer's collect bounded
+    (count DESC, word ASC — a total order, so the capped table is a
+    pure function of the corpus); ``cap=None`` returns the full
+    distinct-word table for the distributed trainer, which never
+    collects it."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    wc = (
+        docs.select(F.explode(T.words(F.lower(F.col("text")))).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if cap is not None:
+        wc = wc.orderBy(F.desc("c"), F.asc("w")).limit(cap)
+    return wc
+
+
 def corpus_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     """Train (or fetch the memoized) merge table for a corpus dir: one
     bounded collect of the top-``BPE_WORD_CAP`` word counts (the shuffle
@@ -152,20 +174,92 @@ def corpus_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     rows — NOT corpus-sized), then pure-Python training."""
     key = str(sf_dir)
     if key not in _MERGES_CACHE:
-        docs = load_table(spark, sf_dir, "documents").where(
-            F.col("text").isNotNull()
-        )
-        wc = (
-            docs.select(F.explode(T.words(F.lower(F.col("text")))).alias("w"))
-            .where(F.length("w") >= 1)
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("c"), F.asc("w"))
-            .limit(BPE_WORD_CAP)
-            .collect()
-        )
+        wc = corpus_wordcounts(spark, sf_dir).collect()
         _MERGES_CACHE[key] = train_bpe([(r["w"], r["c"]) for r in wc])
     return _MERGES_CACHE[key]
+
+
+def train_bpe_distributed(
+    wordcounts: DataFrame, n_merges: int = BPE_N_MERGES
+) -> list[tuple[str, str]]:
+    """Distributed BPE merge-table learner: the SAME algorithm and
+    (count DESC, pair ASC) tie-break as ``train_bpe`` — identity-gated
+    against it in pytest — but the vocabulary table never leaves the
+    cluster, so the word cap becomes unnecessary (round 9, VERDICT r8
+    #4; the cap-sensitivity gate measures what the cap costs the
+    driver trainer).
+
+    Per round (the algorithm is inherently sequential — each merge
+    depends on the table the previous one produced):
+
+    * pair counting is the ``qz14_bpe_pairs`` shape generalized to
+      symbol arrays: adjacent pairs expand from the |vocab|-row symbol
+      table INSIDE codegen (transform over sequence), weighted by word
+      count, and reduce through one map-side-combined groupBy —
+      corpus-size-independent, |vocab|-bounded.
+    * the winner travels to the driver as ONE row (the only per-round
+      driver traffic; the vocabulary itself never moves).
+    * the merge applies everywhere via a codegen-side ``aggregate``
+      fold that rewrites each symbol array left-to-right
+      non-overlapping — equivalent to the imperative scan because the
+      freshly-merged symbol ``a+b`` can never string-equal the left
+      element ``a`` (``b`` is non-empty), so a token produced this
+      round is never re-merged as a left operand this round.
+
+    Words reduced to a single symbol stop contributing pairs and are
+    filtered at each checkpoint; lineage is truncated per round
+    (the vocab table is |vocab| rows — tiny next to the corpus)."""
+    vocab = (
+        wordcounts.select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+            F.col("c").cast("long").alias("c"),
+        )
+        .select(F.concat("syms", F.array(F.lit(EOW))).alias("syms"), "c")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            vocab.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < BPE_MIN_PAIR:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        fold = F.aggregate(
+            "syms",
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = (
+            vocab.select(fold.alias("syms"), "c")
+            .where(F.size("syms") >= 2)
+            .localCheckpoint()
+        )
+    return merges
 
 
 def encode_words_df(
