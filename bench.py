@@ -94,6 +94,48 @@ def main() -> None:
     except Exception as ex:  # recall is diagnostics — never fail the bench
         print(f"# recall computation failed: {ex}", file=sys.stderr)
 
+    # clustered-corpus recall BESIDE the random floors (round 9, VERDICT
+    # r8 #6): the random testdata has no neighborhood structure, so the
+    # numbers above are calibrated floors for any bucketed method — real
+    # corpora look like the planted-cluster shape, where these tiers
+    # measure ~1.0.  Publishing both in the same artifact keeps the
+    # record self-contextualizing instead of leaving the honest number
+    # in test/SCALE prose.
+    recall_clustered: dict[str, float] = {}
+    try:
+        import shutil
+        import tempfile
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
+        from ann_clustered_bench import make_clustered
+
+        from frizzle_spark.operators import similarity as sim
+
+        vecs, lab = make_clustered(2000, 50, sim.DIM, 0.85)
+        cdir = tempfile.mkdtemp(prefix="bench_clustered_")
+        try:
+            spark.createDataFrame(
+                [
+                    (i, [float(x) for x in v], int(l))
+                    for i, (v, l) in enumerate(zip(vecs, lab))
+                ],
+                "vec_id long, embedding array<float>, label int",
+            ).write.mode("overwrite").parquet(f"{cdir}/embeddings.parquet")
+            exact_c = pair(
+                REGISTRY["q12_cosine_topk"].fn(spark, cdir),
+                "probe_id",
+                "neighbor_id",
+            )
+            for q in ("qz12_ann_lsh", "qz12_ivf", "qz12_ivfpq", "qz12_sq8"):
+                got = pair(REGISTRY[q].fn(spark, cdir), "probe_id", "neighbor_id")
+                recall_clustered[q] = round(len(exact_c & got) / len(exact_c), 4)
+        finally:
+            shutil.rmtree(cdir, ignore_errors=True)
+    except Exception as ex:  # diagnostics only — never fail the bench
+        print(f"# clustered recall computation failed: {ex}", file=sys.stderr)
+
     # bus throughput: q13_stream is the REAL pipeline (file-replay source →
     # transformer → fail routing → parquet sinks, checkpointed), so
     # events/sec through it is the engine's measured single-node bus rate
@@ -121,6 +163,7 @@ def main() -> None:
         "errors": errors,
         "stream_rows_per_sec": stream_rps,
         "recall": recall,
+        "recall_clustered": recall_clustered,
         "candidate_fraction": candidate_fraction,
         "queries": timings,
         "runs": all_runs,
@@ -164,6 +207,7 @@ def main() -> None:
         "stream_rows_per_sec": stream_rps,
         "slowest": [[k, v] for k, v in slowest],
         "recall": recall,
+        "recall_clustered": recall_clustered,
         "candidate_fraction": candidate_fraction,
     }
     line = json.dumps(compact)

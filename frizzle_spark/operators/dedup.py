@@ -247,6 +247,43 @@ def minhash_candidates(
     )
 
 
+def minhash_pairs_of(docs: DataFrame) -> DataFrame:
+    """Batch MinHash near-dup pairs (d1, d2, est_jaccard) of an
+    arbitrary (doc_id, text) DataFrame — the corpus-dir-independent
+    form of ``qz11_minhash_lsh`` (identical signatures, banding,
+    threshold), so incremental curation can dedup WITHIN a new crawl
+    slice with the same machinery it uses against the stored index
+    (``incremental_neardup`` covers new-vs-indexed; this covers
+    new-vs-new).  Same scale shape as the registry query: the banding
+    join shuffles bucket rows, never text."""
+    sigs = minhash_signatures(shingles_of(docs))
+    banded = band_buckets(sigs)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    sa = sig_array(sigs)
+    agree = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(
+            sa.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1")), "d1"
+        )
+        .join(
+            sa.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2")), "d2"
+        )
+        .withColumn("est_raw", agree / F.lit(float(MINHASH_PERMS)))
+        .where(F.col("est_raw") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round("est_raw", 6).alias("est_jaccard"))
+    )
+
+
 @query("qz11_minhash_lsh", oracle=None)
 def qz11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.

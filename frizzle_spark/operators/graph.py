@@ -104,22 +104,30 @@ _KNN_ORACLE = f"""
 KNN_EXACT_MAX_N = 150_000
 
 
-def knn_lsh_candidates(spark: SparkSession, unit: DataFrame, n: int) -> DataFrame:
-    """Directed candidate pairs (src, dst) of the LSH-blocked kNN build:
-    every vector probes its ``bits+1`` query-directed bucket variants
-    per table (the same margin-ranked flip machinery as the near-dup
-    blocker, operators/similarity._lsh_probe_codes) against the
-    map-side-coded corpus; a collision in EITHER direction feeds both
-    directed pairs, since query-directed variant sets are asymmetric
-    (the canonicalize-then-expand move measured at +0.08 recall on the
-    near-dup blocker).  The only shuffles carry (table_id, code) / id
-    PAIRS — never vectors, never n² rows: candidate volume is
-    Σ per-bucket occupancy², bounded by the ⌈log2 n⌉+1 bit growth."""
+# Above this, the (vec_id → unit vector) side tables stop being
+# explicitly broadcast for the re-rank joins (≈540 B/row ⇒ ~1 GB at
+# 2M) and the scoring falls back to shuffled joins over the skinny
+# candidate pairs.
+KNN_LSH_BROADCAST_MAX_N = 2_000_000
+
+
+def _knn_lsh_undirected(spark: SparkSession, unit: DataFrame, n: int) -> DataFrame:
+    """UNDIRECTED candidate pairs (id1 < id2) of the LSH-blocked kNN
+    build: every vector probes its ``bits+1`` query-directed bucket
+    variants per table (the same margin-ranked flip machinery as the
+    near-dup blocker, operators/similarity._lsh_probe_codes) against
+    the map-side-coded corpus; a collision in EITHER direction
+    canonicalizes to one undirected pair, since query-directed variant
+    sets are asymmetric (the canonicalize-then-expand move measured at
+    +0.08 recall on the near-dup blocker).  The only shuffles carry
+    (table_id, code) / id PAIRS — never vectors, never n² rows:
+    candidate volume is Σ per-bucket occupancy², bounded by the
+    ⌈log2 n⌉+1 bit growth."""
     bits, tables, _ = lsh_params(n)
     bc_planes = spark.sparkContext.broadcast(_lsh_planes(bits, tables, DIM))
     coded = _lsh_codes(unit, bc_planes)
     probe = _lsh_probe_codes(unit, bc_planes, budget=bits + 1)
-    und = (
+    return (
         probe.alias("a")
         .join(coded.alias("b"), ["table_id", "code"])
         .where(F.col("a.vec_id") != F.col("b.vec_id"))
@@ -129,32 +137,93 @@ def knn_lsh_candidates(spark: SparkSession, unit: DataFrame, n: int) -> DataFram
         )
         .distinct()
     )
+
+
+def knn_lsh_candidates(spark: SparkSession, unit: DataFrame, n: int) -> DataFrame:
+    """Directed candidate pairs (src, dst): the undirected blocker's
+    output expanded both ways (diagnostic surface; the production path
+    ``knn_topk_lsh`` scores the undirected set first and expands the
+    SKINNY scored rows, so the candidate machinery runs once)."""
+    und = _knn_lsh_undirected(spark, unit, n)
     return und.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionAll(
         und.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
     )
 
 
 def knn_topk_lsh(
-    spark: SparkSession, unit: DataFrame, n: int, k: int
+    spark: SparkSession,
+    unit: DataFrame,
+    n: int,
+    k: int,
+    _probe: dict | None = None,
 ) -> DataFrame:
     """Approximate kNN edges: LSH-blocked candidate generation + exact
     cosine re-rank + the IDENTICAL per-source top-k reducer as the
     exact grid (same window, same tie order, same output schema) — so
     switching tiers changes candidate coverage only, never semantics.
-    Scoring joins move skinny pairs plus one linear pass of unit
-    vectors per side (O(n·d) bytes, never n²); the dot product is the
-    JVM-side zip_with/aggregate kernel."""
-    cand = knn_lsh_candidates(spark, unit, n)
-    u1 = unit.select(F.col("vec_id").alias("src"), F.col("u").alias("u_src"))
-    u2 = unit.select(F.col("vec_id").alias("dst"), F.col("u").alias("u_dst"))
-    scored = (
-        cand.join(u1, "src")
-        .join(u2, "dst")
-        .withColumn("cos_sim", V.dot(F.col("u_src"), F.col("u_dst")))
+
+    Plan shape (round-9 rework — the first cut of this tier died
+    ENOSPC at n=100k, the exact failure mode the tier exists to avoid):
+
+    * vectors NEVER ride a shuffle.  Each undirected pair is scored
+      once through two joins against the (vec_id, u) side table —
+      explicitly broadcast below ``KNN_LSH_BROADCAST_MAX_N`` (≤ ~1 GB;
+      zero exchanges, candidates stream map-side through both lookups)
+      — and the projection to (id1, id2, cos_sim) lands INSIDE the
+      same stage, so only 24-byte rows ever reach an exchange.  The
+      first cut instead joined vectors onto DIRECTED pairs with SMJ:
+      two sorts + an exchange all carrying ~540 B/row — tens of GB of
+      sort spill at n=100k.
+    * the scored undirected set is localCheckpoint'ed (lazy) before the
+      two-way direction expansion: both union arms then read ONE RDD
+      instead of re-running the probe kernel + bucket join + distinct
+      per arm (DataFrame union duplicates the logical subtree — the
+      other half of the first cut's blowup).
+    * the probe/code kernels are CPU-bound numpy; a small local corpus
+      arrives in a handful of row-group splits, so the unit frame is
+      re-partitioned to the session's parallelism first (one ~O(n·d)
+      exchange, the only one vectors ever cross, shared by all four
+      consumers via the checkpoint).
+    * dot(u, v) is bit-symmetric (pairwise multiply commutes, the sum
+      runs in index order for both argument orders), so scoring each
+      pair once and emitting both directions is value-identical to
+      scoring twice.
+
+    Beyond ~2M vectors the side tables outgrow broadcast and the
+    scoring joins fall back to shuffled hash joins whose big side is
+    the SKINNY pair stream; beyond that regime the right tool is the
+    persisted IVF index (ann_index.py), not an in-query edge build."""
+    unit = unit.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+        eager=False
+    )
+    und = _knn_lsh_undirected(spark, unit, n)
+    u1 = unit.select(F.col("vec_id").alias("id1"), F.col("u").alias("u1v"))
+    u2 = unit.select(F.col("vec_id").alias("id2"), F.col("u").alias("u2v"))
+    if n <= KNN_LSH_BROADCAST_MAX_N:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
+    scored_pre = (
+        und.join(u1, "id1")
+        .join(u2, "id2")
+        .select("id1", "id2", V.dot(F.col("u1v"), F.col("u2v")).alias("cos_sim"))
+    )
+    if _probe is not None:
+        # the checkpoint below hides the candidate/scoring subtree from
+        # the final plan — expose it here so the plan gate can assert
+        # the no-vector-exchange / broadcast-lookup shape directly
+        _probe["scored_plan"] = (
+            scored_pre._jdf.queryExecution().executedPlan().toString()
+        )
+    scored_und = scored_pre.localCheckpoint(eager=False)
+    directed = scored_und.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst"), "cos_sim"
+    ).unionAll(
+        scored_und.select(
+            F.col("id2").alias("src"), F.col("id1").alias("dst"), "cos_sim"
+        )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        directed.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("src", "dst", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
@@ -201,7 +270,7 @@ def knn_edges(
         _probe.update({"exact": exact, "n": n})
     if exact:
         return knn_topk_of(spark, unit, n, k)
-    return knn_topk_lsh(spark, unit, n, k)
+    return knn_topk_lsh(spark, unit, n, k, _probe=_probe)
 
 
 def knn_topk_of(

@@ -458,16 +458,28 @@ def test_knn_edges_auto_switch_modes(spark, sf_dir, tmp_path):
     assert probe["exact"] is True  # registry corpora stay on the oracle tier
 
     d, n = _clustered_embedding_dir(tmp_path, n_clusters=20, per=50)
-    plan = (
-        knn_edges(spark, d, exact=False)
+    probe_lsh = {}
+    final_plan = (
+        knn_edges(spark, d, exact=False, _probe=probe_lsh)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
-    # the exact grid's block-pair join IS nested-loop (b1 <= b2) — the
-    # absence above is the no-n²-shuffle statement; candidate volume
-    # confirms it quantitatively
+    # the exact grid's block-pair join IS nested-loop (b1 <= b2) — its
+    # absence in BOTH the candidate subtree (pre-checkpoint, exposed
+    # via the probe) and the top-k tail is the no-n²-shuffle statement
+    scored_plan = probe_lsh["scored_plan"]
+    for plan in (scored_plan, final_plan):
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    # round-9 rework shape: the re-rank looks vectors up through
+    # BROADCAST joins (the first cut's SMJ sorts carried ~540 B vector
+    # rows and spilled tens of GB at n=100k) — no exchange in the
+    # scoring subtree may carry a vector column
+    assert scored_plan.count("BroadcastHashJoin") >= 2, scored_plan
+    for ln in scored_plan.splitlines():
+        if "Exchange" in ln:
+            assert "u1v" not in ln and "u2v" not in ln and "u#" not in ln, ln
+    # candidate volume confirms the no-n² claim quantitatively
     n_cand = knn_lsh_candidates(
         spark, _unit(_corpus(spark, d)), _corpus_size(spark, d)
     ).count()
