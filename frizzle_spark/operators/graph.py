@@ -92,16 +92,20 @@ _KNN_ORACLE = f"""
 # Size-based exact↔approx switch for the kNN edge build (round 9,
 # VERDICT r8 #1).  The exact GEMM grid's shuffle is cleanly quadratic
 # (NEARDUP_CROSSOVER.json: 227 MB @20k → 1.3 GB @50k → 5.2 GB @100k →
-# 20.5 GB @200k, and the attempted 500k run died ENOSPC mid-grid) while
-# the LSH-blocked path's wall crossed below exact between n=100k and
-# n=200k and completed at 500k at recall 0.994.  KNN_EDGE_CROSSOVER.json
-# re-measures the crossover for THIS operator's clustered-corpus edge
-# build; past the threshold the auto default switches to LSH-blocked
-# candidates + exact re-rank — the identical top-k reducer, so the
-# switch is plan-shape only.  Exact remains the oracle tier (every
-# registry/driver corpus sits far below the threshold) and callers can
-# force either mode with ``exact=``.
-KNN_EXACT_MAX_N = 150_000
+# 20.5 GB @200k, and the attempted 500k run died ENOSPC mid-grid).
+# KNN_EDGE_CROSSOVER.json measures the crossover for THIS operator's
+# clustered-corpus edge build: exact wins at 20k (12 s vs 45 s) and
+# 50k (62 vs 72), the LSH-blocked tier wins from 100k up (63 vs 77 at
+# 100k, 111 vs 287 at 200k) and completes 500k in 314 s where the grid
+# cannot run, at directed-edge recall 0.998–0.999 throughout.  The
+# threshold sits at the measured crossover: at or below 100k the exact
+# grid stays the default (oracle preference — at 100k it is within
+# 1.2× of LSH and its ~5 GB shuffle safely runnable); past it the auto
+# default switches to LSH-blocked candidates + exact re-rank, the
+# identical top-k reducer, so the switch is plan-shape only.  Exact remains the oracle tier (every registry/driver corpus
+# sits far below the threshold) and callers can force either mode with
+# ``exact=``.
+KNN_EXACT_MAX_N = 100_000
 
 
 # Above this, the (vec_id → unit vector) side tables stop being

@@ -338,3 +338,204 @@ def test_media_features_real_wav_through_query_schema(spark):
     for b in wav:
         hist_w[b % 8] += 1
     assert stub[1] == [h / len(wav) for h in hist_w]
+
+
+# ---------------------------------------------------------------- PNG decode
+# Round 9 (VERDICT r8 #7): a stdlib-zlib PNG path beside the PNM seam.
+# The differential oracle is a pure-Python test-side ENCODER (struct +
+# zlib, per-row filter choice) — prod decodes what the test encodes,
+# across every filter type and supported color type, and the same
+# pixels encoded as PNM and as PNG must produce the identical gray
+# plane (and therefore identical phash).
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(px, color: int, filters) -> bytes:
+    """Encode an (h, w, channels) uint8 array as PNG, using filters[y]
+    (0..4) for row y — the test-side differential encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    bpp = ch
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur, f = flat[y], int(filters[y])
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = cur - left
+        elif f == 2:  # Up
+            enc = cur - prev
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        lines += bytes([f]) + bytes((enc % 256).astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _test_image(w=24, h=16, channels=3, seed=5):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8)
+
+
+def test_decode_png_all_filters_all_color_types():
+    """Exact reconstruction through every PNG filter (cycling 0..4 by
+    row) for gray / RGB / gray+alpha / RGBA — decoded gray equals the
+    luma computed straight from the source array."""
+    import numpy as np
+
+    from frizzle_spark.functions.multimodal import decode_png
+
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = _test_image(channels=ch)
+        filters = [y % 5 for y in range(px.shape[0])]
+        data = _encode_png(px, color, filters)
+        gray, w, h = decode_png(data)
+        assert (w, h) == (px.shape[1], px.shape[0])
+        src = px.astype(np.float64)
+        if ch in (1, 2):
+            want = src[..., 0]
+        else:
+            want = 0.299 * src[..., 0] + 0.587 * src[..., 1] + 0.114 * src[..., 2]
+        assert np.allclose(gray, want), (color, np.abs(gray - want).max())
+
+
+def test_decode_png_single_filter_uniformity():
+    """Each filter alone (whole image) reconstructs exactly — isolates
+    a filter bug to its name instead of the cycling mix."""
+    import numpy as np
+
+    from frizzle_spark.functions.multimodal import decode_png
+
+    px = _test_image(channels=3, seed=11)
+    for f in range(5):
+        data = _encode_png(px, 2, [f] * px.shape[0])
+        gray, _, _ = decode_png(data)
+        src = px.astype(np.float64)
+        want = 0.299 * src[..., 0] + 0.587 * src[..., 1] + 0.114 * src[..., 2]
+        assert np.allclose(gray, want), f
+
+
+def test_png_pnm_luma_identity_and_phash():
+    """The SAME pixels encoded as P6 PNM and as RGB PNG decode to the
+    identical gray plane — so the real-decode phash is container-
+    independent (the property that makes cross-format near-dup
+    detection work)."""
+    import numpy as np
+
+    from frizzle_spark.functions.multimodal import (
+        decode_png,
+        decode_pnm,
+        phash64_gray,
+        try_decode_gray,
+    )
+
+    px = _test_image(w=32, h=24, channels=3, seed=23)
+    pnm = b"P6\n%d %d\n255\n" % (px.shape[1], px.shape[0]) + px.tobytes()
+    png = _encode_png(px, 2, [y % 5 for y in range(px.shape[0])])
+    g1, w1, h1 = decode_pnm(pnm)
+    g2, w2, h2 = decode_png(png)
+    assert (w1, h1) == (w2, h2)
+    assert np.array_equal(g1, g2)
+    assert phash64_gray(g1) == phash64_gray(g2)
+    # and the sniffing seam accepts both containers
+    assert try_decode_gray(pnm) is not None
+    assert try_decode_gray(png) is not None
+
+
+def test_decode_png_rejects_unsupported_honestly():
+    """Palette / 16-bit / interlaced / truncated / corrupt-zlib PNGs
+    raise (or sniff to None) — never a silently wrong decode."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from frizzle_spark.functions.multimodal import decode_png, try_decode_gray
+
+    px = _test_image(channels=3)
+    good = _encode_png(px, 2, [0] * px.shape[0])
+
+    def mutate_ihdr(**kw):
+        w, h = px.shape[1], px.shape[0]
+        fields = {"depth": 8, "color": 2, "interlace": 0}
+        fields.update(kw)
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, fields["depth"], fields["color"], 0, 0,
+            fields["interlace"],
+        )
+        body = zlib.compress(
+            b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", body)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for bad in (
+        mutate_ihdr(color=3),  # palette
+        mutate_ihdr(depth=16),
+        mutate_ihdr(interlace=1),
+        good[:60],  # truncated
+        good[:40] + b"\x00" * 20 + good[60:],  # corrupt IDAT stream
+    ):
+        with _pytest.raises(ValueError):
+            decode_png(bad)
+        assert try_decode_gray(bad) is None
+    assert try_decode_gray(good) is not None
+
+
+def test_resize_image_real_png_round_trip():
+    """resize_image decodes a real PNG and emits a re-decodable P5 of
+    the requested dims, matching the same resize of the PNM encoding of
+    the same pixels."""
+    import numpy as np
+
+    from frizzle_spark.functions.multimodal import decode_pnm, resize_image
+
+    px = _test_image(w=32, h=24, channels=3, seed=29)
+    pnm = b"P6\n%d %d\n255\n" % (px.shape[1], px.shape[0]) + px.tobytes()
+    png = _encode_png(px, 2, [4] * px.shape[0])
+    out_png = resize_image(png, 9, 8)
+    out_pnm = resize_image(pnm, 9, 8)
+    assert out_png == out_pnm
+    gray, w, h = decode_pnm(out_png)
+    assert (w, h) == (9, 8)
