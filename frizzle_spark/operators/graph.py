@@ -43,6 +43,7 @@ from frizzle_spark.functions import vectors as V
 from frizzle_spark.operators.similarity import (
     DIM,
     NEARDUP_CHUNK_ROWS,
+    SCORE_BROADCAST_MAX_N,
     _corpus,
     _corpus_size,
     _lsh_codes,
@@ -111,8 +112,9 @@ KNN_EXACT_MAX_N = 100_000
 # Above this, the (vec_id → unit vector) side tables stop being
 # explicitly broadcast for the re-rank joins (≈540 B/row ⇒ ~1 GB at
 # 2M) and the scoring falls back to shuffled joins over the skinny
-# candidate pairs.
-KNN_LSH_BROADCAST_MAX_N = 2_000_000
+# candidate pairs.  Shared with the embedding near-dup re-rank
+# (similarity.SCORE_BROADCAST_MAX_N) — same hazard, same bound.
+KNN_LSH_BROADCAST_MAX_N = SCORE_BROADCAST_MAX_N
 
 
 def _knn_lsh_undirected(spark: SparkSession, unit: DataFrame, n: int) -> DataFrame:

@@ -56,6 +56,12 @@ LSH_HAMMING = 2
 LSH_MIN_BITS, LSH_MAX_BITS = 6, 24
 NEARDUP_CHUNK_ROWS = 1024  # target rows per packed GEMM block (size bound)
 NEARDUP_THRESHOLD = 0.4
+# Re-rank scoring joins explicitly broadcast the (vec_id, unit-vector)
+# side table up to this corpus size (≈540 B/row ⇒ ~1 GB at 2M): the
+# candidate PAIR stream is the big side, and vectors must never ride a
+# sort-merge-join sort (measured: tens of GB of sort spill at n=100k on
+# the kNN edge build's first cut — operators/graph.knn_topk_lsh).
+SCORE_BROADCAST_MAX_N = 2_000_000
 
 
 def lsh_params(n: int) -> tuple[int, int, int]:
@@ -1289,6 +1295,11 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = embedding_lsh_candidates(spark, sf_dir)
     u1 = unit.select(F.col("vec_id").alias("id1"), F.col("u").alias("u1"))
     u2 = unit.select(F.col("vec_id").alias("id2"), F.col("u").alias("u2"))
+    if _corpus_size(spark, sf_dir) <= SCORE_BROADCAST_MAX_N:
+        # vectors must not ride the re-rank join's sort (round 9 — see
+        # SCORE_BROADCAST_MAX_N): broadcast the side tables, stream the
+        # skinny candidate pairs through map-side lookups
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
     sim = V.dot(F.col("u1"), F.col("u2"))
     return (
         cand.join(u1, "id1")

@@ -110,6 +110,9 @@ def main() -> None:
     )
 
     sf1 = os.environ.get("FRIZZLE_SF1_DIR", "/tmp/frizzle_sf1")
+    # round 9: same harness, third decade — point FRIZZLE_SF1_DIR at the
+    # sf10 corpus and label the record (STREAM_STATE_SF10.json)
+    label = os.environ.get("FRIZZLE_STATE_LABEL", "SF1")
     spark = get_spark("frizzle_spark-stream-state")
     replay = tempfile.mkdtemp(prefix="sf1_day_replay_")
     n_files = day_split_replay(spark, sf1, replay)
@@ -191,7 +194,7 @@ def main() -> None:
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "STREAM_STATE_SF1.json",
+        f"STREAM_STATE_{label}.json",
     )
     with open(out, "w") as fh:
         json.dump({"sf1_dir": sf1, "n_files": n_files, "results": results}, fh, indent=1)
