@@ -77,7 +77,8 @@ def run_and_harvest(parent, build, name: str, mode: str) -> list[dict]:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(600):
+    timeout = int(os.environ.get("FRIZZLE_STATE_TIMEOUT", "600"))
+    if not q.awaitTermination(timeout):
         q.stop()
         raise TimeoutError(name)
     out = []
@@ -186,9 +187,22 @@ def main() -> None:
         ),
     }
 
+    only = os.environ.get("FRIZZLE_STATE_ONLY")
+    if only:
+        keep = {c.strip() for c in only.split(",")}
+        cases = {k: v for k, v in cases.items() if k in keep}
     results: dict[str, list[dict]] = {}
     for name, (build, mode) in cases.items():
-        results[name] = run_and_harvest(spark, build, f"ss_{name}", mode)
+        # one slow case must not lose the others' records — the harvest
+        # JSON is written from whatever completed; re-run the stragglers
+        # with FRIZZLE_STATE_ONLY=<names> (+FRIZZLE_STATE_TIMEOUT) and
+        # the records merge
+        try:
+            results[name] = run_and_harvest(spark, build, f"ss_{name}", mode)
+        except TimeoutError:
+            print(f"# {name}: TIMEOUT — skipped (re-run with "
+                  f"FRIZZLE_STATE_ONLY={name})", file=sys.stderr)
+            continue
         last = results[name][-1] if results[name] else {}
         print(f"# {name}: {len(results[name])} batches, final {last}", file=sys.stderr)
 
@@ -196,8 +210,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"STREAM_STATE_{label}.json",
     )
+    merged = results
+    if os.path.exists(out):  # partial re-runs (FRIZZLE_STATE_ONLY) merge
+        with open(out) as fh:
+            prior = json.load(fh).get("results", {})
+        merged = {**prior, **results}
     with open(out, "w") as fh:
-        json.dump({"sf1_dir": sf1, "n_files": n_files, "results": results}, fh, indent=1)
+        json.dump({"sf1_dir": sf1, "n_files": n_files, "results": merged}, fh, indent=1)
     print(json.dumps({k: v[-1] if v else None for k, v in results.items()}))
 
     # SCALE.md table
