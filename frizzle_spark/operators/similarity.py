@@ -1435,6 +1435,12 @@ def candidate_fractions(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
 MATRYOSHKA_DIMS = (8, 16, 32, 64)
 MATRYOSHKA_K = 10
+# The recall metric's eval grid is O(n²); past this corpus size the
+# registry default AUTO-samples the eval to this many vectors (round 9
+# — at sf10 the full 200k grid blew the Arrow allocator mid-bench; the
+# round-8 convergence gate already proves the estimate is stable in
+# sample size, so a bounded eval IS the operator's contract at scale).
+MATRYOSHKA_AUTO_SAMPLE_N = 20_000
 
 
 def _matryoshka_oracle() -> str:
@@ -1620,10 +1626,15 @@ def qz12_matryoshka(
     ESTIMATE whose eval grid is O(n²) — at 100 TB it runs on a
     deterministic hash-sample (``hash_sample``), never the corpus.
     The pytest convergence gate pins the estimator: per-budget recall
-    stable within ε across 2× sample sizes, and the registry default
-    (None = full corpus at oracle scale) is unchanged."""
+    stable within ε across 2× sample sizes.  Round 9: the registry
+    default (None) AUTO-samples past ``MATRYOSHKA_AUTO_SAMPLE_N`` —
+    the full-corpus grid at sf10 (n=200k) exhausted the Arrow
+    allocator; below the threshold (every oracle corpus) None still
+    means the exact full-corpus eval."""
     corpus = _corpus(spark, sf_dir)
     n = _corpus_size(spark, sf_dir)
+    if sample_n is None and n > MATRYOSHKA_AUTO_SAMPLE_N:
+        sample_n = MATRYOSHKA_AUTO_SAMPLE_N
     if sample_n is not None and 0 < sample_n < n:
         corpus = hash_sample(corpus, "vec_id", sample_n / n).localCheckpoint()
         n = corpus.count()

@@ -119,3 +119,26 @@ def test_hash_sample_degenerate_fractions(spark):
     tiny = {r["vec_id"] for r in hash_sample(df, "vec_id", 1e-9).collect()}
     floor = {r["vec_id"] for r in hash_sample(df, "vec_id", 1e-6).collect()}
     assert tiny == floor  # bound floored at 1, not silently 0
+
+
+def test_matryoshka_auto_samples_past_threshold(spark, sf_dir, monkeypatch):
+    """Round-9 gate: the registry default (sample_n=None) must
+    auto-sample once the corpus outgrows MATRYOSHKA_AUTO_SAMPLE_N —
+    the full-corpus O(n²) grid exhausted the Arrow allocator at sf10 —
+    and the auto result must equal the explicit sample_n call exactly
+    (same hash sample, same grid).  Below the threshold None still
+    means the exact full-corpus eval."""
+    from frizzle_spark.operators import similarity as sim
+
+    full = [tuple(r) for r in sim.qz12_matryoshka(spark, sf_dir).collect()]
+
+    monkeypatch.setattr(sim, "MATRYOSHKA_AUTO_SAMPLE_N", 50)
+    auto = [tuple(r) for r in sim.qz12_matryoshka(spark, sf_dir).collect()]
+    explicit = [
+        tuple(r) for r in sim.qz12_matryoshka(spark, sf_dir, sample_n=50).collect()
+    ]
+    assert auto == explicit
+    # the hash sample is Bernoulli (size ≈ target, not exact) — the
+    # load-bearing claims are identity with the explicit call and a
+    # genuinely shrunken eval
+    assert auto[0][1] < full[0][1]
