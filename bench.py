@@ -16,6 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # the 8g session default is sized for the driver's sf0.01/sf0.1
+    # contract runs; a full-registry decade-3 bench (10M events, 60M
+    # lineitem, 200k embeddings in ONE local JVM) needs real heap —
+    # measured at sf10: qz26's basket materialization OOM'd 8g and the
+    # Arrow allocator (whose direct-memory cap follows the heap) died
+    # inside mapInPandas.  Env still overrides.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     # __spark_entry__ imports every registry module — ONE place to keep
     # in sync (a hand-copied module list here silently dropped the
     # clustering module from the round-7 bench)
