@@ -2599,35 +2599,32 @@ def qz23_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_time = durations.groupBy("dur").agg(
         F.sum("observed").alias("d"), F.count(F.lit(1)).alias("total")
     )
-    w_desc = (
-        Window.orderBy(F.desc("dur"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # both prefix scans over the |distinct durs| table ride the
+    # distributed global-running-sum primitive (operators/ranks.py,
+    # round 9) — the naive unpartitioned windows here were the same
+    # Exchange-SinglePartition shape the sf10 run flagged on qz26_rfm,
+    # and |distinct durs| grows with the user count, not a value domain
+    from frizzle_spark.operators.ranks import global_running_sum
+
+    risk = global_running_sum(
+        by_time, "total", "dur", [F.desc("dur")],
+        out="n_risk", descending=True,
+    ).select("dur", "d", "n_risk")
+    hazard = risk.where(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n_risk",
+        F.log(
+            F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("n_risk")
+        ).alias("__lnh"),
     )
-    risk = by_time.select(
-        "dur", "d", F.sum("total").over(w_desc).alias("n_risk")
-    )
-    w_asc = (
-        Window.orderBy("dur")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        risk.where(F.col("d") > 0)
-        .select(
-            F.col("dur").alias("t_secs"),
-            F.col("n_risk").cast("long").alias("n_risk"),
-            F.col("d").cast("long").alias("n_conversions"),
-            F.round(
-                F.exp(
-                    F.sum(
-                        F.log(
-                            F.lit(1.0)
-                            - F.col("d") * F.lit(1.0) / F.col("n_risk")
-                        )
-                    ).over(w_asc)
-                ),
-                6,
-            ).alias("survival"),
-        )
+    return global_running_sum(
+        hazard, "__lnh", "dur", [F.asc("dur")], out="__cum"
+    ).select(
+        F.col("dur").alias("t_secs"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_conversions"),
+        F.round(F.exp(F.col("__cum")), 6).alias("survival"),
     )
 
 
@@ -2869,7 +2866,12 @@ def qz8_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 # differently and the whole segmentation is nondeterministic.
 #
 # 100 TB shape: one orders pass to per-customer aggregates, then three
-# ntile windows over |customers| rows.  Exact longs everywhere (days,
+# DISTRIBUTED ntiles over |customers| rows (operators/ranks.py — the
+# full-registry sf10 run measured the original global-window form at
+# 22x wall per 10x data, the registry's only superlinear PLAN: a naive
+# ntile's Exchange SinglePartition sorts every customer in one task.
+# global_ntile fans the sort across value-percentile buckets and pays
+# one hash exchange per metric).  Exact longs everywhere (days,
 # counts, cents); no floats.
 # ---------------------------------------------------------------------------
 
@@ -2919,17 +2921,26 @@ def qz26_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    r = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
-    f = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
-    m = Window.orderBy(F.asc("monetary_cents"), F.asc("custkey"))
-    return agg.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(5).over(r).cast("long").alias("r_score"),
-        F.ntile(5).over(f).cast("long").alias("f_score"),
-        F.ntile(5).over(m).cast("long").alias("m_score"),
+    from frizzle_spark.operators.ranks import global_ntile
+
+    scored = global_ntile(
+        agg, 5, "recency_days",
+        [F.desc("recency_days"), F.asc("custkey")],
+        out="r_score", descending=True,
+    )
+    scored = global_ntile(
+        scored, 5, "frequency",
+        [F.asc("frequency"), F.asc("custkey")],
+        out="f_score",
+    )
+    scored = global_ntile(
+        scored, 5, "monetary_cents",
+        [F.asc("monetary_cents"), F.asc("custkey")],
+        out="m_score",
+    )
+    return scored.select(
+        "custkey", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -2942,9 +2953,12 @@ def qz26_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(n²) definition).  Ranks use a unique (value, key) ordering so both
 # engines rank ties identically.
 #
-# 100 TB shape: corpus pass → per-entity totals, a single global-order
-# window over |entities| rows (the one inherently-global sort this
-# statistic requires), then a scalar fold per dimension.
+# 100 TB shape: corpus pass → per-entity totals, then the global rank
+# the identity needs comes from operators/ranks.global_row_number —
+# percentile-bucketed, one hash exchange, no single-partition sort of
+# the entity table (round 9; the naive global window was the same
+# Exchange-SinglePartition shape the sf10 run flagged on qz26_rfm) —
+# then a scalar fold per dimension.
 # ---------------------------------------------------------------------------
 
 _GINI_ORACLE = """
@@ -2984,14 +2998,15 @@ def qz23_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-form identity (header comment — one window, no pairwise
     sums)."""
 
+    from frizzle_spark.operators.ranks import global_row_number
+
     def gini(df: DataFrame, key: str, val: str, dim: str) -> DataFrame:
         totals = df.groupBy(F.col(key).alias("k")).agg(
             F.sum(val).alias("x")
         )
-        w = Window.orderBy(F.asc("x"), F.asc("k"))
-        ranked = totals.select(
-            "x", F.row_number().over(w).cast("double").alias("i")
-        )
+        ranked = global_row_number(
+            totals, "x", [F.asc("x"), F.asc("k")], out="__i"
+        ).select("x", F.col("__i").cast("double").alias("i"))
         return ranked.agg(
             F.lit(dim).alias("dim"),
             F.round(
