@@ -51,14 +51,31 @@ def main() -> None:
     # whole run — rounds 3 and 4 both lost their entire bench artifact to
     # a single broken query (VERDICT r4 "What's wrong" #2).  Failures are
     # recorded under "errors" and the totals always cover whatever ran.
+    # The timed action is a NOOP SINK, not count() (round-9 bench-action
+    # correction, SCALE.md): count() lets Catalyst column-prune every
+    # expression and DELETE row-preserving operators outright — Window,
+    # Sort, projections — so count-timed numbers excluded exactly the
+    # work window-family queries exist to do (measured at sf10:
+    # qz23_gini "0.39 s" under count() vs 9.0 s through the noop sink —
+    # the count plan was a bare parquet row-count).  The noop sink
+    # consumes every output row with all columns materialized and
+    # writes nothing: the standard full-execution action.  limit-
+    # queries keep collect() (a noop write would still compute, but
+    # collect is what a limit consumer does and pins the row budget).
     for name, spec in sorted(REGISTRY.items()):
         runs = []
         try:
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
-                n = df.count() if "limit" not in name else len(df.collect())
+                if "limit" in name:
+                    n = len(df.collect())
+                else:
+                    df.write.format("noop").mode("overwrite").save()
+                    n = None
                 runs.append(round(time.perf_counter() - t0, 3))
+            if n is None:
+                n = df.count()  # row count for the log line, untimed
         except Exception as ex:
             errors[name] = f"{type(ex).__name__}: {ex}"[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -164,6 +181,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf_val,
+        # records self-describe their timed action: "noop-sink" numbers
+        # (round 9+) execute the FULL plan; earlier "count" records let
+        # Catalyst delete Window/Sort subtrees and are not comparable
+        # for window-family queries (SCALE.md round-9 correction)
+        "action": "noop-sink",
         "runs_per_query": n_runs,
         "n_queries_ok": len(timings),
         "n_queries_err": len(errors),

@@ -310,7 +310,13 @@ def main() -> None:
                 for _ in range(n_runs):
                     r0, w0 = shuffle_totals(app_base)
                     t0 = time.perf_counter()
-                    qs[name](spark, sf_dir).count()
+                    # noop sink, NOT count(): Catalyst constant-folds
+                    # 1-row aggregates and can prune window subtrees
+                    # under count() (round-9 bench-action correction,
+                    # SCALE.md) — the noop write executes the full plan
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
                     wall = time.perf_counter() - t0
                     time.sleep(0.3)  # let the status store settle
                     r1, w1 = shuffle_totals(app_base)
