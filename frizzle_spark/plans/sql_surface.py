@@ -2758,9 +2758,18 @@ def qz23_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Monetary fields travel as integer cents (floor(price·100), identical
 # double math both engines) — never float-to-string formatting.
 #
-# 100 TB note: all pure codegen'd expressions (from_xml/xpath are
-# JVM-side), map-only until the final tiny status aggregate — the
-# payload-upgrade-at-the-edge pattern (§1.2) for XML feeds.
+# 100 TB note: all JVM-side expressions, map-only — the
+# payload-upgrade-at-the-edge pattern (§1.2) for XML feeds.  But the
+# entry points are NOT equal (the round-9 noop-sink bench correction
+# surfaced this — under count() this query had never actually
+# executed): every xpath_* call builds a full javax DOM per ROW
+# (~60 us/row — 9 s per call over sf0.1's 150k orders), while
+# from_xml's streaming Stax parse covers the whole 3-field battery in
+# 0.7 s.  So the xpath leg extracts BOTH values through ONE union
+# xpath (one DOM per row instead of two; XPath unions yield document
+# order, and the synthesized XML fixes status before cents), and the
+# header guidance for hot paths is: prefer from_xml — the measured
+# gap for identical extraction is ~13x.
 # ---------------------------------------------------------------------------
 
 _XML_ORACLE = """
@@ -2796,13 +2805,16 @@ def qz8_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_xml(F.struct(F.col("o_orderpriority").alias("priority"))),
         "priority STRING",
     )
+    # ONE union xpath = one DOM parse per row for both extractions
+    # (header comment has the measured xpath-vs-from_xml cost gap)
+    xp = F.xpath(xml, F.lit("/order/status/text() | /order/cents/text()"))
     return orders.select(
         "o_orderkey",
         parsed["_id"].alias("xml_id"),
         parsed["status"].alias("xml_status"),
         parsed["cents"].alias("xml_cents"),
-        F.xpath_string(xml, F.lit("/order/status")).alias("xp_status"),
-        F.xpath_long(xml, F.lit("/order/cents")).alias("xp_cents"),
+        xp.getItem(0).alias("xp_status"),
+        xp.getItem(1).cast("long").alias("xp_cents"),
         roundtrip["priority"].alias("rt_priority"),
     )
 
