@@ -145,6 +145,39 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 _MERGES_CACHE: dict[str, list[tuple[str, str]]] = {}
 
 
+BPE_MERGES_SCHEMA = "rank long, left string, right string"
+
+
+def save_bpe_merges(
+    spark: SparkSession, merges: list[tuple[str, str]], base_path: str
+) -> None:
+    """Persist a trained merge table to ``<base_path>/merges`` — the
+    tokenizer sibling of ``materialize_knn_index`` / the persisted IVF
+    and cluster indexes: the merge table IS the offline artifact this
+    module's posture assumes (train once per corpus snapshot, encode
+    everywhere), and until round 9 it lived only in the per-process
+    memo cache.  The artifact is tiny (``n_merges`` rows — rank, left,
+    right), so one parquet file; rank preserves training order, which
+    the greedy encoder depends on."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        BPE_MERGES_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/merges")
+
+
+def load_bpe_merges(spark: SparkSession, base_path: str) -> list[tuple[str, str]]:
+    """Read a persisted merge table back in training order.  Explicit
+    schema: an empty merge table (degenerate corpus) writes a parquet
+    dir with only _SUCCESS, where inference would fail.  The collect is
+    ``n_merges`` rows — bounded by construction, never corpus-sized."""
+    rows = (
+        spark.read.schema(BPE_MERGES_SCHEMA)
+        .parquet(f"{base_path}/merges")
+        .collect()
+    )
+    return [(r.left, r.right) for r in sorted(rows, key=lambda r: r.rank)]
+
+
 def corpus_wordcounts(
     spark: SparkSession, sf_dir: str, cap: int | None = BPE_WORD_CAP
 ) -> DataFrame:

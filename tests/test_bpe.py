@@ -309,3 +309,36 @@ def test_train_bpe_distributed_sides_with_uncapped(spark):
     dist = train_bpe_distributed(df, n_merges=10)
     assert dist == full
     assert dist != capped
+
+
+def test_save_load_bpe_merges_roundtrip(spark, sf_dir, tmp_path):
+    # the persisted artifact must reproduce the trainer's merge table
+    # exactly (training ORDER included — the greedy encoder keys on
+    # rank), and encoding through the loaded table must be identical
+    from frizzle_spark.operators.bpe import (
+        corpus_merges,
+        encode_word,
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    merges = corpus_merges(spark, sf_dir)
+    base = str(tmp_path / "bpe_index")
+    save_bpe_merges(spark, merges, base)
+    loaded = load_bpe_merges(spark, base)
+    assert loaded == merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    ranks_l = {p: i for i, p in enumerate(loaded)}
+    for w in ("the", "tokenizer", "qzx", "a"):
+        assert encode_word(w, ranks) == encode_word(w, ranks_l)
+
+
+def test_save_load_bpe_merges_empty(spark, tmp_path):
+    # degenerate corpus -> zero merges: the artifact round-trips through
+    # a data-less parquet dir (explicit schema covers the _SUCCESS-only
+    # read that inference would fail on)
+    from frizzle_spark.operators.bpe import load_bpe_merges, save_bpe_merges
+
+    base = str(tmp_path / "bpe_empty")
+    save_bpe_merges(spark, [], base)
+    assert load_bpe_merges(spark, base) == []
