@@ -95,6 +95,18 @@ def q20_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on the partition key + one sort — the frame itself is a
     linear scan with a sliding lower bound (no re-scan per row).  The
     ROWS-frame complement lives in Q5 (relational.py).
+
+    Scale honesty (the q5_rank_stats rule): parallelism is bounded by
+    |event_type| (5 here) — at sf1 that is 5 tasks of 2M rows each,
+    linear but series.  The named scale path when a partition key is
+    this coarse: pre-aggregate per (type, value), value-bucket the
+    running sums with operators/ranks.global_running_sum, and resolve
+    each row's frame lower bound with an as-of join against the
+    bucketed cumulative table (range_sum(v) = S(v) − S(<v−10)) —
+    the ranks-primitive composition of qz16_asof_join.  Not wired
+    here: the registry's event_type cardinality keeps the honest cost
+    linear-per-type, and the simple plan IS the right one until the
+    per-type row count outgrows a task.
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
