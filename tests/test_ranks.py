@@ -10,9 +10,11 @@ Three contracts:
   unpartitioned window on every corner the formula has (ties,
   descending, n<k, n=k, empty, single bucket via degenerate
   boundaries).
-* AUTO — the default mode picks the naive branch below
-  GLOBAL_SORT_MAX_ROWS (both branches are identical anyway; the
-  switch is constants only), distributed above.
+* AUTO — the default mode is the two-stage switch: plan-size
+  estimate gate (zero added machinery below GLOBAL_SORT_MAX_EST_BYTES),
+  then an exact count gate at GLOBAL_SORT_MAX_ROWS for estimate-large
+  inputs (both branches are identical anyway; the switch is constants
+  only).
 * PLAN — the distributed branch's big-table window is partitioned by
   the percentile bucket (no Exchange SinglePartition sorts the
   input), and qz26_rfm forced past the threshold plans no ntile() at
