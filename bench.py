@@ -39,6 +39,39 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # Index prewarm (round 9): four registry families serve per-process
+    # scratch indexes (the exact/minhash cluster maps, the MinHash doc
+    # index, the kNN edge set) built once per (process, sf_dir) and
+    # reused by every later consumer — the amortized operating mode.
+    # Without this phase the ONE-TIME build lands on whichever consumer
+    # runs first alphabetically, so decade records (runs_per_query=1)
+    # showed qz11_canonical_keep 35× and qz22_leakage_safe_split 372×
+    # per decade when the real warm cost scales linearly — a bench-
+    # attribution artifact, not a plan property.  Here the first
+    # consumer of each cache runs once, timed, and the cost is recorded
+    # under "index_build" as its own line item; the main loop then
+    # measures every query warm-index at every SF.
+    index_build: dict[str, float] = {}
+    for warm_name in (
+        "qz11_canonical_keep",      # builds the exact-Jaccard cluster map
+        "qz22_leakage_safe_split",  # builds the MinHash cluster map
+        "qz11_incremental_neardup", # builds the MinHash doc index
+        "qz12_knn_graph",           # builds the kNN edge set
+    ):
+        try:
+            t0 = time.perf_counter()
+            REGISTRY[warm_name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            index_build[warm_name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# prewarm {warm_name}: {index_build[warm_name]:.3f}s"
+                " (cold, incl. one-time index build)",
+                file=sys.stderr,
+            )
+        except Exception as ex:  # prewarm is attribution — never fail the bench
+            print(f"# prewarm {warm_name} failed: {ex}", file=sys.stderr)
+
     # n>1 runs per query, report the MIN: sf0.1 timings swing up to ~3×
     # run-to-run and Catalyst/codegen compile cost dominates sub-second
     # queries — the min isolates the plan from compile jitter, so
@@ -194,6 +227,9 @@ def main() -> None:
         "recall": recall,
         "recall_clustered": recall_clustered,
         "candidate_fraction": candidate_fraction,
+        # cold first-invocation walls (one-time scratch-index builds);
+        # the per-query numbers below are uniformly warm-index
+        "index_build": index_build,
         "queries": timings,
         "runs": all_runs,
     }

@@ -582,6 +582,33 @@ def materialize_minhash_index(docs: DataFrame, base_path: str) -> None:
     )
 
 
+def append_minhash_index(new_docs: DataFrame, base_path: str) -> None:
+    """Append a new slice's signatures/bands to an EXISTING
+    ``materialize_minhash_index`` output — the per-increment write of
+    continuous curation: O(new docs) compute, two parquet appends, the
+    stored corpus untouched.  The caller is responsible for exactly-once
+    semantics across retries (the streaming ingest guards with a
+    committed-batch watermark in its meta — see
+    streaming/curation.py); a blind double-append duplicates index rows,
+    which inflates candidate counts but never loses pairs.
+
+    Empty slices write nothing at all: a zero-row ``partitionBy`` append
+    would still commit an empty job, and on some Hadoop committers that
+    rewrites _SUCCESS for no data — cheap to skip explicitly."""
+    # checkpoint the wide signature frame once so the two appends below
+    # (array form + banding) don't re-shingle the slice twice
+    sigs = minhash_signatures(shingles_of(new_docs)).localCheckpoint(eager=True)
+    if not sigs.take(1):
+        return
+    sig_array(sigs).write.mode("append").parquet(f"{base_path}/signatures")
+    (
+        band_buckets(sigs)
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(f"{base_path}/bands")
+    )
+
+
 def incremental_neardup(
     spark: SparkSession, new_docs: DataFrame, index_base: str
 ) -> DataFrame:

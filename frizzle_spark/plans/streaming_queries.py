@@ -375,6 +375,73 @@ def qz13_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("qz13_curation_ingest", oracle=None)
+def qz13_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous curation end-to-end (round 9): the corpus replayed as
+    4 crawl slices (doc_id mod 4, one file-per-batch replay in slice
+    order), each micro-batch near-dup-deduplicated against everything
+    previously ACCEPTED (incremental_neardup vs the growing MinHash
+    index + minhash_pairs_of within the slice), survivors appended to
+    the corpus sink AND the index, duplicates routed to the DLQ with a
+    provenance pointer — greedy first-occurrence-wins ingest, the
+    operating mode the whole incremental dedup tier exists for
+    (streaming/curation.py module doc has the exactly-once commit
+    protocol and the crash-window argument).
+
+    Output: one row per ingested doc — (doc_id, dest, reason, dup_of).
+    Rows-only at the driver (the decision is order-dependent across
+    micro-batches — greedy ingest is not a SQL-expressible set
+    operator); pytest gates: survivors are pairwise non-near-dup
+    corpus-wide, eager batch twin produces the identical assignment,
+    committed-batch replay is a no-op, and a two-phase restart (2
+    slices, stop, 2 more slices, same checkpoint) equals the one-shot
+    run.
+
+    Scale shape: per-slice cost is O(slice) signature work + one
+    band-bucket join against the index; text never shuffles; state
+    lives in storage (index + meta watermark), not in stream state
+    stores."""
+    import os
+    import tempfile
+
+    from frizzle_spark.streaming.curation import (
+        ingest_assignment,
+        stream_dedup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="qz13_ingest_")
+    replay, index, out, ckpt = (
+        f"{base}/replay",
+        f"{base}/index",
+        f"{base}/out",
+        f"{base}/ckpt",
+    )
+    n_slices = 4
+    pinned: set[str] = set()
+    for k in range(n_slices):
+        docs.where(F.col("doc_id") % n_slices == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay)
+        # one file per slice, replayed in slice order: pin strictly
+        # increasing mtimes so the file-stream's modTime order can
+        # never tie on a fast filesystem
+        for f in sorted(os.listdir(replay)):
+            if f.startswith(("_", ".")) or f in pinned:
+                continue
+            os.utime(os.path.join(replay, f), (1_000_000_000 + k * 60,) * 2)
+            pinned.add(f)
+    stream_dedup_ingest(
+        spark,
+        replay,
+        "doc_id long, text string",
+        index,
+        out,
+        ckpt,
+    )
+    return ingest_assignment(spark, out)
+
+
 # Duplicate horizon for the streaming dedup: how far apart in EVENT TIME
 # two duplicates of the same key may arrive and still be collapsed.  The
 # replayed corpus spans 30 days, so 35d makes the replay's dedup exact
