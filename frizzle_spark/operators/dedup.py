@@ -582,7 +582,7 @@ def materialize_minhash_index(docs: DataFrame, base_path: str) -> None:
     )
 
 
-def append_minhash_index(new_docs: DataFrame, base_path: str) -> None:
+def append_minhash_index(new_docs: DataFrame, base_path: str) -> int:
     """Append a new slice's signatures/bands to an EXISTING
     ``materialize_minhash_index`` output — the per-increment write of
     continuous curation: O(new docs) compute, two parquet appends, the
@@ -594,12 +594,21 @@ def append_minhash_index(new_docs: DataFrame, base_path: str) -> None:
 
     Empty slices write nothing at all: a zero-row ``partitionBy`` append
     would still commit an empty job, and on some Hadoop committers that
-    rewrites _SUCCESS for no data — cheap to skip explicitly."""
+    rewrites _SUCCESS for no data — cheap to skip explicitly.
+
+    Returns the number of documents whose signatures were appended.
+    Callers MUST treat 0 as "the index may still not exist on disk":
+    a slice can be non-empty yet contribute no signatures (docs under
+    the 3-word shingle minimum have no MinHash row — and, consistently,
+    can never be near-dup candidates either), so probing readiness has
+    to follow signature count, not slice count (the streaming ingest's
+    ``index_ready`` watermark does exactly this)."""
     # checkpoint the wide signature frame once so the two appends below
     # (array form + banding) don't re-shingle the slice twice
     sigs = minhash_signatures(shingles_of(new_docs)).localCheckpoint(eager=True)
-    if not sigs.take(1):
-        return
+    n = sigs.count()
+    if n == 0:
+        return 0
     sig_array(sigs).write.mode("append").parquet(f"{base_path}/signatures")
     (
         band_buckets(sigs)
@@ -607,6 +616,7 @@ def append_minhash_index(new_docs: DataFrame, base_path: str) -> None:
         .partitionBy("band_id")
         .parquet(f"{base_path}/bands")
     )
+    return int(n)
 
 
 def incremental_neardup(

@@ -164,7 +164,7 @@ def dedup_ingest_batch(
         ).write.mode("overwrite").parquet(f"{out_base}/dlq/batch_id={batch_id}")
 
         # -- index the survivors (benign-on-replay window, module doc) -----
-        append_minhash_index(survivors, index_base)
+        n_indexed = append_minhash_index(survivors, index_base)
 
         # -- commit ---------------------------------------------------------
         n_in = batch.count()
@@ -174,7 +174,10 @@ def dedup_ingest_batch(
             {
                 **meta,
                 "committed_batch": batch_id,
-                "index_ready": True,
+                # readiness follows SIGNATURES, not batches: an empty (or
+                # all-sub-3-word) first slice must not flip the probe on
+                # before the index dirs exist on storage
+                "index_ready": bool(meta.get("index_ready")) or n_indexed > 0,
                 "n_docs_in": int(meta.get("n_docs_in", 0)) + n_in,
                 "n_docs_kept": int(meta.get("n_docs_kept", 0)) + n_kept,
             },

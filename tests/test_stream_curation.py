@@ -194,6 +194,34 @@ def test_duplicated_index_rows_change_no_decision(spark, ingested, tmp_path):
     assert pairs(clean) == pairs(doubled)
 
 
+def test_empty_and_shortdoc_first_slices(spark, tmp_path):
+    """Edge regression: the index-readiness watermark must follow
+    SIGNATURE count, not batch count.  Slice 0 is empty and slice 1
+    holds only a sub-3-word doc (no shingles → no MinHash row): neither
+    may flip the probe on, or slice 2's incremental_neardup would read
+    index dirs that were never created."""
+    long_a = (
+        "a genuinely long document with enough words to shingle and "
+        "match against later arrivals in the replay"
+    )
+    rows = [
+        (5, "two words"),          # slice 1 — no shingles, accepted as-is
+        (6, long_a),               # slice 2 — first real signature
+        (7, long_a + " tail"),     # slice 3 — near-dup of 6 → dup_index
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    r = str(tmp_path)
+    _write_replay(docs, f"{r}/replay", range(N_SLICES))  # slice 0 empty
+    stream_dedup_ingest(
+        spark, f"{r}/replay", DOCS_SCHEMA, f"{r}/index", f"{r}/out",
+        f"{r}/ckpt",
+    )
+    got = _assignment_map(ingest_assignment(spark, f"{r}/out"))
+    assert got[5] == ("corpus", None, None)
+    assert got[6] == ("corpus", None, None)
+    assert got[7] == ("dlq", "dup_index", 6)
+
+
 def test_planted_cross_and_within_slice_dups(spark, tmp_path):
     """Deterministic micro-corpus: doc 101 duplicates doc 0 (earlier
     slice → dup_index), docs 202/203 duplicate each other in ONE slice
