@@ -82,12 +82,26 @@ def dedup_ingest_batch(
     index_base: str,
     out_base: str,
     batch_id: int,
+    keep: str = "min_id",
 ) -> dict:
     """One micro-batch of the curation bus (the foreachBatch body,
     callable directly for the eager/batch twin): decide, route, index,
     commit.  Returns the batch accounting dict ({"skipped": True} when
     the batch_id is at or below the committed watermark — the replay
-    no-op path)."""
+    no-op path).
+
+    ``keep`` picks the within-batch survivor rule: ``"min_id"`` (the
+    default — deterministic, id-ordered, what the registry entry and
+    its gates pin) or ``"quality"`` — the rule real curation uses
+    (``canonical_keep``'s move applied at ingest time): the surviving
+    member of a within-batch near-dup cluster is the HIGHEST
+    quality_score doc among those not already duplicating the index,
+    ties broken on min doc_id.  Cross-batch semantics are unchanged
+    under either rule (first ACCEPTED occurrence wins — a later
+    higher-quality copy is still a dup_index drop; revising history
+    would mean un-publishing an already-committed survivor, which an
+    append-only corpus cannot do).  The pairwise-non-near-dup survivor
+    invariant holds for both rules."""
     from frizzle_spark.operators.dedup import (
         append_minhash_index,
         dedup_clusters,
@@ -124,13 +138,32 @@ def dedup_ingest_batch(
             )
             .join(cross_hit, "doc_id", "left_outer")
         )
-        keep = (
-            m.where(F.col("idx_dup_of").isNull())
-            .groupBy("cluster")
-            .agg(F.min("doc_id").alias("keep_id"))
-        )
+        eligible = m.where(F.col("idx_dup_of").isNull())
+        if keep == "quality":
+            from pyspark.sql.window import Window
+
+            from frizzle_spark.functions.text import quality_score
+
+            q = batch.select(
+                "doc_id", quality_score(F.col("text")).alias("_q")
+            )
+            w = Window.partitionBy("cluster").orderBy(
+                F.desc("_q"), F.asc("doc_id")
+            )
+            keep_ids = (
+                eligible.join(q, "doc_id")
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("cluster", F.col("doc_id").alias("keep_id"))
+            )
+        elif keep == "min_id":
+            keep_ids = eligible.groupBy("cluster").agg(
+                F.min("doc_id").alias("keep_id")
+            )
+        else:
+            raise ValueError(f"keep must be 'min_id' or 'quality', got {keep!r}")
         assign = (
-            m.join(keep, "cluster", "left_outer")
+            m.join(keep_ids, "cluster", "left_outer")
             .select(
                 "doc_id",
                 F.when(F.col("doc_id") == F.col("keep_id"), F.lit("corpus"))
@@ -200,9 +233,11 @@ def stream_dedup_ingest(
     out_base: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    keep: str = "min_id",
 ) -> None:
     """Drive the curation bus over a file-replay stream to completion
-    (availableNow): one crawl-slice file per micro-batch."""
+    (availableNow): one crawl-slice file per micro-batch.  ``keep``
+    passes through to :func:`dedup_ingest_batch`."""
     from frizzle_spark.streaming.pipeline import resolve_stream_input
 
     path, glob = resolve_stream_input(spark, replay_dir, None)
@@ -215,7 +250,7 @@ def stream_dedup_ingest(
     sdf = reader.parquet(path)
 
     def _body(bdf: DataFrame, bid: int) -> None:
-        dedup_ingest_batch(spark, bdf, index_base, out_base, bid)
+        dedup_ingest_batch(spark, bdf, index_base, out_base, bid, keep=keep)
 
     q = (
         sdf.writeStream.foreachBatch(_body)

@@ -61,9 +61,9 @@ def run_one(sf_dir: str) -> dict:
     slice_walls: list[dict] = []
     inner = cur.dedup_ingest_batch
 
-    def timed_batch(spark_, bdf, index_base, out_base, batch_id):
+    def timed_batch(spark_, bdf, index_base, out_base, batch_id, **kw):
         t0 = time.perf_counter()
-        res = inner(spark_, bdf, index_base, out_base, batch_id)
+        res = inner(spark_, bdf, index_base, out_base, batch_id, **kw)
         res["wall_sec"] = round(time.perf_counter() - t0, 3)
         slice_walls.append(res)
         return res

@@ -194,6 +194,41 @@ def test_duplicated_index_rows_change_no_decision(spark, ingested, tmp_path):
     assert pairs(clean) == pairs(doubled)
 
 
+def test_quality_keep_rule(spark, tmp_path):
+    """keep='quality' (canonical_keep's rule at ingest time): within a
+    batch cluster the punctuation-soup copy loses to the clean copy
+    even when it has the smaller doc_id; the default min_id rule keeps
+    the smaller id.  Cross-batch first-wins is unchanged by the rule."""
+    base = (
+        "this is a reasonably long clean document with common stopwords "
+        "and it continues for enough words to produce many shingles "
+        "so the two variants are well above the jaccard threshold"
+    )
+    junky = base + " !!! ??? ;;; ::: ,,, ###"  # near-dup, worse quality
+    rows = [(10, junky), (11, base)]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+
+    out = {}
+    for rule in ("min_id", "quality"):
+        r = str(tmp_path / rule)
+        res = dedup_ingest_batch(
+            spark, docs, f"{r}/index", f"{r}/out", 0, keep=rule
+        )
+        assert res["skipped"] is False and res["n_kept"] == 1
+        out[rule] = _assignment_map(ingest_assignment(spark, f"{r}/out"))
+    assert out["min_id"][10] == ("corpus", None, None)
+    assert out["min_id"][11] == ("dlq", "dup_batch", 10)
+    assert out["quality"][11] == ("corpus", None, None)
+    assert out["quality"][10] == ("dlq", "dup_batch", 11)
+
+    # cross-batch: a later higher-quality copy is STILL a dup_index drop
+    r = str(tmp_path / "quality")
+    later = spark.createDataFrame([(12, base + " tail")], DOCS_SCHEMA)
+    dedup_ingest_batch(spark, later, f"{r}/index", f"{r}/out", 1, keep="quality")
+    got = _assignment_map(ingest_assignment(spark, f"{r}/out"))
+    assert got[12] == ("dlq", "dup_index", 11)
+
+
 def test_empty_and_shortdoc_first_slices(spark, tmp_path):
     """Edge regression: the index-readiness watermark must follow
     SIGNATURE count, not batch count.  Slice 0 is empty and slice 1
