@@ -74,10 +74,15 @@ def q11_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles_of(docs: DataFrame) -> DataFrame:
-    """Distinct word 3-gram shingles per (doc_id, text) frame."""
+def shingles_of(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """Word 3-gram shingles per (doc_id, text) frame — distinct by
+    default (set semantics, what exact-Jaccard intersection counting
+    needs).  Pass ``distinct=False`` when feeding ``minhash_signatures``
+    ONLY: MIN over a multiset equals MIN over its set, so the dedup
+    shuffle is pure waste there (one full exchange per signature pass —
+    measured as a chunk of the curation bus's per-batch overhead)."""
     ws = F.split(F.trim(F.col("text")), r"\s+")
-    return (
+    out = (
         docs.select("doc_id", ws.alias("ws"))
         .where(F.size("ws") >= NGRAM_N)
         .select(
@@ -89,8 +94,8 @@ def shingles_of(docs: DataFrame) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,19 +220,55 @@ def sig_array(sigs: DataFrame) -> DataFrame:
     )
 
 
+# Per-row rotation amounts for the band mix (distinct, non-zero so both
+# JVM shifts and numpy uint64 shifts are well-defined without the
+# shift-count-mod-64 edge).
+_BAND_ROTS = (1, 17, 31, 47)
+
+
+def _rotl64(col, k: int):
+    return F.shiftleft(col, k).bitwiseOR(F.shiftrightunsigned(col, 64 - k))
+
+
 def band_buckets(sigs: DataFrame) -> DataFrame:
     """(doc_id, h0..h63) → (doc_id, band_id, band_hash): LSH banding,
     16 bands × 4 rows — docs sharing any (band_id, band_hash) bucket
-    become candidates."""
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"h{b * LSH_ROWS + j}") for j in range(LSH_ROWS)]
+    become candidates.
+
+    band_hash is a rotate-XOR mix of the band's 4 signature rows (each
+    already a well-mixed xxhash64 minimum) rather than another hash
+    call: bit-identical to reproduce in numpy (``band_hashes_np`` — the
+    curation bus's driver-decide tier writes index slices with pyarrow,
+    no Spark job), overflow-free under ANSI mode, and equivalent for
+    bucketing — a hash coincidence only admits a false candidate, which
+    the exact (band_id, band_hash) equi-join plus the signature re-rank
+    removes."""
+    def mix(b: int):
+        out = _rotl64(F.col(f"h{b * LSH_ROWS}"), _BAND_ROTS[0])
+        for j in range(1, LSH_ROWS):
+            out = out.bitwiseXOR(
+                _rotl64(F.col(f"h{b * LSH_ROWS + j}"), _BAND_ROTS[j])
             )
-            for b in range(LSH_BANDS)
-        ]
-    )
+        return out
+
+    band_hashes = F.array(*[mix(b) for b in range(LSH_BANDS)])
     return sigs.select("doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash"))
+
+
+def band_hashes_np(mat):
+    """numpy twin of ``band_buckets``'s mix: (n, 64) int64 signature
+    matrix → (n, 16) int64 band hashes, bit-identical to the Spark
+    column expression (differential-gated in pytest)."""
+    import numpy as np
+
+    u = np.ascontiguousarray(mat).view(np.uint64)
+    out = np.zeros((u.shape[0], LSH_BANDS), dtype=np.uint64)
+    for b in range(LSH_BANDS):
+        for j in range(LSH_ROWS):
+            x = u[:, b * LSH_ROWS + j]
+            k = _BAND_ROTS[j]
+            out[:, b] ^= (x << np.uint64(k)) | (x >> np.uint64(64 - k))
+    return out.view(np.int64)
 
 
 def minhash_candidates(
@@ -256,7 +297,14 @@ def minhash_pairs_of(docs: DataFrame) -> DataFrame:
     (``incremental_neardup`` covers new-vs-indexed; this covers
     new-vs-new).  Same scale shape as the registry query: the banding
     join shuffles bucket rows, never text."""
-    sigs = minhash_signatures(shingles_of(docs))
+    return pairs_from_sigs(minhash_signatures(shingles_of(docs, distinct=False)))
+
+
+def pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """``minhash_pairs_of`` for a PRE-COMPUTED signature frame
+    (doc_id, h0..h63) — the curation bus computes one signature frame
+    per micro-batch and shares it across the index probe, this
+    within-batch pair scan, and the index append."""
     banded = band_buckets(sigs)
     cand = (
         banded.alias("x")
@@ -563,20 +611,92 @@ def qz11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental MinHash index: layout + probe tiers ----------------------
+#
+# The stored index is PROBE-OPTIMIZED, not scan-optimized: a probe
+# carries the batch's band hashes (16 per doc) and wants the stored
+# rows colliding with them — a needle query, not an analytical scan.
+# Three layout decisions serve it:
+#
+# * bands/ is partitioned by band_id and SORTED by band_hash within
+#   every file, with small row groups (_BAND_RG_BYTES): each row group's
+#   parquet min/max statistics then cover a NARROW hash range, so a
+#   probe can skip every row group containing no batch hash;
+# * signatures/ is sorted by doc_id the same way — the candidate
+#   re-rank fetches signatures for the (few) colliding old_ids by the
+#   same row-group pruning;
+# * probe I/O is therefore O(min(batch_keys x row_group, index)) — flat
+#   in index size once the index has more row groups than the batch has
+#   distinct hashes (the long-running-bus regime), and never worse than
+#   the full scan below the crossover.  CURATION_PROBE_SCALE.json is
+#   the measured curve.
+#
+# Probe tiers (incremental_neardup's ``probe_mode``):
+#   "rowgroup" — the pruned scan above, executed as mapInPandas over the
+#       index FILE list: every task opens its files' footers, prunes row
+#       groups against the (broadcast, sorted) batch key array with
+#       numpy searchsorted, reads survivors via pyarrow, and emits only
+#       exactly-matching rows.  No Spark shuffle touches the stored
+#       table at all.
+#   "bitmap"  — Spark-native fallback for batch key sets too large to
+#       broadcast usefully (decontamination-style probes): the batch's
+#       keys fold into a 64 KiB xxhash64 bit array (qz26_bitmap_semijoin's
+#       move); the stored scan reaches the join only through the
+#       broadcast mask test, so the shuffle sees collisions + rare false
+#       positives, never the index.  Scan I/O stays O(index) — the right
+#       trade when keys ~ index anyway.
+#   "full"    — the plain band-bucket join (the oracle tier the identity
+#       gates compare against).
+#   "auto"    — "rowgroup" when the batch's distinct band hashes fit
+#       PROBE_RG_MAX_KEYS, else "bitmap".
+
+# Row-group sizing is the pruning granularity: probe I/O floor is
+# (batch keys x row-group rows), so smaller groups push the flat regime
+# down to smaller indexes, at ~200 B of footer statistics per group
+# (128 KiB groups: ~0.4% metadata overhead, ~5.4k band rows per range).
+_BAND_RG_BYTES = 1 << 17
+_SIG_RG_BYTES = 1 << 19
+PROBE_RG_MAX_KEYS = 1 << 17  # 131072 hashes ~ 8k docs/batch; 1 MB broadcast
+PROBE_RG_MIN_INDEX_BYTES = 1 << 28  # below 256 MiB auto just scans the index
+_BITMAP_WORDS = 1024  # 65,536 bits — same sizing as qz26_bitmap_semijoin
+
+
 def materialize_minhash_index(docs: DataFrame, base_path: str) -> None:
     """Persist the MinHash dedup index for a corpus: ``signatures/``
     (doc_id, sig array<long>) and ``bands/`` (doc_id, band_id,
     band_hash), the amortization point the _shingles docstring names —
     at 100 TB you compute signatures ONCE per corpus snapshot and every
     later dedup pass (new crawl, eval decontamination) joins against
-    this table instead of re-reading text.  bands/ is written
-    partitioned by band_id so an incremental probe prunes to the
-    partitions it hashes into."""
-    sigs = minhash_signatures(shingles_of(docs))
-    sig_array(sigs).write.mode("overwrite").parquet(f"{base_path}/signatures")
+    this table instead of re-reading text.  Layout is probe-optimized
+    (header comment): bands/ partitioned by band_id, sorted by band_hash
+    within files, small row groups for stat-pruned point probes."""
+    sigs = minhash_signatures(shingles_of(docs, distinct=False))
+    _write_sig_slice(sigs, base_path, mode="overwrite")
+
+
+def _write_sig_slice(sigs: DataFrame, base_path: str, mode: str) -> None:
+    """The two index writes shared by materialize and append: sorted,
+    small-row-group, probe-optimized (header comment)."""
+    (
+        sig_array(sigs)
+        .sortWithinPartitions("doc_id")
+        .write.mode(mode)
+        .option("parquet.block.size", str(_SIG_RG_BYTES))
+        .parquet(f"{base_path}/signatures")
+    )
     (
         band_buckets(sigs)
-        .write.mode("overwrite")
+        # sort key includes band_id so the partitioned-write machinery's
+        # required clustering is already satisfied (no injected re-sort
+        # that could break band_hash order); within each written file
+        # rows are then band_hash-ascending — the property row-group
+        # stat pruning needs.  No repartition: every input task writes
+        # its slice of all 16 band dirs (full write parallelism; a
+        # band is never forced through one task)
+        .sortWithinPartitions("band_id", "band_hash")
+        .write.mode(mode)
+        .option("parquet.block.size", str(_BAND_RG_BYTES))
+        .option("parquet.page.size", str(1 << 16))
         .partitionBy("band_id")
         .parquet(f"{base_path}/bands")
     )
@@ -605,51 +725,375 @@ def append_minhash_index(new_docs: DataFrame, base_path: str) -> int:
     ``index_ready`` watermark does exactly this)."""
     # checkpoint the wide signature frame once so the two appends below
     # (array form + banding) don't re-shingle the slice twice
-    sigs = minhash_signatures(shingles_of(new_docs)).localCheckpoint(eager=True)
-    n = sigs.count()
+    sigs = minhash_signatures(shingles_of(new_docs, distinct=False)).localCheckpoint(eager=True)
+    return append_minhash_index_sigs(sigs, base_path)
+
+
+def append_minhash_index_sigs(
+    sigs: DataFrame,
+    base_path: str,
+    n_known: int | None = None,
+    coalesce_to: int | None = None,
+) -> int:
+    """``append_minhash_index`` for a PRE-COMPUTED (and already
+    materialized — persisted or checkpointed) signature frame
+    (doc_id, h0..h63): the curation bus computes one signature frame
+    per micro-batch and feeds it to the probe, the within-batch pair
+    scan, AND this append — re-shingling the slice three times was the
+    bulk of the bus's fixed per-batch overhead.
+
+    ``n_known`` skips the count job when the caller already knows the
+    slice's signature count (the bus's driver-decide tier does).
+    ``coalesce_to`` bounds the append's output FILE count — a
+    micro-batch written at session shuffle width sprays
+    partitions x 16 band files per batch, and every later probe pays
+    the open() storm; the bus coalesces its (small by definition)
+    batches to 1."""
+    n = int(n_known) if n_known is not None else sigs.count()
     if n == 0:
         return 0
-    sig_array(sigs).write.mode("append").parquet(f"{base_path}/signatures")
-    (
-        band_buckets(sigs)
-        .write.mode("append")
-        .partitionBy("band_id")
-        .parquet(f"{base_path}/bands")
+    if coalesce_to is not None:
+        sigs = sigs.coalesce(coalesce_to)
+    _write_sig_slice(sigs, base_path, mode="append")
+    return n
+
+
+def _list_index_files(root: str, part_col: str | None) -> list[tuple[str, int]]:
+    """(file path, partition value) pairs for one index table.  Local
+    and shared-POSIX filesystems; on an object store swap in the
+    matching listing call — the probe tasks only need paths pyarrow can
+    open."""
+    import os
+
+    out: list[tuple[str, int]] = []
+    if not os.path.isdir(root):
+        return out
+    if part_col is None:
+        for fn in sorted(os.listdir(root)):
+            if fn.endswith(".parquet"):
+                out.append((os.path.join(root, fn), 0))
+        return out
+    for d in sorted(os.listdir(root)):
+        if not d.startswith(f"{part_col}="):
+            continue
+        pv = int(d.split("=", 1)[1])
+        sub = os.path.join(root, d)
+        for fn in sorted(os.listdir(sub)):
+            if fn.endswith(".parquet"):
+                out.append((os.path.join(sub, fn), pv))
+    return out
+
+
+def probe_index_rowgroups(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    keys,
+    columns: list[str],
+    out_schema: str,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Stat-pruned point probe of a sorted index table (header comment):
+    returns the stored rows whose ``key_col`` is in ``keys``, reading
+    only the parquet row groups whose [min,max] intersects the key set.
+
+    Distributed as mapInPandas over the FILE list — each task opens its
+    files' footers, prunes with numpy searchsorted against the broadcast
+    sorted key array, reads surviving row groups with pyarrow, and
+    exact-filters before emitting.  Row groups without statistics are
+    conservatively read (pruning may only skip PROVABLY empty groups —
+    a false skip would silently drop true duplicate pairs).
+    """
+    import numpy as np
+
+    files = _list_index_files(root, part_col)
+    key_arr = np.sort(np.asarray(list(keys), dtype=np.int64))
+    if not files or key_arr.size == 0:
+        return spark.createDataFrame([], out_schema)
+    keys_b = spark.sparkContext.broadcast(key_arr)
+    par = min(len(files), spark.sparkContext.defaultParallelism)
+    fdf = spark.createDataFrame(files, "path string, pv int").repartition(par)
+    pcol = part_col
+
+    def scan(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        karr = keys_b.value
+        for pdf in batches:
+            for path, pv in zip(pdf["path"], pdf["pv"]):
+                f = pq.ParquetFile(path)
+                md = f.metadata
+                ci = md.schema.to_arrow_schema().get_field_index(key_col)
+                keep = []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or st.min is None or st.max is None:
+                        keep.append(rg)
+                        continue
+                    lo = int(np.searchsorted(karr, st.min, side="left"))
+                    if lo < karr.size and int(karr[lo]) <= st.max:
+                        keep.append(rg)
+                if not keep:
+                    continue
+                tb = f.read_row_groups(keep, columns=columns)
+                kv = tb[key_col].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(karr, kv)
+                np.clip(idx, 0, karr.size - 1, out=idx)
+                mask = karr[idx] == kv
+                if not mask.any():
+                    continue
+                out = tb.filter(pa.array(mask)).to_pandas()
+                if pcol is not None:
+                    out[pcol] = int(pv)
+                yield out
+
+    return fdf.mapInPandas(scan, out_schema)
+
+
+def rowgroup_prune_stats(
+    root: str, key_col: str, keys, part_col: str | None = None
+) -> dict:
+    """Driver-side pruning WITNESS for the rowgroup probe tier: applies
+    the exact searchsorted rule the scan tasks apply and reports how
+    many row groups / rows the probe reads vs the index total — the
+    number the scale record publishes beside the wall curve (and the
+    pytest gate asserts shrinks)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    karr = np.sort(np.asarray(list(keys), dtype=np.int64))
+    out = {"row_groups_total": 0, "row_groups_read": 0,
+           "rows_total": 0, "rows_read": 0, "files": 0}
+    for path, _ in _list_index_files(root, part_col):
+        out["files"] += 1
+        md = pq.ParquetFile(path).metadata
+        ci = md.schema.to_arrow_schema().get_field_index(key_col)
+        for rg in range(md.num_row_groups):
+            meta = md.row_group(rg)
+            out["row_groups_total"] += 1
+            out["rows_total"] += meta.num_rows
+            st = meta.column(ci).statistics
+            if st is None or st.min is None or st.max is None:
+                hit = True
+            else:
+                lo = int(np.searchsorted(karr, st.min, side="left"))
+                hit = lo < karr.size and int(karr[lo]) <= st.max
+            if hit:
+                out["row_groups_read"] += 1
+                out["rows_read"] += meta.num_rows
+    return out
+
+
+def _bitmap_thin(stored: DataFrame, keys_df: DataFrame, key_col: str) -> DataFrame:
+    """Broadcast-bitmap pre-thin (qz26_bitmap_semijoin's move applied to
+    the index probe): fold the batch's join keys into a 64 KiB xxhash64
+    bit array and drop stored rows whose key cannot be in the batch
+    BEFORE any shuffle.  False positives pass (the exact join removes
+    them); false negatives are impossible."""
+    h = F.xxhash64(F.col(key_col))
+    word = F.pmod(h, F.lit(_BITMAP_WORDS)).cast("int").alias("word")
+    bit = F.pmod(F.shiftrightunsigned(h, 32), F.lit(64)).cast("int")
+    one_shl_bit = F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    bitmap = (
+        keys_df.select(word, bit.alias("bit"))
+        .groupBy("word")
+        .agg(F.bit_or(one_shl_bit).alias("mask"))
     )
-    return int(n)
+    return (
+        stored.withColumn("word", word)
+        .withColumn("bit", bit.alias("bit"))
+        .join(F.broadcast(bitmap), "word")
+        .where(F.col("mask").bitwiseAND(one_shl_bit) != 0)
+        .drop("word", "bit", "mask")
+    )
+
+
+def _collect_keys_capped(df: DataFrame, col: str, cap: int) -> list[int] | None:
+    """Distinct values of one long column, or None when they exceed
+    ``cap`` (one job; the limit bounds driver memory by construction)."""
+    rows = df.select(col).distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [r[0] for r in rows]
+
+
+def append_minhash_index_local(ids, mat, base_path: str) -> int:
+    """Driver-side ``append_minhash_index_sigs`` twin for an ALREADY
+    COLLECTED signature slice — ``ids`` (n,) int64 doc ids, ``mat``
+    (n, 64) int64 signatures — the curation bus's driver-decide tier
+    has the batch's signatures in hand, so the index append is
+    four-figure rows of numpy + pyarrow, not two Spark write jobs
+    (measured ~1.7 s of pure job overhead per micro-batch).  Same
+    layout contract as ``_write_sig_slice``: signatures sorted by
+    doc_id, per-band files sorted by band_hash, small row groups —
+    probe-identity vs the Spark-written index is pytest-gated.  Returns
+    the number of signatures appended."""
+    import os
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.asarray(ids, dtype=np.int64)
+    mat = np.asarray(mat, dtype=np.int64)
+    if ids.size == 0:
+        return 0
+    tag = uuid.uuid4().hex
+
+    order = np.argsort(ids, kind="stable")
+    sig_tb = pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "sig": pa.array(list(mat[order]), pa.list_(pa.int64())),
+        }
+    )
+    sig_dir = os.path.join(base_path, "signatures")
+    os.makedirs(sig_dir, exist_ok=True)
+    pq.write_table(
+        sig_tb,
+        os.path.join(sig_dir, f"part-local-{tag}.parquet"),
+        row_group_size=max(64, _SIG_RG_BYTES // 520),
+    )
+
+    bh = band_hashes_np(mat)
+    band_rg = max(64, _BAND_RG_BYTES // 24)
+    for b in range(LSH_BANDS):
+        o = np.argsort(bh[:, b], kind="stable")
+        tb = pa.table(
+            {
+                "doc_id": pa.array(ids[o], pa.int64()),
+                "band_hash": pa.array(bh[o, b], pa.int64()),
+            }
+        )
+        d = os.path.join(base_path, "bands", f"band_id={b}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            tb, os.path.join(d, f"part-local-{tag}.parquet"),
+            row_group_size=band_rg,
+        )
+    return int(ids.size)
 
 
 def incremental_neardup(
-    spark: SparkSession, new_docs: DataFrame, index_base: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_base: str,
+    probe_mode: str = "auto",
+    _sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (new_doc_id, indexed_doc_id, est_jaccard) of NEW
     documents against a ``materialize_minhash_index`` output — the
     incremental path: signatures/bands are computed only for the new
-    slice, the stored corpus is touched only through the band-bucket
-    join (shuffle carries bucket rows, never text), and signature
+    slice (pass ``_sigs`` to reuse an already-materialized signature
+    frame), the stored corpus is touched only through the probe tier
+    (header comment above ``materialize_minhash_index``), and signature
     agreement estimates Jaccard exactly as the batch operator does.
+
+    ``probe_mode``: "auto" | "rowgroup" | "bitmap" | "full".  All four
+    return identical pairs (identity-gated); they differ only in how
+    much of the stored index the probe reads and shuffles.
     """
-    nsigs = minhash_signatures(shingles_of(new_docs))
+    if probe_mode not in ("auto", "rowgroup", "bitmap", "full"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
+    if _sigs is not None:
+        nsigs = _sigs
+    else:
+        # materialize once: the band probe, the key collection, and the
+        # signature re-rank all reuse it instead of re-shingling
+        nsigs = minhash_signatures(shingles_of(new_docs, distinct=False)).localCheckpoint(eager=True)
     nband = band_buckets(nsigs).withColumnRenamed("doc_id", "new_id")
-    # explicit schemas: a partitioned write of an EMPTY corpus leaves no
-    # data files (only _SUCCESS), and schema inference would fail on the
-    # very index an empty first snapshot legitimately produces
-    oband = spark.read.schema("doc_id long, band_hash long, band_id int").parquet(
-        f"{index_base}/bands"
-    ).withColumnRenamed("doc_id", "old_id")
+
+    mode = probe_mode
+    if mode == "auto":
+        import os
+
+        files = _list_index_files(f"{index_base}/bands", "band_id")
+        idx_bytes = sum(os.stat(p).st_size for p, _ in files)
+        if files and idx_bytes < PROBE_RG_MIN_INDEX_BYTES:
+            # a small index is cheaper to scan whole in one codegen
+            # join stage than to point-probe (the rowgroup tier pays
+            # Python workers + two driver collects per probe; the
+            # bitmap tier pays the mask build) — the pruning tiers are
+            # for indexes the scan can no longer afford
+            mode = "full"
+    band_keys: list[int] | None = None
+    if mode in ("auto", "rowgroup"):
+        band_keys = _collect_keys_capped(nband, "band_hash", PROBE_RG_MAX_KEYS)
+        if mode == "rowgroup" and band_keys is None:
+            raise ValueError(
+                f"probe_mode='rowgroup' needs <= {PROBE_RG_MAX_KEYS} distinct"
+                " band hashes; use 'auto' to fall back to 'bitmap'"
+            )
+        mode = "rowgroup" if band_keys is not None else "bitmap"
+
+    if mode == "rowgroup":
+        # stat-pruned point probe: hashes alone drive the pruning (the
+        # band hash already mixes band_id in, xxhash64(lit(b), ...));
+        # the exact equi-join on BOTH keys below removes any cross-band
+        # hash coincidence the pre-filter admits
+        oband = probe_index_rowgroups(
+            spark,
+            f"{index_base}/bands",
+            "band_hash",
+            band_keys,
+            ["doc_id", "band_hash"],
+            "doc_id long, band_hash long, band_id int",
+            part_col="band_id",
+        ).withColumnRenamed("doc_id", "old_id")
+    else:
+        # explicit schemas: a partitioned write of an EMPTY corpus
+        # leaves no data files (only _SUCCESS), and schema inference
+        # would fail on the very index an empty first snapshot
+        # legitimately produces
+        oband = spark.read.schema(
+            "doc_id long, band_hash long, band_id int"
+        ).parquet(f"{index_base}/bands").withColumnRenamed("doc_id", "old_id")
+        if mode == "bitmap":
+            oband = _bitmap_thin(
+                oband, nband.select("band_hash"), "band_hash"
+            )
+
     cand = (
         nband.join(oband, ["band_id", "band_hash"])
+        # a probed doc whose OWN signatures already sit in the index
+        # (crash-window redelivery, or a deliberate re-probe) must not
+        # report itself as its duplicate — self-pairs are meaningless
+        # and, unfiltered, they turned the curation bus's redelivery
+        # path into silent data loss (every survivor self-matched at
+        # est 1.0 and was re-routed to the DLQ)
+        .where(F.col("new_id") != F.col("old_id"))
         .select("new_id", "old_id")
         .distinct()
     )
     nsig = sig_array(nsigs).select(
         F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_new")
     )
-    osig = spark.read.schema("doc_id long, sig array<long>").parquet(
-        f"{index_base}/signatures"
-    ).select(
-        F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
-    )
+    if mode == "rowgroup":
+        # candidate old_ids are the COLLISION set — bounded by true
+        # near-dups + banding false positives, so the same stat-pruned
+        # point fetch covers the signature re-rank; the cap guards the
+        # pathological collision storm (fall back to the full join)
+        cand = cand.localCheckpoint(eager=True)
+        old_ids = _collect_keys_capped(cand, "old_id", PROBE_RG_MAX_KEYS)
+    else:
+        old_ids = None
+    if old_ids is not None:
+        osig = probe_index_rowgroups(
+            spark,
+            f"{index_base}/signatures",
+            "doc_id",
+            old_ids,
+            ["doc_id", "sig"],
+            "doc_id long, sig array<long>",
+        ).select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old"))
+    else:
+        osig = spark.read.schema("doc_id long, sig array<long>").parquet(
+            f"{index_base}/signatures"
+        ).select(
+            F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
+        )
     agree = F.aggregate(
         F.zip_with("sig_new", "sig_old", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -704,6 +1148,50 @@ def qz11_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_neardup(spark, new_docs, base)
+
+
+CLUSTER_LOCAL_MAX_EDGES = 200_000
+
+
+def dedup_clusters_auto(
+    spark: SparkSession,
+    pairs: DataFrame,
+    max_local_edges: int = CLUSTER_LOCAL_MAX_EDGES,
+) -> DataFrame:
+    """``dedup_clusters`` with a driver union-find fast tier — the AUTO
+    posture the kNN/LPA operators use, applied to the curation bus's
+    within-batch clustering: a micro-batch's near-dup pair set is tiny
+    (bounded by batch size x duplication rate, usually EMPTY), yet the
+    distributed min-label fixpoint pays several fixed jobs per round
+    regardless.  Collect up to ``max_local_edges`` pairs (3 longs each —
+    a few MB at the cap) and run path-compressed union-find with
+    min-id representatives — IDENTICAL semantics to the fixpoint
+    (min node id of the connected component), identity-gated in pytest —
+    falling back to the distributed operator beyond the cap.  NOT for
+    corpus-wide clustering: that tier's edge sets are unbounded and
+    belong to ``dedup_clusters``."""
+    rows = pairs.select("d1", "d2").limit(max_local_edges + 1).collect()
+    if len(rows) > max_local_edges:
+        return dedup_clusters(pairs.localCheckpoint())
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, cluster_rep long")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    nodes = {v for r in rows for v in (r[0], r[1])}
+    labels = [(n, find(n)) for n in nodes]
+    return spark.createDataFrame(labels, "doc_id long, cluster_rep long")
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -401,7 +401,9 @@ def qz13_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket join against the index; text never shuffles; state
     lives in storage (index + meta watermark), not in stream state
     stores."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from frizzle_spark.streaming.curation import (
@@ -411,6 +413,10 @@ def qz13_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="qz13_ingest_")
+    # the scratch tree holds a full corpus copy (replay + index + out +
+    # ckpt); bench min-of-n across scale factors would otherwise
+    # accumulate unbounded /tmp — same pattern as qz11_incremental_neardup
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     replay, index, out, ckpt = (
         f"{base}/replay",
         f"{base}/index",

@@ -32,18 +32,31 @@ overwrite — so Spark's standard failure mode (redeliver the last
 uncommitted micro-batch with the SAME batch_id) rewrites the partial
 partition instead of duplicating it, and replay of an already-committed
 batch is a no-op.  The index append sits between the sink write and the
-meta commit; a crash in that window can duplicate index ROWS, which is
-deliberately benign — every downstream consumer is set-semantic
-(candidates are ``.distinct()``-ed, the drop decision is min-aggregated)
-so decisions are unchanged, only probe cost inflates — and the pytest
-replay test pins exactly that.
+meta commit; a crash in that window leaves this batch's own survivors
+in the index when the batch is redelivered.  Two guards make that
+window truly benign: the redelivered batch's probe EXCLUDES its own
+doc_ids from the index side (so a survivor never sees itself or a
+same-batch sibling as "previously accepted" — without this, every
+survivor self-matched at est 1.0 and the rewritten corpus partition
+came out EMPTY), and duplicated rows from prior batches change no
+decision because every consumer is set-semantic (candidates are
+``.distinct()``-ed, the drop decision is min-aggregated).  The pytest
+gates pin both: redelivery-after-uncommitted-append reproduces the
+original assignment bit-for-bit, and doubled prior-batch index rows
+change no pair.
 
-Scale shape (100 TB): per-batch cost is O(batch docs) signature work
-plus one band-bucket join against the stored index — text never
-shuffles; the index grows only by survivors, so a crawl that is 40%
-duplicate pays index writes for the 60%.  State lives entirely in
-storage (index + meta), NOT in stream state stores — restart needs no
-state recovery beyond the checkpoint offsets and the meta watermark.
+Scale shape (100 TB): per-batch cost is O(batch docs) signature work —
+computed ONCE per batch and shared by the probe, the within-batch pair
+scan, and the index append — plus the index probe, which reads only the
+parquet row groups whose band_hash statistics intersect the batch's
+hashes (the "rowgroup" tier in operators/dedup.py): probe I/O is
+O(min(batch_keys x row_group, index)), flat in index size once the
+index outgrows the batch instead of a full index scan per micro-batch.
+Text never shuffles; the index grows only by survivors, so a crawl
+that is 40% duplicate pays index writes for the 60%.  State lives
+entirely in storage (index + meta), NOT in stream state stores —
+restart needs no state recovery beyond the checkpoint offsets and the
+meta watermark.
 """
 
 from __future__ import annotations
@@ -76,6 +89,289 @@ def _write_ingest_meta(out_base: str, meta: dict) -> None:
     os.replace(tmp, path)
 
 
+# Driver-decide cap: a micro-batch at this size collects ~35 MB of
+# signatures; beyond it the distributed twin takes over.  Micro-batches
+# are small BY DEFINITION (the stream trigger bounds them) — this is the
+# same AUTO posture as ranks.py / graph.py, applied to the decision loop.
+LOCAL_DECIDE_MAX_DOCS = 1 << 16
+
+
+def _decide_local(
+    spark: SparkSession,
+    batch: DataFrame,
+    sigs: DataFrame,
+    index_base: str,
+    keep: str,
+    meta: dict,
+):
+    """Driver-side decision tier: collect the batch's (bounded) doc ids
+    and MinHash signatures, band by signature 4-TUPLES (band-hash
+    equality in the distributed twin IS tuple equality — the band hash
+    only compresses the tuple), union-find the within-batch
+    near-dup components, apply the survivor rule, and return
+    (assignment as a literal local relation, the raw assignment rows,
+    the survivors' signature rows for the driver-side index append,
+    n_in, n_kept).  Returns None when any collected set exceeds its cap — the
+    distributed twin then decides.  Semantics are identical by
+    construction and pinned by the forced-tier identity gate."""
+    import numpy as np
+
+    from frizzle_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_PERMS,
+        incremental_neardup,
+    )
+
+    if keep not in ("min_id", "quality"):
+        raise ValueError(f"keep must be 'min_id' or 'quality', got {keep!r}")
+    cap = LOCAL_DECIDE_MAX_DOCS
+    # Arrow collection end to end: no Row-object materialization (a
+    # 65-column Row collect measurably dominates the decide phase)
+    if keep == "quality":
+        from frizzle_spark.functions.text import quality_score
+
+        id_tb = (
+            batch.select("doc_id", quality_score(F.col("text")).alias("q"))
+            .limit(cap + 1)
+            .toArrow()
+        )
+    else:
+        id_tb = batch.select("doc_id").limit(cap + 1).toArrow()
+    if id_tb.num_rows > cap:
+        return None
+    sig_tb = sigs.limit(cap + 1).toArrow()
+    if sig_tb.num_rows > cap:  # pathological: more signatures than docs
+        return None
+
+    doc_ids = id_tb["doc_id"].to_pylist()
+    quality = (
+        dict(zip(doc_ids, id_tb["q"].to_pylist()))
+        if keep == "quality"
+        else None
+    )
+
+    # cross probe: new-vs-index near-dup pairs, collected (bounded by
+    # true collisions; a storm over the cap falls back to distributed)
+    idx_dup_of: dict[int, int] = {}
+    if meta.get("index_ready"):
+        cross_tb = (
+            incremental_neardup(spark, batch, index_base, _sigs=sigs)
+            .select("new_id", "old_id")
+            .limit(cap + 1)
+            .toArrow()
+        )
+        if cross_tb.num_rows > cap:
+            return None
+        batch_set = set(doc_ids)
+        for new_id, old_id in zip(
+            cross_tb["new_id"].to_pylist(), cross_tb["old_id"].to_pylist()
+        ):
+            # crash-window redelivery guard: this batch's own survivors
+            # may already sit in the index — ignore them so the
+            # redelivered run reproduces the original assignment
+            if old_id in batch_set:
+                continue
+            cur = idx_dup_of.get(new_id)
+            if cur is None or old_id < cur:
+                idx_dup_of[new_id] = old_id
+
+    # within-batch candidates: band b collides iff the 4 signature rows
+    # of band b are equal — bucket by the tuple, estimate Jaccard as
+    # agreeing signature fraction, threshold as the distributed twin
+    if sig_tb.num_rows:
+        sids = sig_tb["doc_id"].to_numpy().astype(np.int64, copy=False)
+        mat = np.column_stack(
+            [
+                sig_tb[f"h{k}"].to_numpy(zero_copy_only=False)
+                for k in range(MINHASH_PERMS)
+            ]
+        ).astype(np.int64, copy=False)
+    else:
+        sids = np.empty(0, dtype=np.int64)
+        mat = np.empty((0, MINHASH_PERMS), dtype=np.int64)
+    if len(sids):
+        cand: set[tuple[int, int]] = set()
+        for b in range(LSH_BANDS):
+            buckets: dict[tuple, list[int]] = {}
+            block = mat[:, b * LSH_ROWS : (b + 1) * LSH_ROWS]
+            for i in range(len(sids)):
+                buckets.setdefault(tuple(block[i]), []).append(i)
+            for members in buckets.values():
+                for x in range(1, len(members)):
+                    for y in range(x):
+                        i, j = members[y], members[x]
+                        cand.add((i, j) if sids[i] < sids[j] else (j, i))
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for i, j in cand:
+            if np.mean(mat[i] == mat[j]) >= JACCARD_THRESHOLD:
+                a, b2 = find(int(sids[i])), find(int(sids[j]))
+                if a != b2:
+                    parent[max(a, b2)] = min(a, b2)
+        cluster = {d: find(d) for d in map(int, sids)}
+    else:
+        cluster = {}
+
+    # survivor rule per cluster over ELIGIBLE members (not index dups)
+    keep_of: dict[int, int] = {}
+    for d in doc_ids:
+        if d in idx_dup_of:
+            continue
+        c = cluster.get(d, d)
+        cur = keep_of.get(c)
+        if cur is None:
+            keep_of[c] = d
+        elif quality is not None:
+            if (quality[d], -d) > (quality[cur], -cur):
+                keep_of[c] = d
+        elif d < cur:
+            keep_of[c] = d
+
+    rows = []
+    n_kept = 0
+    kept_ids = set()
+    for d in doc_ids:
+        c = cluster.get(d, d)
+        k = keep_of.get(c)
+        if k == d:
+            rows.append((d, "corpus", None, None))
+            n_kept += 1
+            kept_ids.add(d)
+        elif d in idx_dup_of:
+            rows.append((d, "dlq", "dup_index", idx_dup_of[d]))
+        else:
+            # coalesce(idx_dup_of, keep_id) as in the distributed twin;
+            # k can't be None here (an ineligible doc is an index dup)
+            rows.append((d, "dlq", "dup_batch", k))
+    assign = spark.createDataFrame(rows, ASSIGNMENT_SCHEMA)
+    if len(sids):
+        kmask = np.fromiter(
+            (int(d) in kept_ids for d in sids), dtype=bool, count=len(sids)
+        )
+        kept_sig = (sids[kmask], mat[kmask])
+    else:
+        kept_sig = (sids, mat)
+    return assign, rows, kept_sig, len(doc_ids), n_kept
+
+
+def _write_dlq_local(rows: list, out_base: str, batch_id: int) -> None:
+    """Driver-side DLQ write for the local-decide tier: the routed rows
+    are already in hand, so the per-batch partition overwrite is one
+    pyarrow file instead of a Spark write job.  Same layout and
+    overwrite-idempotence as the distributed write."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dlq = [(d, reason, dup_of) for d, dest, reason, dup_of in rows
+           if dest == "dlq"]
+    target = os.path.join(out_base, "dlq", f"batch_id={batch_id}")
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+    tb = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in dlq], pa.int64()),
+            "reason": pa.array([r[1] for r in dlq], pa.string()),
+            "dup_of": pa.array([r[2] for r in dlq], pa.int64()),
+        }
+    )
+    pq.write_table(tb, os.path.join(target, "part-local-0.parquet"))
+
+
+def _decide_distributed(
+    spark: SparkSession,
+    batch: DataFrame,
+    sigs: DataFrame,
+    index_base: str,
+    keep: str,
+    meta: dict,
+) -> DataFrame:
+    """The fully distributed decision twin (the over-cap tier): same
+    probe, clustering, survivor rule and assignment expressions, with
+    the verdict pinned by an eager checkpoint before any state
+    mutation (the three consumers — corpus write, DLQ write, index
+    append — must see ONE verdict even if an executor retries)."""
+    from frizzle_spark.operators.dedup import (
+        dedup_clusters_auto,
+        incremental_neardup,
+        pairs_from_sigs,
+    )
+
+    if meta.get("index_ready"):
+        cross = incremental_neardup(spark, batch, index_base, _sigs=sigs)
+        # crash-window redelivery guard (see _decide_local)
+        cross = cross.join(
+            F.broadcast(batch.select(F.col("doc_id").alias("old_id"))),
+            "old_id",
+            "left_anti",
+        )
+        cross_hit = cross.groupBy(F.col("new_id").alias("doc_id")).agg(
+            F.min("old_id").alias("idx_dup_of")
+        )
+    else:  # first batch: nothing accepted yet
+        cross_hit = spark.createDataFrame([], "doc_id long, idx_dup_of long")
+
+    labels = dedup_clusters_auto(spark, pairs_from_sigs(sigs))
+
+    m = (
+        batch.select("doc_id")
+        .join(labels, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster"),
+        )
+        .join(cross_hit, "doc_id", "left_outer")
+    )
+    eligible = m.where(F.col("idx_dup_of").isNull())
+    if keep == "quality":
+        from pyspark.sql.window import Window
+
+        from frizzle_spark.functions.text import quality_score
+
+        q = batch.select("doc_id", quality_score(F.col("text")).alias("_q"))
+        w = Window.partitionBy("cluster").orderBy(F.desc("_q"), F.asc("doc_id"))
+        keep_ids = (
+            eligible.join(q, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("cluster", F.col("doc_id").alias("keep_id"))
+        )
+    elif keep == "min_id":
+        keep_ids = eligible.groupBy("cluster").agg(
+            F.min("doc_id").alias("keep_id")
+        )
+    else:
+        raise ValueError(f"keep must be 'min_id' or 'quality', got {keep!r}")
+    return (
+        m.join(keep_ids, "cluster", "left_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") == F.col("keep_id"), F.lit("corpus"))
+            .otherwise(F.lit("dlq"))
+            .alias("dest"),
+            F.when(F.col("doc_id") == F.col("keep_id"), F.lit(None).cast("string"))
+            .when(F.col("idx_dup_of").isNotNull(), F.lit("dup_index"))
+            .otherwise(F.lit("dup_batch"))
+            .alias("reason"),
+            F.when(F.col("doc_id") == F.col("keep_id"), F.lit(None).cast("long"))
+            .otherwise(F.coalesce("idx_dup_of", "keep_id"))
+            .alias("dup_of"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def dedup_ingest_batch(
     spark: SparkSession,
     batch_docs: DataFrame,
@@ -102,106 +398,105 @@ def dedup_ingest_batch(
     would mean un-publishing an already-committed survivor, which an
     append-only corpus cannot do).  The pairwise-non-near-dup survivor
     invariant holds for both rules."""
+    import time
+
     from frizzle_spark.operators.dedup import (
-        append_minhash_index,
-        dedup_clusters,
-        incremental_neardup,
-        minhash_pairs_of,
+        append_minhash_index_local,
+        append_minhash_index_sigs,
+        minhash_signatures,
+        shingles_of,
     )
+
+    profile = os.environ.get("FRIZZLE_CURATION_PROFILE") == "1"
+    phases: dict[str, float] = {}
+    t_phase = time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal t_phase
+        if profile:
+            phases[name] = round(time.perf_counter() - t_phase, 3)
+            t_phase = time.perf_counter()
 
     meta = _read_ingest_meta(out_base)
     if batch_id <= int(meta.get("committed_batch", -1)):
         return {"skipped": True, "batch_id": batch_id}
 
     batch = batch_docs.select("doc_id", "text").persist()
+    # scale the batch body's shuffle width to the BATCH, not the
+    # session: a micro-batch of one crawl slice through ~10 small
+    # shuffles at the session's cluster-sized partition count pays the
+    # whole wall in empty-task overhead (AQE's parallelismFirst keeps
+    # them wide).  Input split count is known without a job and grows
+    # with real batch size, so a 10M-doc batch still fans out.
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    n_parts = max(8, 2 * batch_docs.rdd.getNumPartitions())
+    conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
+        # ONE signature pass per batch: the index probe, the
+        # within-batch pair scan, and the index append all reuse this
+        # materialized frame (re-shingling the slice three times was
+        # the bulk of the bus's fixed per-batch overhead)
+        sigs = minhash_signatures(shingles_of(batch, distinct=False)).localCheckpoint(eager=True)
+        _mark("sigs")
+
         # -- decide -------------------------------------------------------
-        if meta.get("index_ready"):
-            cross = incremental_neardup(spark, batch, index_base)
-            cross_hit = cross.groupBy(F.col("new_id").alias("doc_id")).agg(
-                F.min("old_id").alias("idx_dup_of")
-            )
-        else:  # first batch: nothing accepted yet
-            cross_hit = spark.createDataFrame([], "doc_id long, idx_dup_of long")
-
-        # no emptiness pre-check: take(1) would materialize the pair set
-        # a second time; dedup_clusters converges in one cheap round on
-        # an empty edge set
-        labels = dedup_clusters(minhash_pairs_of(batch).select("d1", "d2"))
-
-        m = (
-            batch.select("doc_id")
-            .join(labels, "doc_id", "left_outer")
-            .select(
-                "doc_id",
-                F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster"),
-            )
-            .join(cross_hit, "doc_id", "left_outer")
-        )
-        eligible = m.where(F.col("idx_dup_of").isNull())
-        if keep == "quality":
-            from pyspark.sql.window import Window
-
-            from frizzle_spark.functions.text import quality_score
-
-            q = batch.select(
-                "doc_id", quality_score(F.col("text")).alias("_q")
-            )
-            w = Window.partitionBy("cluster").orderBy(
-                F.desc("_q"), F.asc("doc_id")
-            )
-            keep_ids = (
-                eligible.join(q, "doc_id")
-                .withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .select("cluster", F.col("doc_id").alias("keep_id"))
-            )
-        elif keep == "min_id":
-            keep_ids = eligible.groupBy("cluster").agg(
-                F.min("doc_id").alias("keep_id")
-            )
+        # AUTO tier: micro-batches are small by definition, so the whole
+        # decision (within-batch banding, union-find clustering, survivor
+        # rule) runs on the DRIVER over the collected signature frame —
+        # zero Spark jobs beyond the index probe.  Batches over the cap
+        # (or probe collision storms) take the fully distributed twin,
+        # identity-gated in pytest.  The local assignment is a literal
+        # local relation, so the decision is pinned by construction (an
+        # executor retry can never re-derive a different verdict — the
+        # job the eager checkpoint used to do).
+        decided = _decide_local(spark, batch, sigs, index_base, keep, meta)
+        _mark("decide")
+        if decided is not None:
+            assign, assign_rows, kept_sig, n_in, n_kept = decided
         else:
-            raise ValueError(f"keep must be 'min_id' or 'quality', got {keep!r}")
-        assign = (
-            m.join(keep_ids, "cluster", "left_outer")
-            .select(
-                "doc_id",
-                F.when(F.col("doc_id") == F.col("keep_id"), F.lit("corpus"))
-                .otherwise(F.lit("dlq"))
-                .alias("dest"),
-                F.when(F.col("doc_id") == F.col("keep_id"), F.lit(None).cast("string"))
-                .when(F.col("idx_dup_of").isNotNull(), F.lit("dup_index"))
-                .otherwise(F.lit("dup_batch"))
-                .alias("reason"),
-                F.when(
-                    F.col("doc_id") == F.col("keep_id"), F.lit(None).cast("long")
-                )
-                .otherwise(F.coalesce("idx_dup_of", "keep_id"))
-                .alias("dup_of"),
+            assign = _decide_distributed(
+                spark, batch, sigs, index_base, keep, meta
             )
-            # pin the decision before any state mutation below: the three
-            # consumers (corpus write, DLQ write, index append) must see
-            # ONE verdict even if an executor retries a task
-            .localCheckpoint(eager=True)
-        )
+            by_dest = dict(assign.groupBy("dest").count().collect())
+            n_in = int(sum(by_dest.values()))
+            n_kept = int(by_dest.get("corpus", 0))
+            assign_rows = kept_sig = None
 
         # -- route (idempotent per-batch partition overwrite) --------------
-        survivors = batch.join(
-            assign.where(F.col("dest") == "corpus").select("doc_id"), "doc_id"
-        )
+        # the corpus write is always a Spark job (survivor TEXT lives on
+        # the executors and must never be collected); the DLQ rows are
+        # pointers only, already in hand on the local tier
+        keep_set = assign.where(F.col("dest") == "corpus").select("doc_id")
+        survivors = batch.join(F.broadcast(keep_set), "doc_id")
         survivors.write.mode("overwrite").parquet(
             f"{out_base}/corpus/batch_id={batch_id}"
         )
-        assign.where(F.col("dest") == "dlq").select(
-            "doc_id", "reason", "dup_of"
-        ).write.mode("overwrite").parquet(f"{out_base}/dlq/batch_id={batch_id}")
+        _mark("corpus_write")
+        if assign_rows is not None:
+            _write_dlq_local(assign_rows, out_base, batch_id)
+        else:
+            assign.where(F.col("dest") == "dlq").select(
+                "doc_id", "reason", "dup_of"
+            ).write.mode("overwrite").parquet(
+                f"{out_base}/dlq/batch_id={batch_id}"
+            )
+        _mark("dlq_write")
 
-        # -- index the survivors (benign-on-replay window, module doc) -----
-        n_indexed = append_minhash_index(survivors, index_base)
+        # -- index the survivors (redelivery-guarded window, module doc) ---
+        # survivor signatures come from the batch's one materialized
+        # frame; on the local tier they are already collected, so the
+        # append is a driver-side pyarrow write (zero Spark jobs) —
+        # probe-identity vs the Spark-written layout is pytest-gated
+        if kept_sig is not None:
+            n_indexed = append_minhash_index_local(*kept_sig, index_base)
+        else:
+            n_indexed = append_minhash_index_sigs(
+                sigs.join(F.broadcast(keep_set), "doc_id"), index_base
+            )
+        _mark("index_append")
 
         # -- commit ---------------------------------------------------------
-        n_in = batch.count()
-        n_kept = survivors.count()
         _write_ingest_meta(
             out_base,
             {
@@ -215,13 +510,17 @@ def dedup_ingest_batch(
                 "n_docs_kept": int(meta.get("n_docs_kept", 0)) + n_kept,
             },
         )
-        return {
+        out = {
             "skipped": False,
             "batch_id": batch_id,
             "n_in": n_in,
             "n_kept": n_kept,
         }
+        if profile:
+            out["phases"] = phases
+        return out
     finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
         batch.unpersist()
 
 
@@ -261,23 +560,42 @@ def stream_dedup_ingest(
     q.awaitTermination()
 
 
+def _read_sink_or_empty(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read one curation sink, returning ``None`` ONLY for the
+    legitimately-not-yet-created path (a bus that has routed nothing to
+    this dest).  Any other read failure — corrupt parquet, permission,
+    schema drift — propagates: an ingest ledger that silently reports
+    "empty" on a damaged sink is worse than one that fails loudly."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or str(e)
+        if "PATH_NOT_FOUND" in cond:
+            return None
+        raise
+
+
 def ingest_assignment(spark: SparkSession, out_base: str) -> DataFrame:
     """The replay's full routing verdict, one row per ingested doc:
     (doc_id, dest ∈ {corpus, dlq}, reason ∈ {NULL, dup_index,
     dup_batch}, dup_of = the accepted doc this one duplicates)."""
-    try:
-        corpus = spark.read.parquet(f"{out_base}/corpus").select(
+    corpus_raw = _read_sink_or_empty(spark, f"{out_base}/corpus")
+    if corpus_raw is not None:
+        corpus = corpus_raw.select(
             "doc_id",
             F.lit("corpus").alias("dest"),
             F.lit(None).cast("string").alias("reason"),
             F.lit(None).cast("long").alias("dup_of"),
         )
-    except Exception:
+    else:
         corpus = spark.createDataFrame([], ASSIGNMENT_SCHEMA)
-    try:
-        dlq = spark.read.parquet(f"{out_base}/dlq").select(
+    dlq_raw = _read_sink_or_empty(spark, f"{out_base}/dlq")
+    if dlq_raw is not None:
+        dlq = dlq_raw.select(
             "doc_id", F.lit("dlq").alias("dest"), "reason", "dup_of"
         )
-    except Exception:
+    else:
         dlq = spark.createDataFrame([], ASSIGNMENT_SCHEMA)
     return corpus.unionByName(dlq)

@@ -304,6 +304,218 @@ def test_incremental_neardup_against_materialized_index(spark, sf_dir, tmp_path)
         )
 
 
+def test_band_hash_numpy_twin_bit_identity(spark, sf_dir):
+    """band_hashes_np must reproduce the Spark band mix BIT-FOR-BIT on
+    the real corpus: the curation bus writes index slices from numpy,
+    and a single differing bit would silently split a bucket (missed
+    duplicate), so this is a full-corpus exact comparison."""
+    import numpy as np
+
+    docs = dd.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dd.minhash_signatures(dd.shingles_of(docs, distinct=False))
+    tb = sigs.toArrow()
+    sids = tb["doc_id"].to_numpy().astype(np.int64)
+    mat = np.column_stack(
+        [tb[f"h{k}"].to_numpy(zero_copy_only=False)
+         for k in range(dd.MINHASH_PERMS)]
+    ).astype(np.int64)
+    got = dd.band_hashes_np(mat)
+    want = {
+        (r["doc_id"], r["band_id"]): r["band_hash"]
+        for r in dd.band_buckets(sigs).collect()
+    }
+    assert len(want) == len(sids) * dd.LSH_BANDS
+    for i, d in enumerate(sids):
+        for b in range(dd.LSH_BANDS):
+            assert want[(int(d), b)] == int(got[i, b]), (
+                f"doc {d} band {b}: spark {want[(int(d), b)]} != numpy {got[i, b]}"
+            )
+
+
+def test_local_index_append_probe_identical(spark, sf_dir, tmp_path):
+    """An index slice appended by the driver-side pyarrow writer must be
+    INDISTINGUISHABLE to the probe from the same slice appended by the
+    Spark writer: identical pair sets from both layouts, under both the
+    full-scan and rowgroup probe tiers."""
+    import numpy as np
+
+    docs = dd.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_docs = docs.where(F.col("doc_id") % 2 == 0)
+    slice_docs = docs.where(F.col("doc_id") % 2 == 1)
+    spark_idx, local_idx = str(tmp_path / "sparkw"), str(tmp_path / "localw")
+    dd.materialize_minhash_index(base_docs, spark_idx)
+    dd.materialize_minhash_index(base_docs, local_idx)
+    # append the slice: Spark writer vs driver pyarrow writer
+    sigs = dd.minhash_signatures(dd.shingles_of(slice_docs, distinct=False))
+    n_spark = dd.append_minhash_index(slice_docs, spark_idx)
+    tb = sigs.toArrow()
+    ids = tb["doc_id"].to_numpy().astype(np.int64)
+    mat = np.column_stack(
+        [tb[f"h{k}"].to_numpy(zero_copy_only=False)
+         for k in range(dd.MINHASH_PERMS)]
+    ).astype(np.int64)
+    n_local = dd.append_minhash_index_local(ids, mat, local_idx)
+    assert n_local == n_spark > 0
+
+    probe = docs.limit(15).select(
+        (F.col("doc_id") + F.lit(900_000)).alias("doc_id"),
+        F.concat("text", F.lit(" probe tail")).alias("text"),
+    )
+    for mode in ("full", "rowgroup"):
+        a = sorted(
+            tuple(r)
+            for r in dd.incremental_neardup(
+                spark, probe, spark_idx, probe_mode=mode
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in dd.incremental_neardup(
+                spark, probe, local_idx, probe_mode=mode
+            ).collect()
+        )
+        assert a, "probe must surface pairs"
+        assert a == b, f"layouts diverge under probe_mode={mode}"
+
+
+def test_dedup_clusters_auto_identity(spark, sf_dir):
+    """The driver union-find tier must label EXACTLY like the
+    distributed min-label fixpoint (min doc_id of the connected
+    component), on the corpus's real pair set, under both the local
+    tier and a forced fallback."""
+    pairs = dd.minhash_pairs_of(
+        dd.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("d1", "d2")
+    want = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in dd.dedup_clusters(pairs).collect()
+    }
+    assert want, "corpus has planted near-dups"
+    got_local = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in dd.dedup_clusters_auto(spark, pairs).collect()
+    }
+    got_fallback = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in dd.dedup_clusters_auto(spark, pairs, max_local_edges=0).collect()
+    }
+    assert got_local == want
+    assert got_fallback == want
+    # empty pair set: empty labels, correct schema
+    empty = dd.dedup_clusters_auto(
+        spark, spark.createDataFrame([], "d1 long, d2 long")
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "cluster_rep"]
+
+
+def test_probe_tiers_identical_pairs(spark, sf_dir, tmp_path):
+    """All four probe tiers (full / bitmap / rowgroup / auto) must
+    return the IDENTICAL pair set — they differ only in how much of the
+    stored index the probe reads and shuffles."""
+    base = str(tmp_path / "mh_index")
+    docs = dd.load_table(spark, sf_dir, "documents")
+    dd.materialize_minhash_index(docs, base)
+    new_docs = (
+        docs.orderBy(F.desc("doc_id"))
+        .limit(25)
+        .select(
+            (F.col("doc_id") + F.lit(500_000)).alias("doc_id"),
+            F.concat("text", F.lit(" appended")).alias("text"),
+        )
+    )
+    ref = None
+    for mode in ("full", "bitmap", "rowgroup", "auto"):
+        got = sorted(
+            tuple(r)
+            for r in dd.incremental_neardup(
+                spark, new_docs, base, probe_mode=mode
+            ).collect()
+        )
+        if ref is None:
+            ref = got
+            assert ref, "planted mutations must surface pairs"
+        assert got == ref, f"probe_mode={mode} diverged from 'full'"
+
+
+def test_bitmap_probe_plan_gate(spark, sf_dir, tmp_path):
+    """The bitmap tier's stored-band scan must reach the join only
+    through the broadcast mask test: the executed plan carries the
+    bitwiseAND bit-test filter and a broadcast exchange feeding it."""
+    base = str(tmp_path / "mh_index")
+    docs = dd.load_table(spark, sf_dir, "documents")
+    dd.materialize_minhash_index(docs, base)
+    new_docs = docs.limit(10).select(
+        (F.col("doc_id") + F.lit(500_000)).alias("doc_id"), "text"
+    )
+    pairs = dd.incremental_neardup(spark, new_docs, base, probe_mode="bitmap")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "shiftleft(1," in plan and "& shiftleft(1," in plan, (
+        "stored-band scan is not gated by the bitmap bit test:\n" + plan[:2000]
+    )
+    assert "BroadcastExchange" in plan
+
+
+def test_rowgroup_probe_prunes_io(spark, sf_dir, tmp_path, monkeypatch):
+    """The rowgroup tier must actually skip index I/O.  Pruning bites
+    when per-file row groups outnumber probe keys (I/O floor = keys x
+    row-group rows — the law in the dedup.py header), so the gate
+    builds a many-group index (tiny block size) and probes with FEWER
+    keys than groups: the witness must read a strict minority of rows,
+    and an empty key set must read nothing.  The 10x/100x wall curve at
+    production group size is the scale record's job
+    (CURATION_PROBE_SCALE.json); this pins the mechanism."""
+    import numpy as np
+
+    monkeypatch.setattr(dd, "_BAND_RG_BYTES", 4096)  # ~250 rows/group
+    base = str(tmp_path / "mh_index")
+    docs = dd.load_table(spark, sf_dir, "documents")
+    # 8 distinct-text replicas: enough signature rows that every band
+    # file holds MANY row groups at the tiny block size
+    reps = spark.range(8).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 8 + F.col("rep")).alias("doc_id"),
+        F.concat("text", F.lit(" variant "), F.col("rep")).alias("text"),
+    )
+    dd.materialize_minhash_index(big, base)
+    stats_none = dd.rowgroup_prune_stats(
+        f"{base}/bands", "band_hash", [], part_col="band_id"
+    )
+    assert stats_none["rows_read"] == 0  # empty key set reads nothing
+    assert stats_none["row_groups_total"] > 2 * dd.LSH_BANDS, (
+        "index too few row groups for the gate to be meaningful"
+    )
+    # 2 probe points against many disjoint sorted ranges: each point
+    # lands in at most one group per file
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-(2**62), 2**62, 2, dtype=np.int64)
+    stats = dd.rowgroup_prune_stats(
+        f"{base}/bands", "band_hash", keys, part_col="band_id"
+    )
+    assert stats["rows_total"] > 0
+    assert stats["rows_read"] <= stats["rows_total"] // 2, (
+        f"no real pruning: {stats}"
+    )
+    # end-to-end through the scan tasks: identical pairs vs full join
+    new_docs = docs.limit(8).select(
+        (F.col("doc_id") + F.lit(700_000)).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in dd.incremental_neardup(
+            spark, new_docs, base, probe_mode="rowgroup"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dd.incremental_neardup(
+            spark, new_docs, base, probe_mode="full"
+        ).collect()
+    )
+    assert got == want
+
+
 def test_chunking_reconstructs_document(spark, sf_dir):
     """Chunk windows must tile every document exactly: dropping each
     chunk's overlap prefix (stride words) and concatenating in chunk_id

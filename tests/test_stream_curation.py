@@ -194,6 +194,114 @@ def test_duplicated_index_rows_change_no_decision(spark, ingested, tmp_path):
     assert pairs(clean) == pairs(doubled)
 
 
+def test_local_and_distributed_decide_identical(spark, sf_dir, tmp_path, monkeypatch):
+    """The driver-decide tier and the distributed twin must produce the
+    IDENTICAL assignment (dest/reason/dup_of per doc) for the full
+    4-slice replay, under both survivor rules."""
+    import frizzle_spark.streaming.curation as cur
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    out = {}
+    for rule in ("min_id", "quality"):
+        for cap, tag in ((None, "local"), (0, "dist")):
+            if cap is None:
+                monkeypatch.setattr(cur, "LOCAL_DECIDE_MAX_DOCS", 1 << 16)
+            else:
+                monkeypatch.setattr(cur, "LOCAL_DECIDE_MAX_DOCS", 0)
+            r = str(tmp_path / f"{rule}_{tag}")
+            for k in range(N_SLICES):
+                res = dedup_ingest_batch(
+                    spark, _slice(docs, k), f"{r}/index", f"{r}/out", k,
+                    keep=rule,
+                )
+                assert res["skipped"] is False
+            out[(rule, tag)] = _assignment_map(
+                ingest_assignment(spark, f"{r}/out")
+            )
+        assert out[(rule, "local")] == out[(rule, "dist")], (
+            f"decide tiers diverge under keep={rule}"
+        )
+    # and the tiers' DLQs are non-trivial (the gate isn't vacuous)
+    assert any(v[0] == "dlq" for v in out[("min_id", "local")].values())
+
+
+def test_redelivery_after_uncommitted_index_append(spark, tmp_path):
+    """THE crash window: batch N runs to completion INCLUDING the index
+    append, crashes before the meta commit, and is redelivered with the
+    same batch_id.  The index the redelivered run probes now contains
+    batch N's own survivors — the probe must exclude them (self- and
+    same-batch matches), or every survivor self-matches at est 1.0 and
+    the rewritten corpus partition comes out empty.  Gate: assignment
+    AND corpus content are bit-identical to the pre-crash run."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "wanders far away across the wide open field tonight"
+    )
+    third = (
+        "yet another unrelated document discussing minhash signatures "
+        "band buckets jaccard thresholds and candidate generation"
+    )
+    r = str(tmp_path)
+    seed = spark.createDataFrame([(0, base)], DOCS_SCHEMA)
+    out0 = dedup_ingest_batch(spark, seed, f"{r}/index", f"{r}/out", 0)
+    assert out0["skipped"] is False
+
+    # batch 1 exercises every decision path: an index dup (101 ≈ 0), a
+    # within-batch cluster (202 survives, 206 is dup_batch), a clean doc
+    batch1 = spark.createDataFrame(
+        [(101, base + " extra"), (202, third), (206, third + " appended")],
+        DOCS_SCHEMA,
+    )
+    out1 = dedup_ingest_batch(spark, batch1, f"{r}/index", f"{r}/out", 1)
+    assert out1 == {"skipped": False, "batch_id": 1, "n_in": 3, "n_kept": 1}
+    want = _assignment_map(ingest_assignment(spark, f"{r}/out"))
+    want_corpus = sorted(
+        tuple(x) for x in spark.read.parquet(f"{r}/out/corpus").collect()
+    )
+    assert want[202] == ("corpus", None, None)
+
+    # simulate the crash: rewind the committed watermark to 0 while the
+    # index KEEPS batch 1's appended survivor signatures
+    from frizzle_spark.streaming.curation import (
+        _read_ingest_meta,
+        _write_ingest_meta,
+    )
+
+    meta = _read_ingest_meta(f"{r}/out")
+    meta["committed_batch"] = 0
+    meta["n_docs_in"] -= out1["n_in"]
+    meta["n_docs_kept"] -= out1["n_kept"]
+    _write_ingest_meta(f"{r}/out", meta)
+
+    redo = dedup_ingest_batch(spark, batch1, f"{r}/index", f"{r}/out", 1)
+    assert redo == out1
+    got = _assignment_map(ingest_assignment(spark, f"{r}/out"))
+    got_corpus = sorted(
+        tuple(x) for x in spark.read.parquet(f"{r}/out/corpus").collect()
+    )
+    assert got == want
+    assert got_corpus == want_corpus
+
+
+def test_corrupt_sink_raises_not_empty(spark, tmp_path):
+    """A damaged corpus sink must surface, not read as an empty
+    assignment (the exception guard is for the not-yet-created path
+    ONLY)."""
+    r = str(tmp_path)
+    docs = spark.createDataFrame([(1, "ok doc with words")], DOCS_SCHEMA)
+    dedup_ingest_batch(spark, docs, f"{r}/index", f"{r}/out", 0)
+    # not-yet-created DLQ alongside a real corpus: still fine
+    assert ingest_assignment(spark, f"{r}/out").count() == 1
+    with open(f"{r}/out/corpus/batch_id=0/garbage.parquet", "wb") as fh:
+        fh.write(b"this is not a parquet file at all" * 10)
+    with pytest.raises(Exception) as ei:
+        ingest_assignment(spark, f"{r}/out").collect()
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
 def test_quality_keep_rule(spark, tmp_path):
     """keep='quality' (canonical_keep's rule at ingest time): within a
     batch cluster the punctuation-soup copy loses to the clean copy
