@@ -188,6 +188,21 @@ def main() -> None:
             for q in ("qz12_ann_lsh", "qz12_ivf", "qz12_ivfpq", "qz12_sq8"):
                 got = pair(REGISTRY[q].fn(spark, cdir), "probe_id", "neighbor_id")
                 recall_clustered[q] = round(len(exact_c & got) / len(exact_c), 4)
+            # the embedding near-dup tier measured on the SAME clustered
+            # corpus (round 10, VERDICT r9 #5): its random-floor recall
+            # above looks alarming without this companion number
+            exact_e = pair(
+                REGISTRY["q11_embedding_neardup"].fn(spark, cdir), "id1", "id2"
+            )
+            if exact_e:
+                got_e = pair(
+                    REGISTRY["qz11_embedding_neardup_lsh"].fn(spark, cdir),
+                    "id1",
+                    "id2",
+                )
+                recall_clustered["qz11_embedding_neardup_lsh"] = round(
+                    len(exact_e & got_e) / len(exact_e), 4
+                )
         finally:
             shutil.rmtree(cdir, ignore_errors=True)
     except Exception as ex:  # diagnostics only — never fail the bench

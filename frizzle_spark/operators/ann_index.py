@@ -203,6 +203,183 @@ def assign_clusters(
     return vecs.mapInPandas(assign, "vec_id long, cluster int, u array<double>")
 
 
+# --- persisted IVF-PQ (round 10, VERDICT r9 #7) ---------------------------
+#
+# The IVF index above stores RAW unit vectors in its inverted lists —
+# right when full-precision re-ranking wants zero extra hops, wrong
+# when the index itself must fit a storage/memory budget.  The IVF-PQ
+# layout stores 16-byte PQ codes instead (32x smaller), plus the two
+# tiny quantizer tables:
+#
+# * ``codes/cluster=<c>/…``   — (vec_id, code binary): the partition
+#   layout IS the inverted list, same pruning mechanism as IVF;
+# * ``centroids.parquet``     — K coarse centroids;
+# * ``codebooks.parquet``     — PQ_M x PQ_KS sub-codebook rows.
+#
+# Search = same routing as IVF + the SAME ``adc_refine`` kernel as the
+# in-session qz12_ivfpq (shared code, not a twin implementation): ADC
+# over the pruned 16 B/vector code scan, then full-precision
+# refinement of O(probes x R) rows against the caller-supplied unit
+# corpus (the refine fetch is the one raw-vector touch — the index
+# never stores them; pass ``search_ivfpq_index(..., unit=...)`` from
+# whatever corpus table the deployment keeps).
+
+
+def materialize_ivfpq_index(
+    spark: SparkSession, sf_dir: str, base_path: str
+) -> dict:
+    """Build and persist the IVF-PQ index: same deterministic coarse
+    quantizer as the IVF index and the session tier (_ivf_train), same
+    PQ training and encode kernel as qz12_ivfpq (similarity.pq_encode)
+    — the from-index search is gated IDENTICAL to the session query."""
+    from frizzle_spark.operators.similarity import (
+        PQ_KS,
+        PQ_M,
+        _pinned_blas,
+        _pq_train,
+        pq_encode,
+    )
+
+    trained = _ivf_train(spark, sf_dir)
+    os.makedirs(base_path, exist_ok=True)
+    if trained is None:  # empty corpus → empty but well-formed index
+        meta = {"k": 0, "nprobe": 0, "n_vectors": 0, "dim": 0,
+                "pq_m": PQ_M, "pq_ks": PQ_KS}
+        with open(os.path.join(base_path, "index_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        return meta
+    unit, sample, x, cent, pid, pu, top_clusters = trained
+    books = _pinned_blas(
+        _pq_train, x - cent[(x @ cent.T).argmax(1)], PQ_M, PQ_KS
+    )
+    pq_encode(spark, unit, cent, books).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(os.path.join(base_path, "codes"))
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(base_path, "centroids"))
+    spark.createDataFrame(
+        [
+            (int(mi), int(ci), [float(v) for v in books[mi, ci]])
+            for mi in range(books.shape[0])
+            for ci in range(books.shape[1])
+        ],
+        "m int, code int, subcentroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(base_path, "codebooks"))
+    meta = {
+        "k": int(len(cent)),
+        "nprobe": int(top_clusters.shape[1]),
+        "n_vectors": int(unit.count()),
+        "dim": int(cent.shape[1]),
+        "pq_m": int(books.shape[0]),
+        "pq_ks": int(books.shape[1]),
+    }
+    with open(os.path.join(base_path, "index_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _load_pq_tables(spark: SparkSession, base_path: str):
+    cent_rows = (
+        spark.read.parquet(os.path.join(base_path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cent = np.asarray([r["centroid"] for r in cent_rows])
+    book_rows = spark.read.parquet(
+        os.path.join(base_path, "codebooks")
+    ).collect()
+    m = 1 + max(r["m"] for r in book_rows)
+    ks = 1 + max(r["code"] for r in book_rows)
+    d_sub = len(book_rows[0]["subcentroid"])
+    books = np.zeros((m, ks, d_sub))
+    for r in book_rows:
+        books[r["m"], r["code"]] = r["subcentroid"]
+    return cent, books
+
+
+def probed_codes_scan(
+    spark: SparkSession, base_path: str, probe_vecs: "np.ndarray", nprobe: int
+) -> tuple[DataFrame, "np.ndarray", "np.ndarray", "np.ndarray"]:
+    """(pruned codes scan, per-probe cluster matrix, cent, books) —
+    exposed for the pruning gate, mirroring ``probed_lists_scan``."""
+    cent, books = _load_pq_tables(spark, base_path)
+    top_clusters = np.argsort(-(probe_vecs @ cent.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in top_clusters for c in row})
+    codes = spark.read.parquet(os.path.join(base_path, "codes"))
+    return codes.where(F.col("cluster").isin(wanted)), top_clusters, cent, books
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    base_path: str,
+    probes: DataFrame,
+    unit: DataFrame,
+    k: int = TOP_K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Top-k cosine search against the persisted IVF-PQ index.
+
+    ``probes``: (probe_id long, pu array<double>); ``unit``: the
+    (vec_id, u) unit corpus the refinement step fetches raw vectors
+    from (the index stores only codes).  Candidate routing, ADC
+    scoring, and refinement are the session tier's own kernels."""
+    from frizzle_spark.operators.similarity import adc_refine
+
+    with open(os.path.join(base_path, "index_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta["k"] == 0:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cos_sim double, rank long"
+        )
+    if nprobe is None:
+        nprobe = meta["nprobe"]
+    probe_rows = probes.collect()  # bounded: probe sets are small by contract
+    pid = np.asarray([r["probe_id"] for r in probe_rows])
+    pu = np.asarray([r["pu"] for r in probe_rows])
+    pruned, top_clusters, cent, books = probed_codes_scan(
+        spark, base_path, pu, nprobe
+    )
+    probe_buckets = spark.createDataFrame(
+        [
+            (int(p), int(c))
+            for p, row in zip(pid, top_clusters)
+            for c in row
+        ],
+        "probe_id long, cluster int",
+    )
+    cand = pruned.join(F.broadcast(probe_buckets), "cluster").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    return adc_refine(spark, cand, pid, pu, cent, books, unit, k=k)
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession, base_path: str, vecs: DataFrame
+) -> None:
+    """Incremental IVF-PQ maintenance, the twin of ``append_to_ivf_index``:
+    encode new vectors with the FROZEN coarse quantizer + codebooks and
+    append to the code lists they land in; works as a foreachBatch body
+    (the streaming-ingest gate's wiring)."""
+    from frizzle_spark.operators.similarity import pq_encode
+
+    cent, books = _load_pq_tables(spark, base_path)
+    encoded = pq_encode(spark, vecs, cent, books).localCheckpoint()
+    n_new = encoded.count()
+    encoded.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(base_path, "codes")
+    )
+    meta_path = os.path.join(base_path, "index_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["n_vectors"] = int(meta.get("n_vectors", 0)) + int(n_new)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+
+
 def append_to_ivf_index(spark: SparkSession, base_path: str, vecs: DataFrame) -> None:
     """Incremental index maintenance: route new vectors to their
     inverted lists and APPEND — the quantizer is frozen (the standard

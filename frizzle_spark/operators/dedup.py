@@ -797,20 +797,38 @@ def probe_index_rowgroups(
     returns the stored rows whose ``key_col`` is in ``keys``, reading
     only the parquet row groups whose [min,max] intersects the key set.
 
+    ``keys`` is either a flat iterable of int64 (unpartitioned table)
+    or a dict {partition value: iterable} — PER-PARTITION key sets.
+    The dict form matters: pruning selectivity is (keys tested per
+    group) vs (groups per range), and testing all 16 bands' hashes
+    against every band's groups multiplies the tested keys 16x for
+    nothing (measured: it dissolved the pruning entirely — 320 uniform
+    keys hit 99.9% of ranges that 20 per-band keys hit 38% of).
+
     Distributed as mapInPandas over the FILE list — each task opens its
     files' footers, prunes with numpy searchsorted against the broadcast
-    sorted key array, reads surviving row groups with pyarrow, and
-    exact-filters before emitting.  Row groups without statistics are
-    conservatively read (pruning may only skip PROVABLY empty groups —
-    a false skip would silently drop true duplicate pairs).
+    sorted key array OF ITS PARTITION, reads surviving row groups with
+    pyarrow, and exact-filters before emitting.  Row groups without
+    statistics are conservatively read (pruning may only skip PROVABLY
+    empty groups — a false skip would silently drop true duplicate
+    pairs).
     """
     import numpy as np
 
     files = _list_index_files(root, part_col)
-    key_arr = np.sort(np.asarray(list(keys), dtype=np.int64))
-    if not files or key_arr.size == 0:
+    if isinstance(keys, dict):
+        key_map = {
+            int(pv): np.sort(np.asarray(list(ks), dtype=np.int64))
+            for pv, ks in keys.items()
+        }
+        files = [(p, pv) for p, pv in files if pv in key_map]
+    else:
+        key_map = {0: np.sort(np.asarray(list(keys), dtype=np.int64))}
+        if part_col is not None:
+            key_map = {pv: key_map[0] for _, pv in files}
+    if not files or not any(a.size for a in key_map.values()):
         return spark.createDataFrame([], out_schema)
-    keys_b = spark.sparkContext.broadcast(key_arr)
+    keys_b = spark.sparkContext.broadcast(key_map)
     par = min(len(files), spark.sparkContext.defaultParallelism)
     fdf = spark.createDataFrame(files, "path string, pv int").repartition(par)
     pcol = part_col
@@ -819,9 +837,12 @@ def probe_index_rowgroups(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        karr = keys_b.value
+        kmap = keys_b.value
         for pdf in batches:
             for path, pv in zip(pdf["path"], pdf["pv"]):
+                karr = kmap.get(int(pv) if pcol is not None else 0)
+                if karr is None or karr.size == 0:
+                    continue
                 f = pq.ParquetFile(path)
                 md = f.metadata
                 ci = md.schema.to_arrow_schema().get_field_index(key_col)
@@ -858,21 +879,33 @@ def rowgroup_prune_stats(
     the exact searchsorted rule the scan tasks apply and reports how
     many row groups / rows the probe reads vs the index total — the
     number the scale record publishes beside the wall curve (and the
-    pytest gate asserts shrinks)."""
+    pytest gate asserts shrinks).  ``keys`` is flat or per-partition
+    dict, exactly as ``probe_index_rowgroups`` takes it."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    karr = np.sort(np.asarray(list(keys), dtype=np.int64))
+    if isinstance(keys, dict):
+        key_map = {
+            int(pv): np.sort(np.asarray(list(ks), dtype=np.int64))
+            for pv, ks in keys.items()
+        }
+        flat = None
+    else:
+        flat = np.sort(np.asarray(list(keys), dtype=np.int64))
+        key_map = None
     out = {"row_groups_total": 0, "row_groups_read": 0,
            "rows_total": 0, "rows_read": 0, "files": 0}
-    for path, _ in _list_index_files(root, part_col):
+    for path, pv in _list_index_files(root, part_col):
         out["files"] += 1
+        karr = flat if flat is not None else key_map.get(int(pv))
         md = pq.ParquetFile(path).metadata
         ci = md.schema.to_arrow_schema().get_field_index(key_col)
         for rg in range(md.num_row_groups):
             meta = md.row_group(rg)
             out["row_groups_total"] += 1
             out["rows_total"] += meta.num_rows
+            if karr is None or karr.size == 0:
+                continue
             st = meta.column(ci).statistics
             if st is None or st.min is None or st.max is None:
                 hit = True
@@ -916,6 +949,100 @@ def _collect_keys_capped(df: DataFrame, col: str, cap: int) -> list[int] | None:
     if len(rows) > cap:
         return None
     return [r[0] for r in rows]
+
+
+def _collect_key_pairs_capped(
+    df: DataFrame, pv_col: str, key_col: str, cap: int
+) -> dict[int, list[int]] | None:
+    """Distinct (partition value, key) pairs grouped into a per-partition
+    dict, or None over ``cap`` — the per-band key sets the rowgroup
+    probe prunes with."""
+    rows = df.select(pv_col, key_col).distinct().limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    out: dict[int, list[int]] = {}
+    for pv, k in rows:
+        out.setdefault(int(pv), []).append(k)
+    return out
+
+
+COMPACT_TARGET_ROWS = 2_000_000  # per output file (~48 MB band rows)
+
+
+def compact_minhash_index(spark: SparkSession, base_path: str) -> dict:
+    """Merge an append-accumulated MinHash index into few large SORTED
+    files — the streaming small-file problem applied to the probe
+    layout.  Every bus append adds one file per band whose rows span
+    the FULL hash range (MinHash minima are uniform), so after many
+    batches the per-file/row-group min-max statistics stop separating
+    ranges and the rowgroup probe tier degrades to a full scan.
+    Compaction repartitions each table BY RANGE on its probe key
+    (band_hash / doc_id) and sorts within partitions: files and row
+    groups become narrow and disjoint again, restoring the
+    O(batch_keys x row_group) probe I/O floor.  Probe identity across
+    compaction is pytest-gated; CURATION_PROBE_SCALE.json carries the
+    measured before/after curve.
+
+    Two-phase local/shared-POSIX move: write to a sibling tmp dir,
+    verify row counts, then swap directories.  The index is derived,
+    rebuildable state — run compaction between micro-batches (the bus
+    is the only writer; probes in other sessions should not race the
+    swap on a non-atomic filesystem).
+
+    Returns {"bands_rows": n, "signatures_rows": n, "files_before": n,
+    "files_after": n}.
+    """
+    import os
+    import shutil
+
+    files_before = len(_list_index_files(f"{base_path}/bands", "band_id")) + len(
+        _list_index_files(f"{base_path}/signatures", None)
+    )
+
+    bands = spark.read.schema("doc_id long, band_hash long, band_id int").parquet(
+        f"{base_path}/bands"
+    )
+    n_bands = bands.count()
+    nparts = max(LSH_BANDS, int(n_bands // COMPACT_TARGET_ROWS) + 1)
+    (
+        bands.repartitionByRange(nparts, "band_id", "band_hash")
+        .sortWithinPartitions("band_id", "band_hash")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(_BAND_RG_BYTES))
+        .option("parquet.page.size", str(1 << 16))
+        .partitionBy("band_id")
+        .parquet(f"{base_path}/bands_compact_tmp")
+    )
+    sigs = spark.read.schema("doc_id long, sig array<long>").parquet(
+        f"{base_path}/signatures"
+    )
+    n_sigs = sigs.count()
+    nparts_s = max(1, int(n_sigs * 520 // (COMPACT_TARGET_ROWS * 24)) + 1)
+    (
+        sigs.repartitionByRange(nparts_s, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(_SIG_RG_BYTES))
+        .parquet(f"{base_path}/signatures_compact_tmp")
+    )
+    for table, tmp in (
+        ("bands", "bands_compact_tmp"),
+        ("signatures", "signatures_compact_tmp"),
+    ):
+        old = os.path.join(base_path, f"_{table}_precompact")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(os.path.join(base_path, table), old)
+        os.rename(os.path.join(base_path, tmp), os.path.join(base_path, table))
+        shutil.rmtree(old, ignore_errors=True)
+    files_after = len(_list_index_files(f"{base_path}/bands", "band_id")) + len(
+        _list_index_files(f"{base_path}/signatures", None)
+    )
+    return {
+        "bands_rows": int(n_bands),
+        "signatures_rows": int(n_sigs),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
 
 
 def append_minhash_index_local(ids, mat, base_path: str) -> int:
@@ -1018,9 +1145,11 @@ def incremental_neardup(
             # bitmap tier pays the mask build) — the pruning tiers are
             # for indexes the scan can no longer afford
             mode = "full"
-    band_keys: list[int] | None = None
+    band_keys: dict[int, list[int]] | None = None
     if mode in ("auto", "rowgroup"):
-        band_keys = _collect_keys_capped(nband, "band_hash", PROBE_RG_MAX_KEYS)
+        band_keys = _collect_key_pairs_capped(
+            nband, "band_id", "band_hash", PROBE_RG_MAX_KEYS
+        )
         if mode == "rowgroup" and band_keys is None:
             raise ValueError(
                 f"probe_mode='rowgroup' needs <= {PROBE_RG_MAX_KEYS} distinct"
@@ -1029,10 +1158,11 @@ def incremental_neardup(
         mode = "rowgroup" if band_keys is not None else "bitmap"
 
     if mode == "rowgroup":
-        # stat-pruned point probe: hashes alone drive the pruning (the
-        # band hash already mixes band_id in, xxhash64(lit(b), ...));
-        # the exact equi-join on BOTH keys below removes any cross-band
-        # hash coincidence the pre-filter admits
+        # stat-pruned point probe with PER-BAND key sets (pruning
+        # selectivity is keys-per-group vs groups-per-range; pooling
+        # all bands' hashes 16x-dilutes it — probe_index_rowgroups
+        # docstring); the exact equi-join on BOTH keys below removes
+        # any coincidence the pre-filter admits
         oband = probe_index_rowgroups(
             spark,
             f"{index_base}/bands",

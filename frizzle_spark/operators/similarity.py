@@ -1046,25 +1046,16 @@ def _pq_train(resid: "np.ndarray", m: int, ks: int) -> "np.ndarray":
     return np.stack(books)
 
 
-def ivfpq_candidates(spark: SparkSession, sf_dir: str):
-    """IVF-PQ candidate stream + trained quantizers: (cand, pid, pu,
-    cent, books).  ``cand`` carries (probe_id, vec_id, cluster, 16-byte
-    code).  Built on :func:`_ivf_train`, so candidate MEMBERSHIP is
-    structurally identical to ``ivf_candidates`` (same sample,
-    quantizer seed, probe set and nprobe by shared code, not by
-    copy-paste discipline) — PQ only changes how candidates are
-    SCORED.  The membership identity is additionally gated on real
-    data by the pytest membership test."""
-    trained = _ivf_train(spark, sf_dir)
-    if trained is None:  # empty corpus: caller returns empty result
-        return None
-    unit, sample, x, cent, pid_l, pu, top_clusters = trained
-    books = _pinned_blas(
-        _pq_train, x - cent[(x @ cent.T).argmax(1)], PQ_M, PQ_KS
-    )
+def pq_encode(spark: SparkSession, unit: DataFrame, cent, books) -> DataFrame:
+    """(vec_id, u) → (vec_id, cluster, 16-byte PQ code): the shared
+    encode kernel of the in-session IVF-PQ query, the persisted IVF-PQ
+    index build, AND its streaming append — one implementation so the
+    persisted index is identical to the session tier by construction
+    (the cross-gate then only has to pin determinism, not re-derive
+    the math)."""
     bc_cent = spark.sparkContext.broadcast(cent)
     bc_books = spark.sparkContext.broadcast(books)
-    d_sub = x.shape[1] // PQ_M
+    d_sub = cent.shape[1] // PQ_M
 
     def encode(batches):  # pragma: no cover - executed on executors
         import pandas as pd
@@ -1091,7 +1082,118 @@ def ivfpq_candidates(spark: SparkSession, sf_dir: str):
                 }
             )
 
-    encoded = unit.mapInPandas(encode, "vec_id long, cluster int, code binary")
+    return unit.mapInPandas(encode, "vec_id long, cluster int, code binary")
+
+
+def adc_refine(
+    spark: SparkSession,
+    cand: DataFrame,
+    pid,
+    pu,
+    cent,
+    books,
+    unit: DataFrame,
+    k: int = TOP_K,
+) -> DataFrame:
+    """The ADC scoring + full-precision refinement shared by qz12_ivfpq
+    and the persisted IVF-PQ index search (one implementation — see
+    ``pq_encode``): broadcast per-probe LUTs, score the (probe, code)
+    candidate stream at 16 B/vector, shortlist top-PQ_REFINE_R, re-rank
+    the shortlist at exact cosine against ``unit`` (the only raw-vector
+    touch, O(probes x R) rows)."""
+    d_sub = pu.shape[1] // PQ_M
+    base_tab = pu @ cent.T  # (P, K)
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    pu[i, mi * d_sub : (mi + 1) * d_sub] @ books[mi].T
+                    for mi in range(PQ_M)
+                ]
+            )
+            for i in range(len(pu))
+        ]
+    )  # (P, M, ks)
+    order = np.argsort(pid)
+    bc_score = spark.sparkContext.broadcast(
+        (pid[order], base_tab[order], luts[order])
+    )
+
+    def adc(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        spid, sbase, sluts = bc_score.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pidx = np.searchsorted(spid, pdf["probe_id"].to_numpy())
+            codes = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), PQ_M)
+            score = sbase[pidx, pdf["cluster"].to_numpy()] + sluts[
+                pidx[:, None], np.arange(PQ_M)[None, :], codes
+            ].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "adc_score": score,
+                }
+            )
+
+    scored = cand.mapInPandas(adc, "probe_id long, neighbor_id long, adc_score double")
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w_adc))
+        .where(F.col("_r") <= PQ_REFINE_R)
+        .select("probe_id", "neighbor_id")
+    )
+    probe_df = spark.createDataFrame(
+        [(int(p), [float(x) for x in v]) for p, v in zip(pid, pu)],
+        "probe_id long, pu array<double>",
+    )
+    refined = (
+        unit.select(F.col("vec_id").alias("neighbor_id"), "u")
+        .join(
+            F.broadcast(shortlist.join(F.broadcast(probe_df), "probe_id")),
+            "neighbor_id",
+        )
+        .withColumn("cos_sim", V.dot(F.col("pu"), F.col("u")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def ivfpq_candidates(spark: SparkSession, sf_dir: str):
+    """IVF-PQ candidate stream + trained quantizers: (cand, pid, pu,
+    cent, books).  ``cand`` carries (probe_id, vec_id, cluster, 16-byte
+    code).  Built on :func:`_ivf_train`, so candidate MEMBERSHIP is
+    structurally identical to ``ivf_candidates`` (same sample,
+    quantizer seed, probe set and nprobe by shared code, not by
+    copy-paste discipline) — PQ only changes how candidates are
+    SCORED.  The membership identity is additionally gated on real
+    data by the pytest membership test."""
+    trained = _ivf_train(spark, sf_dir)
+    if trained is None:  # empty corpus: caller returns empty result
+        return None
+    unit, sample, x, cent, pid_l, pu, top_clusters = trained
+    books = _pinned_blas(
+        _pq_train, x - cent[(x @ cent.T).argmax(1)], PQ_M, PQ_KS
+    )
+    encoded = pq_encode(spark, unit, cent, books)
 
     pid = np.array(pid_l)
     probe_buckets = spark.createDataFrame(
@@ -1139,81 +1241,8 @@ def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if built is None:  # empty corpus: empty result, not a crash
         return spark.createDataFrame([], TOPK_SCHEMA)
     cand, pid, pu, cent, books = built
-    d_sub = pu.shape[1] // PQ_M
-    # per-probe scoring constants, all driver-side + broadcast: the ADC
-    # base term ⟨p, centroid⟩ for every (probe, cluster) and the PQ LUTs
-    base_tab = pu @ cent.T  # (P, K)
-    luts = np.stack(
-        [
-            np.stack([pu[i, mi * d_sub : (mi + 1) * d_sub] @ books[mi].T for mi in range(PQ_M)])
-            for i in range(len(pu))
-        ]
-    )  # (P, M, ks)
-    order = np.argsort(pid)
-    bc_score = spark.sparkContext.broadcast(
-        (pid[order], base_tab[order], luts[order])
-    )
-
-    def adc(batches):  # pragma: no cover - executed on executors
-        import pandas as pd
-
-        spid, sbase, sluts = bc_score.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pidx = np.searchsorted(spid, pdf["probe_id"].to_numpy())
-            codes = np.frombuffer(
-                b"".join(pdf["code"]), dtype=np.uint8
-            ).reshape(len(pdf), PQ_M)
-            score = sbase[pidx, pdf["cluster"].to_numpy()] + sluts[
-                pidx[:, None], np.arange(PQ_M)[None, :], codes
-            ].sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "probe_id": pdf["probe_id"],
-                    "neighbor_id": pdf["vec_id"],
-                    "adc_score": score,
-                }
-            )
-
-    scored = cand.mapInPandas(adc, "probe_id long, neighbor_id long, adc_score double")
-    w_adc = Window.partitionBy("probe_id").orderBy(
-        F.desc("adc_score"), F.asc("neighbor_id")
-    )
-    shortlist = (
-        scored.withColumn("_r", F.row_number().over(w_adc))
-        .where(F.col("_r") <= PQ_REFINE_R)
-        .select("probe_id", "neighbor_id")
-    )
-    # refinement: exact cosine for the shortlist only.  Probes ride
-    # along in the broadcast (P rows driver-side already); the raw
-    # vectors come from one corpus scan broadcast-hash-joined on id —
-    # the scan is the only corpus touch and carries no shuffle.
-    probe_df = spark.createDataFrame(
-        [(int(p), [float(x) for x in v]) for p, v in zip(pid, pu)],
-        "probe_id long, pu array<double>",
-    )
-    unit = _unit(_corpus(spark, sf_dir))
-    refined = (
-        unit.select(F.col("vec_id").alias("neighbor_id"), "u")
-        .join(
-            F.broadcast(shortlist.join(F.broadcast(probe_df), "probe_id")),
-            "neighbor_id",
-        )
-        .withColumn("cos_sim", V.dot(F.col("pu"), F.col("u")))
-    )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        refined.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= TOP_K)
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round("cos_sim", 6).alias("cos_sim"),
-            "rank",
-        )
+    return adc_refine(
+        spark, cand, pid, pu, cent, books, _unit(_corpus(spark, sf_dir))
     )
 
 

@@ -1116,12 +1116,16 @@ def qz10_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 row: n_gaps, p25/median/p75/p90) — the repeat-purchase cadence
     a retention model calibrates against.
 
-    Scale honesty (the q5_rank_stats rule): the global rank window
-    sorts the pooled gap table through one task — inherent to exact
-    global order statistics.  At 100 TB swap in qz28_quantile_2pass's
-    histogram + selective-bin selection (same outputs, no global sort)
-    or the qz9 sketch tier when ±ε is acceptable; this query is the
-    exact reference those are gated against."""
+    The global rank runs through operators/ranks.py's AUTO
+    global_row_number (round 10, closing the last single-task global
+    sort the r9 audit flagged): small inputs keep the plain window
+    plan; past the measured crossover the percentile-bucketed
+    one-exchange recipe takes over — same values (ties in gap_s are
+    rank-order-insensitive for the selected percentile VALUES; the
+    event_id tie-break makes the order total as the operator
+    requires).  The qz9 sketch tier remains the ±ε alternative."""
+    from frizzle_spark.operators.ranks import global_row_number
+
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"
@@ -1129,28 +1133,27 @@ def qz10_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
         p.select(
+            "event_id",
             (
                 F.unix_timestamp("ts")
                 - F.unix_timestamp(F.lag("ts").over(w_user))
             )
             .cast("long")
-            .alias("gap_s")
+            .alias("gap_s"),
         )
         .where(F.col("gap_s").isNotNull())
     )
-    w_rank = Window.orderBy("gap_s")
-    w_all = Window.partitionBy()
-    ranked = gaps.select(
-        "gap_s",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+    ranked = global_row_number(
+        gaps, "gap_s", [F.asc("gap_s"), F.asc("event_id")], out="rn"
     )
+    n_df = gaps.agg(F.count(F.lit(1)).alias("n"))
+    joined = ranked.crossJoin(F.broadcast(n_df))
 
     def _at(pq: float):
         idx = F.ceil(F.lit(pq) * F.col("n")).cast("long")
         return F.max(F.when(F.col("rn") == idx, F.col("gap_s")))
 
-    return ranked.agg(
+    return joined.agg(
         F.max("n").alias("n_gaps"),
         _at(0.25).alias("p25_s"),
         _at(0.50).alias("median_s"),

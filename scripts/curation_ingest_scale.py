@@ -32,14 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_SLICES = 4
 
 
-def run_one(sf_dir: str) -> dict:
+def run_one(sf_dir: str, keep: str = "min_id") -> dict:
     from pyspark.sql import functions as F
 
     import frizzle_spark.streaming.curation as cur
     from frizzle_spark.session import get_spark
     from frizzle_spark.sources.tables import load_table
 
-    spark = get_spark(f"curation-scale-{os.path.basename(sf_dir.rstrip('/'))}")
+    spark = get_spark(
+        f"curation-scale-{keep}-{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="curation_scale_")
     replay, index, out, ckpt = (
@@ -72,7 +74,8 @@ def run_one(sf_dir: str) -> dict:
     try:
         t0 = time.perf_counter()
         cur.stream_dedup_ingest(
-            spark, replay, "doc_id long, text string", index, out, ckpt
+            spark, replay, "doc_id long, text string", index, out, ckpt,
+            keep=keep,
         )
         total = round(time.perf_counter() - t0, 3)
     finally:
@@ -89,6 +92,7 @@ def run_one(sf_dir: str) -> dict:
     index_rows = spark.read.parquet(f"{index}/signatures").count()
     rec = {
         "sf_dir": sf_dir,
+        "keep": keep,
         "n_docs": n_docs,
         "n_kept": by.get(("corpus", None), 0),
         "n_dup_index": by.get(("dlq", "dup_index"), 0),
@@ -116,10 +120,14 @@ def main() -> None:
         if not os.path.isdir(d):
             print(f"# skip {d}: not found", file=sys.stderr)
             continue
-        print(f"# ingesting {d} ...", file=sys.stderr)
-        rec = run_one(d)
-        records.append(rec)
-        print(json.dumps(rec), file=sys.stderr)
+        # both survivor rules per decade (round 10, VERDICT r9 #6):
+        # min_id is the deterministic registry rule; quality is the
+        # rule real curation runs (adds a per-cluster quality pick)
+        for keep in os.environ.get("CURATION_KEEP", "min_id,quality").split(","):
+            print(f"# ingesting {d} keep={keep} ...", file=sys.stderr)
+            rec = run_one(d, keep=keep)
+            records.append(rec)
+            print(json.dumps(rec), file=sys.stderr)
     with open(out_path, "w") as fh:
         json.dump(records, fh, indent=1)
     print(json.dumps({"written": out_path, "n": len(records)}))

@@ -2,34 +2,35 @@
 (round 10, VERDICT r9 item #1).
 
 The claim under test: per-batch probe cost is O(batch + collisions),
-NOT O(index) — i.e. a FIXED probe batch stays (near-)flat while the
-stored MinHash index grows 10x/100x.  The mechanism is the layout +
-tier work in operators/dedup.py:
+NOT O(index) — a FIXED probe batch stays (near-)flat while the stored
+MinHash index grows 10x/100x/1000x.  Two mechanisms compose
+(operators/dedup.py):
 
-* bands sorted by band_hash with small row groups -> parquet min/max
-  statistics cover narrow disjoint ranges;
-* the "rowgroup" tier reads only row groups whose range intersects the
-  batch's hashes (I/O floor = batch_keys x row-group rows, independent
-  of index size once the index has more row groups than the batch has
-  hashes);
-* the "bitmap" tier pre-thins the full scan before any shuffle (scan
-  stays O(index) but the join sees only collisions);
-* "full" is the unpruned baseline the identity gates compare against.
+* the "rowgroup" probe tier reads only parquet row groups whose
+  band_hash [min,max] intersects the batch's hashes — I/O floor =
+  batch_keys x row-group rows, INDEPENDENT of index size — with the
+  "bitmap" broadcast pre-thin and the plain "full" join as the
+  over-cap / small-index tiers;
+* ``compact_minhash_index``: every bus append adds one file per band
+  whose rows span the FULL hash range (minima are uniform), so an
+  append-accumulated index defeats range statistics no matter how the
+  probe reads it.  Compaction repartitions by range + sorts, making
+  files and row groups narrow and disjoint again.
 
-Index decades are built by replicating the sf0.1 corpus's REAL MinHash
-signatures with per-replica value perturbation (uniform hash layout, no
-planted cross-replica duplicates), written through the same
-``append_minhash_index_local`` writer the bus uses — so file/row-group
-shape matches a long-running bus's accumulated appends.  The probe
-batch is 200 mutated real docs, so every decade sees the same ~200 true
-collisions.
+So the record measures BOTH layouts per decade: the append-shaped
+index exactly as the bus leaves it (one ``append_minhash_index_local``
+call per replica, the bus's own writer), and the compacted index.  The
+flat curve is rowgroup-on-compacted; append-shaped rowgroup degrading
+toward the full scan is the measured justification for compaction.
+Probes run at two fixed batch sizes (20 and 200 docs — real mutated
+docs, so every decade sees the same true collisions), because the
+pruning law bends where index row groups outnumber batch keys.
 
-Beside each wall the record carries the pruning WITNESS
-(``rowgroup_prune_stats``): rows the rowgroup tier reads vs the index
-total — the number that must flatten.
+Beside each wall: the pruning WITNESS (``rowgroup_prune_stats``) —
+fraction of index rows the rowgroup tier reads.
 
 Usage: python scripts/curation_probe_scale.py [out_json]
-Env:   PROBE_SCALE_REPS   — comma-separated replica factors (default 1,10,100)
+Env:   PROBE_SCALE_REPS   — replica factors (default 1,10,100,1000)
        PROBE_SCALE_SF_DIR — source tables (default /root/testdata/sf0.1)
 """
 
@@ -43,8 +44,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PROBE_DOCS = 200
-CHUNK_DOCS = 50_000  # per local-append write chunk (bus-like file shape)
+PROBE_SIZES = (20, 200)
 
 
 def main() -> None:
@@ -61,7 +61,7 @@ def main() -> None:
     sf_dir = os.environ.get("PROBE_SCALE_SF_DIR", "/root/testdata/sf0.1")
     reps = [
         int(x)
-        for x in os.environ.get("PROBE_SCALE_REPS", "1,10,100").split(",")
+        for x in os.environ.get("PROBE_SCALE_REPS", "1,10,100,1000").split(",")
     ]
 
     spark = get_spark("curation-probe-scale")
@@ -78,18 +78,60 @@ def main() -> None:
     n0 = ids.size
     print(f"# base signatures: {n0}", file=sys.stderr)
 
-    # fixed probe batch: mutated copies of real docs -> ~PROBE_DOCS true
-    # collisions at every index size
-    probe = (
-        docs.orderBy("doc_id")
-        .limit(PROBE_DOCS)
-        .select(
-            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
-            F.concat("text", F.lit(" probescale")).alias("text"),
+    # fixed probe batches: mutated copies of real docs -> same true
+    # collision count at every index size
+    probes = {}
+    probe_keys = {}
+    for p in PROBE_SIZES:
+        pdf = (
+            docs.orderBy("doc_id")
+            .limit(p)
+            .select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                F.concat("text", F.lit(" probescale")).alias("text"),
+            )
+            .persist()
         )
-        .persist()
-    )
-    probe.count()
+        pdf.count()
+        probes[p] = pdf
+        psigs = dd.minhash_signatures(dd.shingles_of(pdf, distinct=False))
+        km: dict[int, list[int]] = {}
+        for b, h in (
+            dd.band_buckets(psigs)
+            .select("band_id", "band_hash").distinct().collect()
+        ):
+            km.setdefault(int(b), []).append(h)
+        probe_keys[p] = km
+
+    def measure(base: str, modes) -> dict:
+        out = {}
+        pairs = {}
+        for p, pdf in probes.items():
+            tiers = {}
+            for mode in modes:
+                walls = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    n = dd.incremental_neardup(
+                        spark, pdf, base, probe_mode=mode
+                    ).count()
+                    walls.append(time.perf_counter() - t0)
+                tiers[mode] = round(min(walls), 3)
+                pairs.setdefault(p, set()).add(n)
+            w = dd.rowgroup_prune_stats(
+                f"{base}/bands", "band_hash", probe_keys[p],
+                part_col="band_id",
+            )
+            out[str(p)] = {
+                "wall_sec": tiers,
+                "n_pairs": max(pairs[p]),
+                "read_fraction": round(
+                    w["rows_read"] / max(1, w["rows_total"]), 4
+                ),
+                "row_groups": f"{w['row_groups_read']}/{w['row_groups_total']}",
+            }
+            assert len(pairs[p]) == 1, f"tier pair mismatch {pairs[p]}"
+        return out
 
     golden = 0x9E3779B97F4A7C15
     records = []
@@ -104,68 +146,34 @@ def main() -> None:
                 m = mat
             else:
                 u = mat.view(np.uint64)
-                m = (
-                    (u * np.uint64(golden)) ^ np.uint64(r * 0x2545F4914F6CDD1D)
-                ).view(np.int64)
-            off = ids + np.int64(r) * np.int64(1_000_000)
-            for lo in range(0, n0, CHUNK_DOCS):
-                hi = min(n0, lo + CHUNK_DOCS)
-                written += dd.append_minhash_index_local(
-                    off[lo:hi], m[lo:hi], base
-                )
+                salt = np.uint64((r * 0x2545F4914F6CDD1D) % (1 << 64))
+                m = ((u * np.uint64(golden)) ^ salt).view(np.int64)
+            written += dd.append_minhash_index_local(
+                ids + np.int64(r) * np.int64(1_000_000), m, base
+            )
         build_wall = round(time.perf_counter() - t0, 2)
-
         files = dd._list_index_files(f"{base}/bands", "band_id")
-        idx_bytes = sum(os.stat(p).st_size for p, _ in files)
+        idx_bytes = sum(os.stat(p_, ).st_size for p_, _ in files)
 
-        tiers = {}
-        n_pairs = {}
-        for mode in ("full", "bitmap", "rowgroup"):
-            walls = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n = dd.incremental_neardup(
-                    spark, probe, base, probe_mode=mode
-                ).count()
-                walls.append(time.perf_counter() - t0)
-            tiers[mode] = round(min(walls), 3)
-            n_pairs[mode] = n
-
-        # the witness: what the rowgroup tier READS
-        psigs = dd.minhash_signatures(
-            dd.shingles_of(probe, distinct=False)
-        )
-        keys = [
-            r[0]
-            for r in dd.band_buckets(psigs)
-            .select("band_hash").distinct().collect()
-        ]
-        witness = dd.rowgroup_prune_stats(
-            f"{base}/bands", "band_hash", keys, part_col="band_id"
-        )
-
-        assert len(set(n_pairs.values())) == 1, f"tier pair mismatch {n_pairs}"
         rec = {
             "replicas": R,
             "index_docs": int(n0 * R),
             "index_band_rows": int(written * dd.LSH_BANDS),
-            "index_bytes": int(idx_bytes),
-            "index_files": len(files),
+            "index_mb": round(idx_bytes / 2**20, 1),
+            "band_files_append_shape": len(files),
             "build_wall_sec": build_wall,
-            "probe_docs": PROBE_DOCS,
-            "probe_band_keys": len(keys),
-            "n_pairs": n_pairs["full"],
-            "probe_wall_sec": tiers,
-            "rows_read_rowgroup": witness["rows_read"],
-            "rows_total": witness["rows_total"],
-            "read_fraction": round(
-                witness["rows_read"] / max(1, witness["rows_total"]), 4
-            ),
-            "row_groups_read": witness["row_groups_read"],
-            "row_groups_total": witness["row_groups_total"],
+            "append_shape": measure(base, ("full", "bitmap", "rowgroup")),
         }
+        t0 = time.perf_counter()
+        cstats = dd.compact_minhash_index(spark, base)
+        rec["compact"] = {"wall_sec": round(time.perf_counter() - t0, 2),
+                          **cstats}
+        rec["compacted_shape"] = measure(base, ("full", "rowgroup"))
         records.append(rec)
         print(json.dumps(rec), file=sys.stderr)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
 
     with open(out_path, "w") as fh:
         json.dump(records, fh, indent=1)

@@ -867,6 +867,127 @@ def test_persisted_ivf_index_matches_session_ivf(spark, sf_dir, tmp_path):
     assert pruned.count() == direct
 
 
+def test_persisted_ivfpq_index_matches_session_ivfpq(spark, sf_dir, tmp_path):
+    """The memory-bounded tier persisted (round 10, mirroring the IVF
+    index's gate set): a search against the parquet-persisted IVF-PQ
+    index (16-byte codes + quantizer tables, no raw vectors) must
+    return the IDENTICAL result set as the in-session qz12_ivfpq query,
+    and the codes scan must carry the cluster PartitionFilter with the
+    pruned row count matching a direct read of only the probed
+    directories."""
+    import numpy as np
+
+    from frizzle_spark.operators import ann_index as ai
+    from frizzle_spark.operators.similarity import _corpus, _ivf_train, _unit
+
+    base = str(tmp_path / "ivfpq_index")
+    meta = ai.materialize_ivfpq_index(spark, sf_dir, base)
+    assert meta["k"] > 0 and meta["pq_m"] > 0
+
+    trained = _ivf_train(spark, sf_dir)
+    unit_df, sample, x, cent, pid, pu, top_clusters = trained
+    probes = spark.createDataFrame(
+        [(int(p), [float(v) for v in vec]) for p, vec in zip(pid, pu)],
+        "probe_id long, pu array<double>",
+    )
+    got = {
+        tuple(r)
+        for r in ai.search_ivfpq_index(
+            spark, base, probes, _unit(_corpus(spark, sf_dir))
+        ).collect()
+    }
+    want = {
+        tuple(r) for r in REGISTRY["qz12_ivfpq"].fn(spark, sf_dir).collect()
+    }
+    assert got == want, f"index vs session drift: {got ^ want}"
+
+    pu_arr = np.asarray([list(v) for _, v in probes.collect()])
+    pruned, top, _, _ = ai.probed_codes_scan(spark, base, pu_arr, meta["nprobe"])
+    wanted = {int(c) for row in top for c in row}
+    assert len(wanted) < meta["k"], "probe set degenerately covers every list"
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan, plan
+    direct = sum(
+        spark.read.parquet(f"{base}/codes/cluster={c}").count() for c in wanted
+    )
+    assert pruned.count() == direct
+
+    # the index stores NO raw vectors: 16 B codes + the two quantizer
+    # tables only (the size posture the tier exists for)
+    import os as _os
+
+    code_bytes = sum(
+        _os.stat(_os.path.join(dp, f)).st_size
+        for dp, _, fns in _os.walk(f"{base}/codes")
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    list_bytes = 0
+    ivf_base = str(tmp_path / "ivf_for_size")
+    ai.materialize_ivf_index(spark, sf_dir, ivf_base)
+    list_bytes = sum(
+        _os.stat(_os.path.join(dp, f)).st_size
+        for dp, _, fns in _os.walk(f"{ivf_base}/lists")
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    assert code_bytes < list_bytes / 4, (code_bytes, list_bytes)
+
+
+def test_ivfpq_index_streaming_append(spark, sf_dir, tmp_path):
+    """Frozen-quantizer append twin (mirrors the IVF streaming-ingest
+    gate): planted near-twin vectors appended through the foreachBatch
+    body must surface as their twins' top-1 in BOTH probe directions,
+    and n_vectors must reflect the ingest."""
+    import json as _json
+
+    import numpy as np
+
+    from frizzle_spark.operators import ann_index as ai
+    from frizzle_spark.operators.similarity import _corpus, _unit
+
+    base = str(tmp_path / "ivfpq_stream")
+    meta = ai.materialize_ivfpq_index(spark, sf_dir, base)
+    assert meta["k"] > 0
+
+    rows = _corpus(spark, sf_dir).orderBy("vec_id").limit(5).collect()
+    twin_of, new_rows = {}, []
+    for i, r in enumerate(rows):
+        u = np.asarray(r["v"]) / r["nrm"]
+        nid = 20_000_000 + i
+        twin_of[nid] = r["vec_id"]
+        new_rows.append((nid, [float(x) for x in u]))
+    new_df = spark.createDataFrame(new_rows, "vec_id long, u array<double>")
+    ai.append_to_ivfpq_index(spark, base, new_df)
+
+    # refinement corpus must contain the appended vectors too (the
+    # deployment keeps its raw corpus beside the code index)
+    unit = _unit(_corpus(spark, sf_dir)).unionByName(new_df.select("vec_id", "u"))
+    probes = spark.createDataFrame(
+        new_rows, "probe_id long, pu array<double>"
+    )
+    got = ai.search_ivfpq_index(spark, base, probes, unit).collect()
+    top1 = {r["probe_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    for nid, twin in twin_of.items():
+        assert top1.get(nid) == twin, (nid, twin, top1.get(nid))
+
+    rev_probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x / r["nrm"]) for x in r["v"]])
+            for r in rows
+        ],
+        "probe_id long, pu array<double>",
+    )
+    rev = ai.search_ivfpq_index(spark, base, rev_probes, unit).collect()
+    rev_top1 = {r["probe_id"]: r["neighbor_id"] for r in rev if r["rank"] == 1}
+    for nid, twin in twin_of.items():
+        assert rev_top1.get(twin) == nid, (twin, nid, rev_top1.get(twin))
+
+    with open(f"{base}/index_meta.json") as fh:
+        meta_after = _json.load(fh)
+    assert meta_after["n_vectors"] == meta["n_vectors"] + len(new_rows)
+
+
 def test_streaming_ingest_into_persisted_index(spark, sf_dir, tmp_path):
     """Index stays searchable while a stream appends: build the index,
     replay a batch of NEW vectors (near-duplicates of existing corpus

@@ -251,3 +251,23 @@ def test_rfm_auto_matches_forced_distributed(spark, sf_dir, monkeypatch):
         for r in REGISTRY["qz26_rfm"].fn(spark, sf_dir).collect()
     }
     assert base == forced
+
+
+def test_purchase_gaps_routes_through_auto(spark, sf_dir, monkeypatch):
+    """qz10_purchase_gaps (round 10): the last single-task global sort
+    the r9 audit flagged now rides global_row_number's AUTO switch —
+    small inputs keep the plain window; a forced-large input takes the
+    bucketed one-exchange recipe with IDENTICAL output."""
+    from frizzle_spark.plans.windows import qz10_purchase_gaps
+
+    small = qz10_purchase_gaps(spark, sf_dir)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" not in plan_small  # AUTO stays naive at test scale
+    want = [tuple(r) for r in small.collect()]
+
+    monkeypatch.setattr(ranks, "GLOBAL_SORT_MAX_EST_BYTES", 0)
+    monkeypatch.setattr(ranks, "GLOBAL_SORT_MAX_ROWS", 0)
+    big = qz10_purchase_gaps(spark, sf_dir)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan_big  # forced-large: bucketed recipe
+    assert [tuple(r) for r in big.collect()] == want

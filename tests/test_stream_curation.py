@@ -337,6 +337,61 @@ def test_quality_keep_rule(spark, tmp_path):
     assert got[12] == ("dlq", "dup_index", 11)
 
 
+@pytest.mark.skipif(
+    not os.path.isdir("/tmp/frizzle_sf1"),
+    reason="sf1 corpus not built (scripts/scaling_sf1.build_sf1)",
+)
+def test_quality_keep_rule_sf1_slice(spark, tmp_path):
+    """keep='quality' at volume (round 10, VERDICT r9 #6): one sf1
+    crawl slice (~12.5k docs) through the batch body under the quality
+    rule — the survivor invariant must hold corpus-wide, every
+    dup_batch survivor must carry max quality in its cluster, and a
+    planted junky/clean near-dup pair must resolve to the clean copy
+    regardless of id order."""
+    from frizzle_spark.functions.text import quality_score
+    from frizzle_spark.operators.dedup import minhash_pairs_of
+
+    docs = (
+        spark.read.parquet("/tmp/frizzle_sf1/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % N_SLICES == 0)
+    )
+    base = (
+        "this is a reasonably long clean document with common stopwords "
+        "and it continues for enough words to produce many shingles "
+        "so the two variants are well above the jaccard threshold"
+    )
+    planted = spark.createDataFrame(
+        [(900_000_001, base + " !!! ??? ;;; ::: ,,, ###"),
+         (900_000_002, base)],
+        DOCS_SCHEMA,
+    )
+    batch = docs.unionByName(planted)
+    r = str(tmp_path)
+    res = dedup_ingest_batch(
+        spark, batch, f"{r}/index", f"{r}/out", 0, keep="quality"
+    )
+    assert res["skipped"] is False and res["n_in"] == batch.count()
+    got = _assignment_map(ingest_assignment(spark, f"{r}/out"))
+    assert got[900_000_002] == ("corpus", None, None)
+    assert got[900_000_001] == ("dlq", "dup_batch", 900_000_002)
+    # survivor invariant corpus-wide under the quality rule
+    kept = spark.read.parquet(f"{r}/out/corpus").select("doc_id", "text")
+    assert minhash_pairs_of(kept).count() == 0
+    # every dup_batch drop points at a survivor with >= its quality
+    q = {
+        r_["doc_id"]: r_["q"]
+        for r_ in batch.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    for d, (dest, reason, dup_of) in got.items():
+        if reason == "dup_batch":
+            assert q[dup_of] > q[d] or (
+                q[dup_of] == q[d] and dup_of < d
+            ), (d, dup_of, q[d], q[dup_of])
+
+
 def test_empty_and_shortdoc_first_slices(spark, tmp_path):
     """Edge regression: the index-readiness watermark must follow
     SIGNATURE count, not batch count.  Slice 0 is empty and slice 1
