@@ -580,8 +580,12 @@ def _read_sink_or_empty(spark: SparkSession, path: str) -> DataFrame | None:
 def ingest_assignment(spark: SparkSession, out_base: str) -> DataFrame:
     """The replay's full routing verdict, one row per ingested doc:
     (doc_id, dest ∈ {corpus, dlq}, reason ∈ {NULL, dup_index,
-    dup_batch}, dup_of = the accepted doc this one duplicates)."""
-    corpus_raw = _read_sink_or_empty(spark, f"{out_base}/corpus")
+    dup_batch}, dup_of = the accepted doc this one duplicates).
+    Reads are manifest-aware (streaming/curation_compact.py), so the
+    ledger stays exact even inside a sink-compaction crash window."""
+    from frizzle_spark.streaming.curation_compact import read_sink_current
+
+    corpus_raw = read_sink_current(spark, f"{out_base}/corpus")
     if corpus_raw is not None:
         corpus = corpus_raw.select(
             "doc_id",
@@ -591,7 +595,7 @@ def ingest_assignment(spark: SparkSession, out_base: str) -> DataFrame:
         )
     else:
         corpus = spark.createDataFrame([], ASSIGNMENT_SCHEMA)
-    dlq_raw = _read_sink_or_empty(spark, f"{out_base}/dlq")
+    dlq_raw = read_sink_current(spark, f"{out_base}/dlq")
     if dlq_raw is not None:
         dlq = dlq_raw.select(
             "doc_id", F.lit("dlq").alias("dest"), "reason", "dup_of"

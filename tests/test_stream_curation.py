@@ -420,6 +420,70 @@ def test_empty_and_shortdoc_first_slices(spark, tmp_path):
     assert got[7] == ("dlq", "dup_index", 6)
 
 
+def test_sink_compaction_preserves_assignment(spark, ingested, tmp_path):
+    """VERDICT r9 #9: folding the per-batch corpus/DLQ partition dirs
+    must preserve ingest_assignment BIT-FOR-BIT, through every stage of
+    the crash-window protocol (generation written but manifest
+    unpublished; manifest published but folded dirs undeleted; full
+    cleanup), and a committed-batch replay after compaction must remain
+    a no-op."""
+    import shutil
+
+    from frizzle_spark.streaming.curation_compact import (
+        _read_sink_manifest,
+        _write_sink_manifest,
+        compact_curation_sinks,
+        read_sink_current,
+    )
+
+    root, docs = ingested
+    # work on a copy — `ingested` is module-scoped and shared
+    r = str(tmp_path / "copy")
+    shutil.copytree(f"{root}/out", f"{r}/out")
+    shutil.copytree(f"{root}/index", f"{r}/index")
+    want = _assignment_map(ingest_assignment(spark, f"{r}/out"))
+    n_dirs_before = len(
+        [d for d in os.listdir(f"{r}/out/corpus") if d.startswith("batch_id=")]
+    )
+    assert n_dirs_before == N_SLICES
+
+    stats = compact_curation_sinks(spark, f"{r}/out")
+    assert stats["corpus"]["folded"] == N_SLICES
+    assert _assignment_map(ingest_assignment(spark, f"{r}/out")) == want
+    # all per-batch dirs folded into one generation
+    dirs_after = [
+        d for d in os.listdir(f"{r}/out/corpus") if d.startswith("batch_id=")
+    ]
+    assert dirs_after == ["batch_id=-1"]
+
+    # crash windows, replayed on a second copy: (a) generation written,
+    # manifest NOT published -> invisible; (b) manifest published,
+    # folded dirs NOT deleted -> excluded
+    r2 = str(tmp_path / "copy2")
+    shutil.copytree(f"{root}/out", f"{r2}/out")
+    cur = read_sink_current(spark, f"{r2}/out/corpus")
+    fold = cur.drop("batch_id")
+    fold.coalesce(1).write.mode("overwrite").parquet(
+        f"{r2}/out/corpus/batch_id=-1"
+    )
+    # (a) unpublished generation: reader must NOT see the doubled rows
+    assert read_sink_current(spark, f"{r2}/out/corpus").count() == cur.count()
+    # (b) published manifest with folded dirs still present
+    m = _read_sink_manifest(f"{r2}/out/corpus")
+    _write_sink_manifest(
+        f"{r2}/out/corpus",
+        {"folded": list(range(N_SLICES)), "live_gens": [-1]},
+    )
+    assert read_sink_current(spark, f"{r2}/out/corpus").count() == cur.count()
+
+    # replay of a committed batch after compaction is still a no-op
+    replay = dedup_ingest_batch(
+        spark, docs.limit(10), f"{r}/index", f"{r}/out", 0
+    )
+    assert replay["skipped"] is True
+    assert _assignment_map(ingest_assignment(spark, f"{r}/out")) == want
+
+
 def test_planted_cross_and_within_slice_dups(spark, tmp_path):
     """Deterministic micro-corpus: doc 101 duplicates doc 0 (earlier
     slice → dup_index), docs 202/203 duplicate each other in ONE slice
