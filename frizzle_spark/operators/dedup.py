@@ -1103,6 +1103,110 @@ def append_minhash_index_local(ids, mat, base_path: str) -> int:
     return int(ids.size)
 
 
+PROBE_LOCAL_MAX_INDEX_BYTES = 64 << 20  # driver probe tier cap
+
+
+def incremental_neardup_local(ids, mat, index_base: str) -> list[tuple]:
+    """Driver-side probe twin for an ALREADY COLLECTED batch signature
+    slice — ``ids`` (n,) int64, ``mat`` (n, 64) int64: read the stored
+    band table with pyarrow (bounded by PROBE_LOCAL_MAX_INDEX_BYTES —
+    callers check), match batch band hashes with numpy searchsorted,
+    fetch ONLY the colliding old signatures through driver-side
+    row-group stat pruning, and estimate Jaccard exactly as the Spark
+    tiers do.  Returns [(new_id, old_id, est_jaccard)] including
+    self-pairs-filtered semantics (new_id != old_id).
+
+    This is the curation bus's common case: a micro-batch probing a
+    young index — the Spark probe job's fixed ~1 s is pure overhead
+    against ~milliseconds of numpy.  Identity vs probe_mode='full' is
+    pytest-gated; the tier hands off to the distributed probes the
+    moment the band table outgrows the cap."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    ids = np.asarray(ids, dtype=np.int64)
+    mat = np.asarray(mat, dtype=np.int64)
+    if ids.size == 0:
+        return []
+    bh = band_hashes_np(mat)  # (n, 16)
+
+    # stored bands, concatenated per band (files are each sorted, the
+    # concatenation is not — sort once per call)
+    files = _list_index_files(f"{index_base}/bands", "band_id")
+    per_band: dict[int, list] = {}
+    for path, b in files:
+        per_band.setdefault(b, []).append(path)
+    pairs_idx: list[tuple[int, int]] = []  # (batch row idx, old_id)
+    cand_old: set[int] = set()
+    for b, paths in per_band.items():
+        olds = []
+        hashes = []
+        for p in paths:
+            tb = pq.read_table(p, columns=["doc_id", "band_hash"])
+            olds.append(tb["doc_id"].to_numpy().astype(np.int64, copy=False))
+            hashes.append(
+                tb["band_hash"].to_numpy().astype(np.int64, copy=False)
+            )
+        if not olds:
+            continue
+        oid = np.concatenate(olds)
+        ohash = np.concatenate(hashes)
+        order = np.argsort(ohash, kind="stable")
+        ohash, oid = ohash[order], oid[order]
+        lo = np.searchsorted(ohash, bh[:, b], side="left")
+        hi = np.searchsorted(ohash, bh[:, b], side="right")
+        for i in np.nonzero(hi > lo)[0]:
+            for j in range(lo[i], hi[i]):
+                old = int(oid[j])
+                if old != int(ids[i]):
+                    pairs_idx.append((int(i), old))
+                    cand_old.add(old)
+    if not pairs_idx:
+        return []
+
+    # fetch candidate old signatures: row-group stat pruning, driver-side
+    karr = np.sort(np.fromiter(cand_old, dtype=np.int64, count=len(cand_old)))
+    old_sigs: dict[int, "np.ndarray"] = {}
+    for path, _ in _list_index_files(f"{index_base}/signatures", None):
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        ci = md.schema.to_arrow_schema().get_field_index("doc_id")
+        keep = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or st.min is None or st.max is None:
+                keep.append(rg)
+                continue
+            p_lo = int(np.searchsorted(karr, st.min, side="left"))
+            if p_lo < karr.size and int(karr[p_lo]) <= st.max:
+                keep.append(rg)
+        if not keep:
+            continue
+        tb = f.read_row_groups(keep, columns=["doc_id", "sig"])
+        did = tb["doc_id"].to_numpy().astype(np.int64, copy=False)
+        pos = np.searchsorted(karr, did)
+        np.clip(pos, 0, karr.size - 1, out=pos)
+        hit = karr[pos] == did
+        sigv = tb["sig"].to_numpy(zero_copy_only=False)
+        for t in np.nonzero(hit)[0]:
+            old_sigs[int(did[t])] = np.asarray(sigv[t], dtype=np.int64)
+
+    seen: set[tuple[int, int]] = set()
+    out: list[tuple] = []
+    for i, old in pairs_idx:
+        key = (int(ids[i]), old)
+        if key in seen:
+            continue
+        seen.add(key)
+        osig = old_sigs.get(old)
+        if osig is None:  # benign index-row duplication edge: no sig row
+            continue
+        est = float(np.mean(mat[i] == osig))
+        if est >= JACCARD_THRESHOLD:
+            out.append((key[0], key[1], round(est, 6)))
+    return out
+
+
 def incremental_neardup(
     spark: SparkSession,
     new_docs: DataFrame,

@@ -152,34 +152,6 @@ def _decide_local(
         else None
     )
 
-    # cross probe: new-vs-index near-dup pairs, collected (bounded by
-    # true collisions; a storm over the cap falls back to distributed)
-    idx_dup_of: dict[int, int] = {}
-    if meta.get("index_ready"):
-        cross_tb = (
-            incremental_neardup(spark, batch, index_base, _sigs=sigs)
-            .select("new_id", "old_id")
-            .limit(cap + 1)
-            .toArrow()
-        )
-        if cross_tb.num_rows > cap:
-            return None
-        batch_set = set(doc_ids)
-        for new_id, old_id in zip(
-            cross_tb["new_id"].to_pylist(), cross_tb["old_id"].to_pylist()
-        ):
-            # crash-window redelivery guard: this batch's own survivors
-            # may already sit in the index — ignore them so the
-            # redelivered run reproduces the original assignment
-            if old_id in batch_set:
-                continue
-            cur = idx_dup_of.get(new_id)
-            if cur is None or old_id < cur:
-                idx_dup_of[new_id] = old_id
-
-    # within-batch candidates: band b collides iff the 4 signature rows
-    # of band b are equal — bucket by the tuple, estimate Jaccard as
-    # agreeing signature fraction, threshold as the distributed twin
     if sig_tb.num_rows:
         sids = sig_tb["doc_id"].to_numpy().astype(np.int64, copy=False)
         mat = np.column_stack(
@@ -191,6 +163,52 @@ def _decide_local(
     else:
         sids = np.empty(0, dtype=np.int64)
         mat = np.empty((0, MINHASH_PERMS), dtype=np.int64)
+
+    # cross probe: new-vs-index near-dup pairs (bounded by true
+    # collisions; a storm over the cap falls back to distributed).
+    # Against a YOUNG index (common case at bus start-up) the probe is
+    # fully driver-side numpy (incremental_neardup_local) — zero Spark
+    # jobs; past the size cap it is the Spark probe, collected.
+    idx_dup_of: dict[int, int] = {}
+    if meta.get("index_ready"):
+        from frizzle_spark.operators.dedup import (
+            PROBE_LOCAL_MAX_INDEX_BYTES,
+            _list_index_files,
+            incremental_neardup_local,
+        )
+
+        files = _list_index_files(f"{index_base}/bands", "band_id")
+        idx_bytes = sum(os.stat(p).st_size for p, _ in files)
+        batch_set = set(doc_ids)
+        if idx_bytes <= PROBE_LOCAL_MAX_INDEX_BYTES:
+            cross_iter = [
+                (n, o)
+                for n, o, _ in incremental_neardup_local(sids, mat, index_base)
+            ]
+        else:
+            cross_tb = (
+                incremental_neardup(spark, batch, index_base, _sigs=sigs)
+                .select("new_id", "old_id")
+                .limit(cap + 1)
+                .toArrow()
+            )
+            if cross_tb.num_rows > cap:
+                return None
+            cross_iter = zip(
+                cross_tb["new_id"].to_pylist(), cross_tb["old_id"].to_pylist()
+            )
+        for new_id, old_id in cross_iter:
+            # crash-window redelivery guard: this batch's own survivors
+            # may already sit in the index — ignore them so the
+            # redelivered run reproduces the original assignment
+            if old_id in batch_set:
+                continue
+            cur = idx_dup_of.get(new_id)
+            if cur is None or old_id < cur:
+                idx_dup_of[new_id] = old_id
+    # within-batch candidates: band b collides iff the 4 signature rows
+    # of band b are equal — bucket by the tuple, estimate Jaccard as
+    # agreeing signature fraction, threshold as the distributed twin
     if len(sids):
         cand: set[tuple[int, int]] = set()
         for b in range(LSH_BANDS):

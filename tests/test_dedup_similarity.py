@@ -378,6 +378,46 @@ def test_local_index_append_probe_identical(spark, sf_dir, tmp_path):
         assert a == b, f"layouts diverge under probe_mode={mode}"
 
 
+def test_local_probe_identity(spark, sf_dir, tmp_path):
+    """The driver-side probe (incremental_neardup_local, the curation
+    bus's young-index fast path) must return the IDENTICAL
+    (new_id, old_id, est_jaccard) set as the Spark 'full' probe."""
+    import numpy as np
+
+    base = str(tmp_path / "mh_index")
+    docs = dd.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dd.materialize_minhash_index(docs, base)
+    new_docs = (
+        docs.orderBy(F.desc("doc_id"))
+        .limit(30)
+        .select(
+            (F.col("doc_id") + F.lit(800_000)).alias("doc_id"),
+            F.concat("text", F.lit(" appended")).alias("text"),
+        )
+    )
+    want = {
+        tuple(r)
+        for r in dd.incremental_neardup(
+            spark, new_docs, base, probe_mode="full"
+        ).collect()
+    }
+    assert want
+    tb = dd.minhash_signatures(
+        dd.shingles_of(new_docs, distinct=False)
+    ).toArrow()
+    ids = tb["doc_id"].to_numpy().astype(np.int64)
+    mat = np.column_stack(
+        [tb[f"h{k}"].to_numpy(zero_copy_only=False)
+         for k in range(dd.MINHASH_PERMS)]
+    ).astype(np.int64)
+    got = set(dd.incremental_neardup_local(ids, mat, base))
+    assert got == want, f"local probe drift: {got ^ want}"
+    # empty batch, empty result
+    assert dd.incremental_neardup_local(
+        np.empty(0, np.int64), np.empty((0, 64), np.int64), base
+    ) == []
+
+
 def test_dedup_clusters_auto_identity(spark, sf_dir):
     """The driver union-find tier must label EXACTLY like the
     distributed min-label fixpoint (min doc_id of the connected
