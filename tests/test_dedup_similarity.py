@@ -378,6 +378,41 @@ def test_local_index_append_probe_identical(spark, sf_dir, tmp_path):
         assert a == b, f"layouts diverge under probe_mode={mode}"
 
 
+def test_index_compaction_probe_identity(spark, sf_dir, tmp_path):
+    """compact_minhash_index must be invisible to the probe: identical
+    pair sets before and after, under every probe tier, while the
+    band-file count collapses (the append-accumulated small files are
+    the thing being fixed)."""
+    base = str(tmp_path / "mh_index")
+    docs = dd.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    dd.materialize_minhash_index(half_a, base)
+    dd.append_minhash_index(half_b, base)  # append-shaped second slice
+    probe = docs.limit(12).select(
+        (F.col("doc_id") + F.lit(600_000)).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+
+    def pairs(mode):
+        return sorted(
+            tuple(r)
+            for r in dd.incremental_neardup(
+                spark, probe, base, probe_mode=mode
+            ).collect()
+        )
+
+    before = {m: pairs(m) for m in ("full", "bitmap", "rowgroup")}
+    assert before["full"], "probe must surface pairs"
+    files_before = len(dd._list_index_files(f"{base}/bands", "band_id"))
+    stats = dd.compact_minhash_index(spark, base)
+    files_after = len(dd._list_index_files(f"{base}/bands", "band_id"))
+    assert files_after < files_before
+    assert stats["bands_rows"] > 0
+    for m in ("full", "bitmap", "rowgroup"):
+        assert pairs(m) == before[m], f"compaction changed pairs under {m}"
+
+
 def test_local_probe_identity(spark, sf_dir, tmp_path):
     """The driver-side probe (incremental_neardup_local, the curation
     bus's young-index fast path) must return the IDENTICAL
