@@ -213,11 +213,27 @@ def main() -> None:
     # events/sec through it is the engine's measured single-node bus rate
     # (the reference publishes no throughput numbers — BASELINE.md — so
     # this is the round-over-round record).
+    # One in-bench sample proved the least trustworthy number in the
+    # round-10 record (51.8k vs the isolated 68.9k median): report the
+    # MEDIAN of >=3 runs and publish the per-run spread so round-over-
+    # round comparisons never ride a single contended sample.  The
+    # isolated BENCH_STREAM.json record remains the headline number.
     stream_rps = None
+    stream_rps_runs: list[float] = []
     try:
         if timings.get("q13_stream"):
             n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-            stream_rps = round(n_events / timings["q13_stream"], 1)
+            stream_walls = list(all_runs["q13_stream"])
+            while len(stream_walls) < 3:
+                t0 = time.perf_counter()
+                REGISTRY["q13_stream"].fn(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                stream_walls.append(round(time.perf_counter() - t0, 3))
+            stream_rps_runs = sorted(
+                round(n_events / w, 1) for w in stream_walls
+            )
+            stream_rps = stream_rps_runs[len(stream_rps_runs) // 2]
     except Exception as ex:  # diagnostics only — never fail the bench
         print(f"# stream_rps computation failed: {ex}", file=sys.stderr)
 
@@ -239,6 +255,7 @@ def main() -> None:
         "n_queries_err": len(errors),
         "errors": errors,
         "stream_rows_per_sec": stream_rps,
+        "stream_rps_runs": stream_rps_runs,
         "recall": recall,
         "recall_clustered": recall_clustered,
         "candidate_fraction": candidate_fraction,
@@ -285,6 +302,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "stream_rows_per_sec": stream_rps,
+        "stream_rps_runs": stream_rps_runs,
         "slowest": [[k, v] for k, v in slowest],
         "recall": recall,
         "recall_clustered": recall_clustered,

@@ -281,6 +281,24 @@ def materialize_ivfpq_index(
 
 
 def _load_pq_tables(spark: SparkSession, base_path: str):
+    # fail loudly if the persisted geometry no longer matches the code's
+    # (pq_encode/adc_refine use the module constants internally — a
+    # constant change after an index is built would otherwise decode
+    # 16-byte codes against wrong codebook shapes, silently)
+    from frizzle_spark.operators.similarity import PQ_KS, PQ_M
+
+    with open(os.path.join(base_path, "index_meta.json")) as fh:
+        meta = json.load(fh)
+    if (int(meta.get("pq_m", PQ_M)), int(meta.get("pq_ks", PQ_KS))) != (
+        PQ_M,
+        PQ_KS,
+    ):
+        raise ValueError(
+            f"persisted PQ geometry (pq_m={meta.get('pq_m')}, "
+            f"pq_ks={meta.get('pq_ks')}) != code's (PQ_M={PQ_M}, "
+            f"PQ_KS={PQ_KS}); rebuild the index with "
+            "materialize_ivfpq_index"
+        )
     cent_rows = (
         spark.read.parquet(os.path.join(base_path, "centroids"))
         .orderBy("cluster")
@@ -336,8 +354,16 @@ def search_ivfpq_index(
     if nprobe is None:
         nprobe = meta["nprobe"]
     probe_rows = probes.collect()  # bounded: probe sets are small by contract
+    if not probe_rows:  # empty probe set → empty result, not a shape error
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cos_sim double, rank long"
+        )
     pid = np.asarray([r["probe_id"] for r in probe_rows])
     pu = np.asarray([r["pu"] for r in probe_rows])
+    if pu.shape[1] != int(meta["dim"]):
+        raise ValueError(
+            f"probe dim {pu.shape[1]} != index dim {meta['dim']}"
+        )
     pruned, top_clusters, cent, books = probed_codes_scan(
         spark, base_path, pu, nprobe
     )
@@ -364,6 +390,13 @@ def append_to_ivfpq_index(
     (the streaming-ingest gate's wiring)."""
     from frizzle_spark.operators.similarity import pq_encode
 
+    with open(os.path.join(base_path, "index_meta.json")) as fh:
+        if json.load(fh)["k"] == 0:
+            raise ValueError(
+                "cannot append to an empty IVF-PQ index (k=0): no "
+                "quantizer/codebooks were trained; rebuild with "
+                "materialize_ivfpq_index on a non-empty corpus"
+            )
     cent, books = _load_pq_tables(spark, base_path)
     encoded = pq_encode(spark, vecs, cent, books).localCheckpoint()
     n_new = encoded.count()
@@ -411,3 +444,64 @@ def append_to_ivf_index(spark: SparkSession, base_path: str, vecs: DataFrame) ->
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, meta_path)
+
+
+def _parquet_file_count(root: str) -> int:
+    import os as _os
+
+    return sum(
+        1
+        for dp, _, fns in _os.walk(root)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+
+
+def compact_ann_index(spark: SparkSession, base_path: str) -> dict:
+    """Small-file compaction for a persisted IVF or IVF-PQ index (round
+    11, VERDICT r10 #7 — the same disease ``compact_minhash_index``
+    cures for the MinHash layout): every streaming append
+    (``append_to_ivf_index`` / ``append_to_ivfpq_index``) adds one file
+    per touched ``cluster=`` partition, so a long-running ingest leaves
+    appends x clusters files and every probed directory pays the open
+    storm.  Folds each inverted list back to ~one file per cluster with
+    the same two-phase tmp-write / count-verify / directory-swap
+    protocol as the MinHash compaction (single-writer maintenance op —
+    do not run concurrently with appends).  Search identity and the
+    PartitionFilters pruning witness are pytest-gated.
+
+    Works on both layouts (detects ``lists`` = IVF, ``codes`` =
+    IVF-PQ); quantizer tables and ``index_meta.json`` are untouched.
+    Returns {"table", "rows", "files_before", "files_after"}."""
+    import os as _os
+    import shutil
+
+    table = "lists" if _os.path.isdir(_os.path.join(base_path, "lists")) else "codes"
+    root = _os.path.join(base_path, table)
+    if not _os.path.isdir(root):  # k=0 empty index: nothing to fold
+        return {"table": table, "rows": 0, "files_before": 0, "files_after": 0}
+    files_before = _parquet_file_count(root)
+    df = spark.read.parquet(root)
+    n = int(df.count())
+    tmp = root + "_compact_tmp"
+    (
+        df.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(tmp)
+    )
+    n2 = int(spark.read.parquet(tmp).count())
+    if n2 != n:  # verify before the swap — never publish a short fold
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"compaction row mismatch: {n2} != {n}")
+    old = _os.path.join(base_path, f"_{table}_precompact")
+    shutil.rmtree(old, ignore_errors=True)
+    _os.rename(root, old)
+    _os.rename(tmp, root)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "table": table,
+        "rows": n,
+        "files_before": files_before,
+        "files_after": _parquet_file_count(root),
+    }

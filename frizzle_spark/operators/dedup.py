@@ -198,6 +198,15 @@ def q11_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unresolved-Column expression caches (round 11): building the 64-perm
+# expression trees costs hundreds of py4j roundtrips (~0.3 s measured),
+# paid PER CALL — a real fraction of the curation bus's warm micro-batch
+# wall.  Column objects are immutable, name-resolved at analysis time,
+# and safe to share across DataFrames/queries, so build each tree once.
+_MINHASH_MIN_EXPRS: list | None = None
+_SIG_ARRAY_EXPR = None
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """64-perm MinHash signature per doc: min over shingles of
     xxhash64(k, xxhash64(shingle)).  The variable-length shingle string
@@ -205,19 +214,24 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     8-byte long (wrap-safe under ANSI mode, unlike multiply-shift).
     One groupBy — the signature shuffle carries 64 longs per doc
     regardless of doc size."""
+    global _MINHASH_MIN_EXPRS
+    if _MINHASH_MIN_EXPRS is None:
+        _MINHASH_MIN_EXPRS = [
+            F.min(F.xxhash64(F.lit(k), F.col("h64"))).alias(f"h{k}")
+            for k in range(MINHASH_PERMS)
+        ]
     hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h64"))
-    mins = [
-        F.min(F.xxhash64(F.lit(k), F.col("h64"))).alias(f"h{k}")
-        for k in range(MINHASH_PERMS)
-    ]
-    return hashed.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*_MINHASH_MIN_EXPRS)
 
 
 def sig_array(sigs: DataFrame) -> DataFrame:
     """(doc_id, h0..h63) → (doc_id, sig array<long>)."""
-    return sigs.select(
-        "doc_id", F.array(*[F.col(f"h{k}") for k in range(MINHASH_PERMS)]).alias("sig")
-    )
+    global _SIG_ARRAY_EXPR
+    if _SIG_ARRAY_EXPR is None:
+        _SIG_ARRAY_EXPR = F.array(
+            *[F.col(f"h{k}") for k in range(MINHASH_PERMS)]
+        ).alias("sig")
+    return sigs.select("doc_id", _SIG_ARRAY_EXPR)
 
 
 # Per-row rotation amounts for the band mix (distinct, non-zero so both
@@ -228,6 +242,9 @@ _BAND_ROTS = (1, 17, 31, 47)
 
 def _rotl64(col, k: int):
     return F.shiftleft(col, k).bitwiseOR(F.shiftrightunsigned(col, 64 - k))
+
+
+_BAND_MIX_EXPR = None  # cached posexplode tree (see minhash cache note)
 
 
 def band_buckets(sigs: DataFrame) -> DataFrame:
@@ -243,16 +260,21 @@ def band_buckets(sigs: DataFrame) -> DataFrame:
     bucketing — a hash coincidence only admits a false candidate, which
     the exact (band_id, band_hash) equi-join plus the signature re-rank
     removes."""
-    def mix(b: int):
-        out = _rotl64(F.col(f"h{b * LSH_ROWS}"), _BAND_ROTS[0])
-        for j in range(1, LSH_ROWS):
-            out = out.bitwiseXOR(
-                _rotl64(F.col(f"h{b * LSH_ROWS + j}"), _BAND_ROTS[j])
-            )
-        return out
+    global _BAND_MIX_EXPR
+    if _BAND_MIX_EXPR is None:
 
-    band_hashes = F.array(*[mix(b) for b in range(LSH_BANDS)])
-    return sigs.select("doc_id", F.posexplode(band_hashes).alias("band_id", "band_hash"))
+        def mix(b: int):
+            out = _rotl64(F.col(f"h{b * LSH_ROWS}"), _BAND_ROTS[0])
+            for j in range(1, LSH_ROWS):
+                out = out.bitwiseXOR(
+                    _rotl64(F.col(f"h{b * LSH_ROWS + j}"), _BAND_ROTS[j])
+                )
+            return out
+
+        _BAND_MIX_EXPR = F.posexplode(
+            F.array(*[mix(b) for b in range(LSH_BANDS)])
+        ).alias("band_id", "band_hash")
+    return sigs.select("doc_id", _BAND_MIX_EXPR)
 
 
 def band_hashes_np(mat):
@@ -656,6 +678,52 @@ def qz11_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (128 KiB groups: ~0.4% metadata overhead, ~5.4k band rows per range).
 _BAND_RG_BYTES = 1 << 17
 _SIG_RG_BYTES = 1 << 19
+# Persisted-index band-hash algorithm version.  The r10 switch from
+# xxhash64(band rows) to the rotate-XOR mix silently changed the stored
+# band_hash values: probing a pre-switch index with post-switch code
+# yields ZERO collisions — missed duplicates, no error.  Writers stamp
+# this into ``_index_format.json``; probe paths fail loudly on mismatch.
+# Bump whenever band_buckets / band_hashes_np change output values.
+BAND_HASH_FORMAT = "rotxor-v2"
+_INDEX_FORMAT_FILE = "_index_format.json"
+
+
+def _stamp_index_format(base_path: str, mode: str) -> None:
+    """Write (overwrite) or validate (append) the index format marker."""
+    import json
+    import os
+
+    path = os.path.join(base_path, _INDEX_FORMAT_FILE)
+    if mode != "overwrite" and os.path.exists(path):
+        _check_index_format(base_path)
+        return
+    os.makedirs(base_path, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"band_hash_format": BAND_HASH_FORMAT}, fh)
+    os.replace(tmp, path)
+
+
+def _check_index_format(base_path: str) -> None:
+    """Raise if the stored index's band-hash format doesn't match the
+    code's.  A pre-stamp index (no marker file) is tolerated — it is
+    indistinguishable from current-format by construction, and every
+    writer since the stamp landed creates the marker."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(base_path, _INDEX_FORMAT_FILE)) as fh:
+            fmt = json.load(fh).get("band_hash_format")
+    except (OSError, ValueError):
+        return
+    if fmt != BAND_HASH_FORMAT:
+        raise ValueError(
+            f"minhash index at {base_path!r} was written with band-hash "
+            f"format {fmt!r} but this code computes {BAND_HASH_FORMAT!r}: "
+            "probing would silently return zero collisions (missed "
+            "duplicates). Rebuild with materialize_minhash_index."
+        )
 PROBE_RG_MAX_KEYS = 1 << 17  # 131072 hashes ~ 8k docs/batch; 1 MB broadcast
 PROBE_RG_MIN_INDEX_BYTES = 1 << 28  # below 256 MiB auto just scans the index
 _BITMAP_WORDS = 1024  # 65,536 bits — same sizing as qz26_bitmap_semijoin
@@ -677,6 +745,7 @@ def materialize_minhash_index(docs: DataFrame, base_path: str) -> None:
 def _write_sig_slice(sigs: DataFrame, base_path: str, mode: str) -> None:
     """The two index writes shared by materialize and append: sorted,
     small-row-group, probe-optimized (header comment)."""
+    _stamp_index_format(base_path, mode)
     (
         sig_array(sigs)
         .sortWithinPartitions("doc_id")
@@ -770,7 +839,8 @@ def _list_index_files(root: str, part_col: str | None) -> list[tuple[str, int]]:
         return out
     if part_col is None:
         for fn in sorted(os.listdir(root)):
-            if fn.endswith(".parquet"):
+            # skip hidden/sidecar files (_rg_manifest.parquet, _SUCCESS)
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                 out.append((os.path.join(root, fn), 0))
         return out
     for d in sorted(os.listdir(root)):
@@ -779,9 +849,84 @@ def _list_index_files(root: str, part_col: str | None) -> list[tuple[str, int]]:
         pv = int(d.split("=", 1)[1])
         sub = os.path.join(root, d)
         for fn in sorted(os.listdir(sub)):
-            if fn.endswith(".parquet"):
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                 out.append((os.path.join(sub, fn), pv))
     return out
+
+
+_RG_MANIFEST = "_rg_manifest.parquet"
+
+
+def _write_rg_manifest(root: str, key_col: str, part_col: str | None) -> int:
+    """Row-group manifest sidecar (round 11, VERDICT r10 #2): one row
+    per parquet row group — (relative path, partition value, rg index,
+    key min/max, rows) — written at compaction time so the probe prunes
+    DRIVER-SIDE from one small vectorized table instead of parsing
+    thousands of footers through python-object statistics access (the
+    measured floor at 80M band rows: footer parsing cost more than the
+    pruned data reads, SCALE.md round-10).  Underscore-prefixed, so
+    Spark's parquet reader never sees it; paths are RELATIVE to the
+    table root, so a copied/moved index stays valid.  Returns the
+    manifest row count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths, pvs, rgs, mins, maxs, nrows = [], [], [], [], [], []
+    i64 = (1 << 63) - 1
+    for path, pv in _list_index_files(root, part_col):
+        md = pq.ParquetFile(path).metadata
+        ci = md.schema.to_arrow_schema().get_field_index(key_col)
+        rel = os.path.relpath(path, root)
+        for rg in range(md.num_row_groups):
+            meta = md.row_group(rg)
+            st = meta.column(ci).statistics
+            paths.append(rel)
+            pvs.append(int(pv))
+            rgs.append(rg)
+            # stats-less groups get the full range: always read
+            # (pruning may only skip PROVABLY empty groups)
+            if st is None or st.min is None or st.max is None:
+                mins.append(-i64 - 1)
+                maxs.append(i64)
+            else:
+                mins.append(int(st.min))
+                maxs.append(int(st.max))
+            nrows.append(meta.num_rows)
+    tb = pa.table(
+        {
+            "path": pa.array(paths, pa.string()),
+            "pv": pa.array(pvs, pa.int32()),
+            "rg": pa.array(rgs, pa.int32()),
+            "rgmin": pa.array(mins, pa.int64()),
+            "rgmax": pa.array(maxs, pa.int64()),
+            "nrows": pa.array(nrows, pa.int64()),
+        }
+    )
+    tmp = os.path.join(root, _RG_MANIFEST + ".tmp")
+    pq.write_table(tb, tmp)
+    os.replace(tmp, os.path.join(root, _RG_MANIFEST))
+    return len(paths)
+
+
+def _load_rg_manifest(root: str):
+    """Manifest arrays (paths, pv, rg, min, max) or None if absent."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(root, _RG_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    tb = pq.read_table(p)
+    return (
+        tb["path"].to_pylist(),
+        tb["pv"].to_numpy(),
+        tb["rg"].to_numpy(),
+        tb["rgmin"].to_numpy(),
+        tb["rgmax"].to_numpy(),
+    )
 
 
 def probe_index_rowgroups(
@@ -828,9 +973,52 @@ def probe_index_rowgroups(
             key_map = {pv: key_map[0] for _, pv in files}
     if not files or not any(a.size for a in key_map.values()):
         return spark.createDataFrame([], out_schema)
+
+    # Manifest fast path (round 11): prune row groups DRIVER-SIDE from
+    # the compaction-written sidecar — one vectorized searchsorted over
+    # all groups replaces per-task python-object footer parsing (the
+    # measured 80M-row floor).  Files absent from the manifest
+    # (appends since the last compaction) keep the footer path; stale
+    # manifest entries (files since re-compacted away) are dropped by
+    # intersecting with the live file list.
+    import os as _os
+
+    man = _load_rg_manifest(root)
+    # (path, pv, rgs) tasks; rgs None → prune via footer stats in-task
+    planned: list[tuple[str, int, list[int] | None]] = []
+    if man is not None:
+        mpaths, mpv, mrg, mmin, mmax = man
+        live = {p for p, _ in files}
+        by_file: dict[tuple[str, int], list[int]] = {}
+        for pv, karr in key_map.items():
+            if karr.size == 0:
+                continue
+            m = mpv == pv
+            if not m.any():
+                continue
+            lo = np.searchsorted(karr, mmin[m], side="left")
+            hit = (lo < karr.size) & (
+                karr[np.minimum(lo, karr.size - 1)] <= mmax[m]
+            )
+            for i in np.nonzero(m)[0][hit]:
+                ap = _os.path.join(root, mpaths[i])
+                if ap in live:
+                    by_file.setdefault((ap, int(pv)), []).append(int(mrg[i]))
+        planned.extend((p, pv, sorted(rgl)) for (p, pv), rgl in by_file.items())
+        covered = {_os.path.join(root, p) for p in mpaths}
+        planned.extend(
+            (p, pv, None) for p, pv in files if p not in covered
+        )
+    else:
+        planned.extend((p, pv, None) for p, pv in files)
+    if not planned:
+        return spark.createDataFrame([], out_schema)
+
     keys_b = spark.sparkContext.broadcast(key_map)
-    par = min(len(files), spark.sparkContext.defaultParallelism)
-    fdf = spark.createDataFrame(files, "path string, pv int").repartition(par)
+    par = min(len(planned), spark.sparkContext.defaultParallelism)
+    fdf = spark.createDataFrame(
+        planned, "path string, pv int, rgs array<int>"
+    ).repartition(par)
     pcol = part_col
 
     def scan(batches):
@@ -839,22 +1027,25 @@ def probe_index_rowgroups(
 
         kmap = keys_b.value
         for pdf in batches:
-            for path, pv in zip(pdf["path"], pdf["pv"]):
+            for path, pv, rgl in zip(pdf["path"], pdf["pv"], pdf["rgs"]):
                 karr = kmap.get(int(pv) if pcol is not None else 0)
                 if karr is None or karr.size == 0:
                     continue
                 f = pq.ParquetFile(path)
-                md = f.metadata
-                ci = md.schema.to_arrow_schema().get_field_index(key_col)
-                keep = []
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is None or st.min is None or st.max is None:
-                        keep.append(rg)
-                        continue
-                    lo = int(np.searchsorted(karr, st.min, side="left"))
-                    if lo < karr.size and int(karr[lo]) <= st.max:
-                        keep.append(rg)
+                if rgl is not None:
+                    keep = [int(r) for r in rgl]
+                else:
+                    md = f.metadata
+                    ci = md.schema.to_arrow_schema().get_field_index(key_col)
+                    keep = []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None or st.min is None or st.max is None:
+                            keep.append(rg)
+                            continue
+                        lo = int(np.searchsorted(karr, st.min, side="left"))
+                        if lo < karr.size and int(karr[lo]) <= st.max:
+                            keep.append(rg)
                 if not keep:
                     continue
                 tb = f.read_row_groups(keep, columns=columns)
@@ -1037,11 +1228,18 @@ def compact_minhash_index(spark: SparkSession, base_path: str) -> dict:
     files_after = len(_list_index_files(f"{base_path}/bands", "band_id")) + len(
         _list_index_files(f"{base_path}/signatures", None)
     )
+    # manifest sidecars (round 11): enumerate the fresh footers ONCE,
+    # driver-side, so every later probe prunes from one vectorized
+    # table instead of re-parsing footers per probe (VERDICT r10 #2)
+    manifest_rows = _write_rg_manifest(
+        f"{base_path}/bands", "band_hash", "band_id"
+    ) + _write_rg_manifest(f"{base_path}/signatures", "doc_id", None)
     return {
         "bands_rows": int(n_bands),
         "signatures_rows": int(n_sigs),
         "files_before": files_before,
         "files_after": files_after,
+        "manifest_rows": int(manifest_rows),
     }
 
 
@@ -1067,6 +1265,7 @@ def append_minhash_index_local(ids, mat, base_path: str) -> int:
     mat = np.asarray(mat, dtype=np.int64)
     if ids.size == 0:
         return 0
+    _stamp_index_format(base_path, "append")
     tag = uuid.uuid4().hex
 
     order = np.argsort(ids, kind="stable")
@@ -1128,6 +1327,7 @@ def incremental_neardup_local(ids, mat, index_base: str) -> list[tuple]:
     mat = np.asarray(mat, dtype=np.int64)
     if ids.size == 0:
         return []
+    _check_index_format(index_base)
     bh = band_hashes_np(mat)  # (n, 16)
 
     # stored bands, concatenated per band (files are each sorted, the
@@ -1228,6 +1428,7 @@ def incremental_neardup(
     """
     if probe_mode not in ("auto", "rowgroup", "bitmap", "full"):
         raise ValueError(f"unknown probe_mode {probe_mode!r}")
+    _check_index_format(index_base)
     if _sigs is not None:
         nsigs = _sigs
     else:

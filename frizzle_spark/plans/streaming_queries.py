@@ -115,6 +115,12 @@ def run_bus_pipeline(spark: SparkSession, sf_dir: str) -> str:
         to_envelope=to_envelope,
     )
     base = tempfile.mkdtemp(prefix="q13_sink_")
+    # bench min-of-n runs would otherwise accumulate scratch sinks in
+    # /tmp (same cleanup posture as qz13_curation_ingest below)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     sink = ParquetSink(base)
     pipe = Pipeline(
         spark,
@@ -350,6 +356,10 @@ def qz13_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_envelope=to_envelope,
     )
     base = tempfile.mkdtemp(prefix="qz13_docs_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     sink = ParquetSink(base)
     pipe = Pipeline(
         spark,

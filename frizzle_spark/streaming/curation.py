@@ -94,12 +94,17 @@ def _write_ingest_meta(out_base: str, meta: dict) -> None:
 # are small BY DEFINITION (the stream trigger bounds them) — this is the
 # same AUTO posture as ranks.py / graph.py, applied to the decision loop.
 LOCAL_DECIDE_MAX_DOCS = 1 << 16
+# Byte gate for pulling SURVIVOR text to the driver (the pyarrow corpus
+# write): the exact UTF-8 size is known before the pull — octet_length
+# rides the decide collect — so the gate is measured, not estimated.
+LOCAL_TEXT_MAX_BYTES = 256 << 20
 
 
 def _decide_local(
     spark: SparkSession,
     batch: DataFrame,
     sigs: DataFrame,
+    sigs_materialized,
     index_base: str,
     keep: str,
     meta: dict,
@@ -111,9 +116,16 @@ def _decide_local(
     near-dup components, apply the survivor rule, and return
     (assignment as a literal local relation, the raw assignment rows,
     the survivors' signature rows for the driver-side index append,
-    n_in, n_kept).  Returns None when any collected set exceeds its cap — the
+    the survivors' (doc_id, text) rows for the driver-side corpus
+    write — or None when the text gate declined the pull — n_in,
+    n_kept).  Returns None when any collected set exceeds its cap — the
     distributed twin then decides.  Semantics are identical by
-    construction and pinned by the forced-tier identity gate."""
+    construction and pinned by the forced-tier identity gate.
+
+    ``sigs`` is the LAZY signature frame; its collect below is the only
+    materialization this tier needs.  ``sigs_materialized`` checkpoints
+    on demand for the paths that feed signatures back into Spark jobs
+    (the over-cap index probe)."""
     import numpy as np
 
     from frizzle_spark.operators.dedup import (
@@ -128,17 +140,26 @@ def _decide_local(
         raise ValueError(f"keep must be 'min_id' or 'quality', got {keep!r}")
     cap = LOCAL_DECIDE_MAX_DOCS
     # Arrow collection end to end: no Row-object materialization (a
-    # 65-column Row collect measurably dominates the decide phase)
+    # 65-column Row collect measurably dominates the decide phase).
+    # octet_length(text) rides along so the survivor-text pull below
+    # is gated on its EXACT byte size before any text moves.
+    cols = [F.col("doc_id"), F.octet_length("text").alias("_tlen")]
     if keep == "quality":
         from frizzle_spark.functions.text import quality_score
 
-        id_tb = (
-            batch.select("doc_id", quality_score(F.col("text")).alias("q"))
-            .limit(cap + 1)
-            .toArrow()
-        )
-    else:
-        id_tb = batch.select("doc_id").limit(cap + 1).toArrow()
+        cols.append(quality_score(F.col("text")).alias("q"))
+    # TEXT rides the id collect when the previous batch's measured
+    # average doc size says even a cap-full batch fits the byte gate
+    # with 2x headroom (the hint lives in the ingest meta) — the corpus
+    # write then needs no further Spark job at all.  No hint (first
+    # batch) or big docs -> the gated survivor pull below.
+    hint = meta.get("avg_doc_bytes")
+    text_inline = (
+        hint is not None and hint * (cap + 1) * 2 <= LOCAL_TEXT_MAX_BYTES
+    )
+    if text_inline:
+        cols.append(F.col("text"))
+    id_tb = batch.select(*cols).limit(cap + 1).toArrow()
     if id_tb.num_rows > cap:
         return None
     sig_tb = sigs.limit(cap + 1).toArrow()
@@ -146,10 +167,14 @@ def _decide_local(
         return None
 
     doc_ids = id_tb["doc_id"].to_pylist()
+    tlen_of = dict(zip(doc_ids, id_tb["_tlen"].to_pylist()))
     quality = (
         dict(zip(doc_ids, id_tb["q"].to_pylist()))
         if keep == "quality"
         else None
+    )
+    text_of = (
+        dict(zip(doc_ids, id_tb["text"].to_pylist())) if text_inline else None
     )
 
     if sig_tb.num_rows:
@@ -186,8 +211,12 @@ def _decide_local(
                 for n, o, _ in incremental_neardup_local(sids, mat, index_base)
             ]
         else:
+            # over-cap index: the Spark probe consumes the signature
+            # frame more than once — materialize it first
             cross_tb = (
-                incremental_neardup(spark, batch, index_base, _sigs=sigs)
+                incremental_neardup(
+                    spark, batch, index_base, _sigs=sigs_materialized()
+                )
                 .select("new_id", "old_id")
                 .limit(cap + 1)
                 .toArrow()
@@ -272,6 +301,32 @@ def _decide_local(
             # k can't be None here (an ineligible doc is an index dup)
             rows.append((d, "dlq", "dup_batch", k))
     assign = spark.createDataFrame(rows, ASSIGNMENT_SCHEMA)
+
+    # survivor text for the driver-side corpus write: already in hand
+    # when it rode the id collect; otherwise pulled now, gated on the
+    # EXACT survivor byte volume (known from the decide collect).  Over
+    # the gate the Spark write path keeps the distributed posture.
+    kept_text: list[tuple[int, str]] | None = None
+    batch_bytes = sum(v or 0 for v in tlen_of.values())
+    if text_of is not None:
+        kept_text = [(d, text_of[d]) for d in doc_ids if d in kept_ids]
+    elif sum(tlen_of.get(d) or 0 for d in kept_ids) <= LOCAL_TEXT_MAX_BYTES:
+        if not kept_ids:
+            kept_text = []
+        else:
+            kdf = spark.createDataFrame(
+                [(int(d),) for d in kept_ids], "doc_id long"
+            )
+            ktb = (
+                batch.join(F.broadcast(kdf), "doc_id")
+                .select("doc_id", "text")
+                .toArrow()
+            )
+            kept_text = list(
+                zip(ktb["doc_id"].to_pylist(), ktb["text"].to_pylist())
+            )
+            if len(kept_text) != len(kept_ids):  # pragma: no cover
+                kept_text = None  # defensive: fall back to the Spark write
     if len(sids):
         kmask = np.fromiter(
             (int(d) in kept_ids for d in sids), dtype=bool, count=len(sids)
@@ -279,7 +334,7 @@ def _decide_local(
         kept_sig = (sids[kmask], mat[kmask])
     else:
         kept_sig = (sids, mat)
-    return assign, rows, kept_sig, len(doc_ids), n_kept
+    return assign, rows, kept_sig, kept_text, len(doc_ids), n_kept, batch_bytes
 
 
 def _write_dlq_local(rows: list, out_base: str, batch_id: int) -> None:
@@ -307,6 +362,33 @@ def _write_dlq_local(rows: list, out_base: str, batch_id: int) -> None:
     pq.write_table(tb, os.path.join(target, "part-local-0.parquet"))
 
 
+def _write_corpus_local(
+    kept: list[tuple[int, str]], out_base: str, batch_id: int
+) -> None:
+    """Driver-side corpus write (round 11, VERDICT r10 #4): under the
+    local-decide cap the survivor TEXT is already on the driver (it
+    rode the decide collect), so the per-batch partition overwrite is
+    one pyarrow file instead of a Spark write job — the last ~0.5 s of
+    fixed per-batch job overhead in the warm micro-batch.  Same layout,
+    same overwrite-idempotence unit as the distributed write;
+    read-identity is pinned by the forced-tier gates."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = os.path.join(out_base, "corpus", f"batch_id={batch_id}")
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+    tb = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in kept], pa.int64()),
+            "text": pa.array([r[1] for r in kept], pa.string()),
+        }
+    )
+    pq.write_table(tb, os.path.join(target, "part-local-0.parquet"))
+
+
 def _decide_distributed(
     spark: SparkSession,
     batch: DataFrame,
@@ -328,9 +410,11 @@ def _decide_distributed(
 
     if meta.get("index_ready"):
         cross = incremental_neardup(spark, batch, index_base, _sigs=sigs)
-        # crash-window redelivery guard (see _decide_local)
+        # crash-window redelivery guard (see _decide_local); this tier
+        # exists for batches ABOVE the 64k local cap, so the batch id
+        # set is unbounded — no broadcast hint, let AQE pick the join
         cross = cross.join(
-            F.broadcast(batch.select(F.col("doc_id").alias("old_id"))),
+            batch.select(F.col("doc_id").alias("old_id")),
             "old_id",
             "left_anti",
         )
@@ -451,11 +535,23 @@ def dedup_ingest_batch(
     n_parts = max(8, 2 * batch_docs.rdd.getNumPartitions())
     conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
-        # ONE signature pass per batch: the index probe, the
-        # within-batch pair scan, and the index append all reuse this
-        # materialized frame (re-shingling the slice three times was
-        # the bulk of the bus's fixed per-batch overhead)
-        sigs = minhash_signatures(shingles_of(batch, distinct=False)).localCheckpoint(eager=True)
+        # ONE signature pass per batch, LAZY on the local tier (round
+        # 11): under the decide cap the tier's single Arrow collect is
+        # the only materialization signatures need — every consumer
+        # (probe, pair scan, index append, corpus write) reads the
+        # collected arrays, so the eager checkpoint job was pure
+        # overhead there.  The distributed twin (whose three Spark-side
+        # consumers DO re-read the frame) materializes on demand,
+        # exactly once.
+        sigs = minhash_signatures(shingles_of(batch, distinct=False))
+        sigs_ckpt: DataFrame | None = None
+
+        def sigs_materialized() -> DataFrame:
+            nonlocal sigs_ckpt
+            if sigs_ckpt is None:
+                sigs_ckpt = sigs.localCheckpoint(eager=True)
+            return sigs_ckpt
+
         _mark("sigs")
 
         # -- decide -------------------------------------------------------
@@ -468,28 +564,42 @@ def dedup_ingest_batch(
         # local relation, so the decision is pinned by construction (an
         # executor retry can never re-derive a different verdict — the
         # job the eager checkpoint used to do).
-        decided = _decide_local(spark, batch, sigs, index_base, keep, meta)
+        decided = _decide_local(
+            spark, batch, sigs, sigs_materialized, index_base, keep, meta
+        )
         _mark("decide")
         if decided is not None:
-            assign, assign_rows, kept_sig, n_in, n_kept = decided
+            (assign, assign_rows, kept_sig, kept_text, n_in, n_kept,
+             batch_bytes) = decided
         else:
             assign = _decide_distributed(
-                spark, batch, sigs, index_base, keep, meta
+                spark, batch, sigs_materialized(), index_base, keep, meta
             )
             by_dest = dict(assign.groupBy("dest").count().collect())
             n_in = int(sum(by_dest.values()))
             n_kept = int(by_dest.get("corpus", 0))
-            assign_rows = kept_sig = None
+            assign_rows = kept_sig = kept_text = batch_bytes = None
 
         # -- route (idempotent per-batch partition overwrite) --------------
-        # the corpus write is always a Spark job (survivor TEXT lives on
-        # the executors and must never be collected); the DLQ rows are
-        # pointers only, already in hand on the local tier
-        keep_set = assign.where(F.col("dest") == "corpus").select("doc_id")
-        survivors = batch.join(F.broadcast(keep_set), "doc_id")
-        survivors.write.mode("overwrite").parquet(
-            f"{out_base}/corpus/batch_id={batch_id}"
-        )
+        # corpus: driver-side pyarrow when the survivor text rode the
+        # decide collect (the warm-batch common case — zero Spark jobs);
+        # otherwise the distributed write (text must not be collected
+        # past the byte gate).  DLQ rows are pointers only.
+        keep_set = None
+        if kept_text is not None:
+            _write_corpus_local(kept_text, out_base, batch_id)
+        else:
+            keep_set = assign.where(F.col("dest") == "corpus").select("doc_id")
+            # the broadcast hint is safe only when the survivor count is
+            # known-bounded: always on the local tier (≤ 64k by cap), and
+            # on the distributed tier only while n_kept stays broadcast-
+            # sized — a multi-million-survivor batch must not be forced
+            # onto the driver (AQE picks the strategy there)
+            if assign_rows is not None or n_kept <= 4 * LOCAL_DECIDE_MAX_DOCS:
+                keep_set = F.broadcast(keep_set)
+            batch.join(keep_set, "doc_id").write.mode("overwrite").parquet(
+                f"{out_base}/corpus/batch_id={batch_id}"
+            )
         _mark("corpus_write")
         if assign_rows is not None:
             _write_dlq_local(assign_rows, out_base, batch_id)
@@ -509,8 +619,12 @@ def dedup_ingest_batch(
         if kept_sig is not None:
             n_indexed = append_minhash_index_local(*kept_sig, index_base)
         else:
+            if keep_set is None:  # pragma: no cover - defensive
+                keep_set = assign.where(
+                    F.col("dest") == "corpus"
+                ).select("doc_id")
             n_indexed = append_minhash_index_sigs(
-                sigs.join(F.broadcast(keep_set), "doc_id"), index_base
+                sigs_materialized().join(keep_set, "doc_id"), index_base
             )
         _mark("index_append")
 
@@ -526,6 +640,14 @@ def dedup_ingest_batch(
                 "index_ready": bool(meta.get("index_ready")) or n_indexed > 0,
                 "n_docs_in": int(meta.get("n_docs_in", 0)) + n_in,
                 "n_docs_kept": int(meta.get("n_docs_kept", 0)) + n_kept,
+                # text-size hint for the NEXT batch's inline-text gate
+                # (decision-neutral: it only picks which collect carries
+                # the text); the distributed tier keeps the prior hint
+                "avg_doc_bytes": (
+                    batch_bytes // max(1, n_in)
+                    if batch_bytes is not None
+                    else meta.get("avg_doc_bytes")
+                ),
             },
         )
         out = {

@@ -105,6 +105,15 @@ def compact_curation_sinks(
     for sink in ("corpus", "dlq"):
         sink_dir = os.path.join(out_base, sink)
         m = _read_sink_manifest(sink_dir)
+        # resume a crashed delete step: a crash between the manifest
+        # commit and rmtree leaves batch dirs that the manifest already
+        # folded — they are excluded from this run's foldable set, so
+        # without this sweep a plain spark.read.parquet double-counts
+        # their rows forever
+        for b in set(m["folded"]) & set(_batch_dirs(sink_dir)):
+            shutil.rmtree(
+                os.path.join(sink_dir, f"batch_id={b}"), ignore_errors=True
+            )
         batches = _batch_dirs(sink_dir)
         foldable = [
             b for b in batches

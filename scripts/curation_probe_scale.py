@@ -139,6 +139,13 @@ def main() -> None:
         base = tempfile.mkdtemp(prefix=f"probe_scale_{R}x_")
         t0 = time.perf_counter()
         written = 0
+        # Above 1000 replicas, one append per replica would leave
+        # R x 17 files (170k at 10000x) — chunk 10 replicas per append
+        # so the synthetic build itself stays tractable; the measured
+        # object is the COMPACTED layout, which is chunking-invariant.
+        chunk = 1 if R <= 1000 else 10
+        buf_ids: list = []
+        buf_mat: list = []
         for r in range(R):
             # per-replica perturbation: uniform layout, replicas are NOT
             # near-dups of each other (multiply-mix each minimum)
@@ -148,9 +155,13 @@ def main() -> None:
                 u = mat.view(np.uint64)
                 salt = np.uint64((r * 0x2545F4914F6CDD1D) % (1 << 64))
                 m = ((u * np.uint64(golden)) ^ salt).view(np.int64)
-            written += dd.append_minhash_index_local(
-                ids + np.int64(r) * np.int64(1_000_000), m, base
-            )
+            buf_ids.append(ids + np.int64(r) * np.int64(1_000_000))
+            buf_mat.append(m)
+            if len(buf_ids) == chunk or r == R - 1:
+                written += dd.append_minhash_index_local(
+                    np.concatenate(buf_ids), np.vstack(buf_mat), base
+                )
+                buf_ids, buf_mat = [], []
         build_wall = round(time.perf_counter() - t0, 2)
         files = dd._list_index_files(f"{base}/bands", "band_id")
         idx_bytes = sum(os.stat(p_, ).st_size for p_, _ in files)
@@ -162,13 +173,21 @@ def main() -> None:
             "index_mb": round(idx_bytes / 2**20, 1),
             "band_files_append_shape": len(files),
             "build_wall_sec": build_wall,
-            "append_shape": measure(base, ("full", "bitmap", "rowgroup")),
+            # above 1000x the O(index) tiers cost minutes per probe by
+            # construction (that is the point of the pruning tiers) —
+            # measure only the tier whose flatness is the claim
+            "append_shape": measure(
+                base,
+                ("full", "bitmap", "rowgroup") if R <= 1000 else ("rowgroup",),
+            ),
         }
         t0 = time.perf_counter()
         cstats = dd.compact_minhash_index(spark, base)
         rec["compact"] = {"wall_sec": round(time.perf_counter() - t0, 2),
                           **cstats}
-        rec["compacted_shape"] = measure(base, ("full", "rowgroup"))
+        rec["compacted_shape"] = measure(
+            base, ("full", "rowgroup") if R <= 1000 else ("rowgroup",)
+        )
         records.append(rec)
         print(json.dumps(rec), file=sys.stderr)
         import shutil

@@ -1435,3 +1435,236 @@ def test_append_cluster_index_generation_swap_and_meta_merge(spark, tmp_path):
     assert {
         tuple(r) for r in load_cluster_index(spark, base).collect()
     } == before
+
+
+def test_ivfpq_index_guards(spark, sf_dir, tmp_path):
+    """ADVICE r10 lows: (a) an EMPTY probe set returns the empty TOPK
+    schema instead of crashing on a (0,)-shaped matmul; (b) persisted
+    PQ geometry that no longer matches the code's constants fails
+    LOUDLY (silent decode against wrong codebook shapes corrupts
+    results); (c) probe dim mismatch fails loudly; (d) appending to a
+    k=0 (empty-corpus) index raises instead of crashing inside
+    _load_pq_tables."""
+    import json
+
+    from frizzle_spark.operators import ann_index as ai
+    from frizzle_spark.operators.similarity import _corpus, _unit
+
+    base = str(tmp_path / "ivfpq_guard")
+    meta = ai.materialize_ivfpq_index(spark, sf_dir, base)
+    assert meta["k"] > 0
+    unit = _unit(_corpus(spark, sf_dir))
+
+    # (a) empty probes → empty result, correct schema
+    empty = spark.createDataFrame([], "probe_id long, pu array<double>")
+    out = ai.search_ivfpq_index(spark, base, empty, unit)
+    assert out.count() == 0
+    assert out.columns == ["probe_id", "neighbor_id", "cos_sim", "rank"]
+
+    # (b) geometry drift → loud failure on load
+    meta_path = f"{base}/index_meta.json"
+    with open(meta_path) as fh:
+        good = json.load(fh)
+    bad = dict(good, pq_m=good["pq_m"] * 2)
+    with open(meta_path, "w") as fh:
+        json.dump(bad, fh)
+    one = spark.createDataFrame(
+        [(1, [0.0] * good["dim"])], "probe_id long, pu array<double>"
+    )
+    with pytest.raises(ValueError, match="PQ geometry"):
+        ai.search_ivfpq_index(spark, base, one, unit)
+    with pytest.raises(ValueError, match="PQ geometry"):
+        ai.append_to_ivfpq_index(
+            spark, base, one.withColumnRenamed("probe_id", "vec_id")
+            .withColumnRenamed("pu", "u")
+        )
+    with open(meta_path, "w") as fh:
+        json.dump(good, fh)
+
+    # (c) probe dim mismatch → loud failure
+    wrong_dim = spark.createDataFrame(
+        [(1, [0.0] * (good["dim"] + 3))], "probe_id long, pu array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ai.search_ivfpq_index(spark, base, wrong_dim, unit)
+
+    # (d) k=0 index: search returns empty, append raises (no quantizer)
+    empty_base = str(tmp_path / "ivfpq_empty")
+    import os as _os
+
+    _os.makedirs(empty_base)
+    with open(f"{empty_base}/index_meta.json", "w") as fh:
+        json.dump({"k": 0, "nprobe": 0, "n_vectors": 0, "dim": 0,
+                   "pq_m": good["pq_m"], "pq_ks": good["pq_ks"]}, fh)
+    assert ai.search_ivfpq_index(spark, empty_base, one, unit).count() == 0
+    with pytest.raises(ValueError, match="empty IVF-PQ"):
+        ai.append_to_ivfpq_index(
+            spark, empty_base,
+            one.withColumnRenamed("probe_id", "vec_id")
+            .withColumnRenamed("pu", "u"),
+        )
+
+
+def test_minhash_index_format_stamp(spark, tmp_path):
+    """ADVICE r10 low: the persisted MinHash index stamps its band-hash
+    algorithm version; probing or appending with a mismatched version
+    fails LOUDLY (a silent mismatch yields zero band collisions — false
+    negatives with no error, exactly what the r10 xxhash64→rotate-XOR
+    switch would have caused to any pre-switch index)."""
+    import json
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over lazy dog number {i} "
+             f"with extra words to clear the shingle minimum")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path / "mh_fmt")
+    dd.materialize_minhash_index(docs, base)
+    marker = f"{base}/{dd._INDEX_FORMAT_FILE}"
+    with open(marker) as fh:
+        assert json.load(fh)["band_hash_format"] == dd.BAND_HASH_FORMAT
+
+    new_docs = docs.withColumn("doc_id", F.col("doc_id") + 100)
+    # matching stamp: probe and append both work
+    dd.incremental_neardup(spark, new_docs, base).count()
+
+    with open(marker, "w") as fh:
+        json.dump({"band_hash_format": "xxhash64-v1"}, fh)
+    with pytest.raises(ValueError, match="band-hash"):
+        dd.incremental_neardup(spark, new_docs, base)
+    with pytest.raises(ValueError, match="band-hash"):
+        dd.append_minhash_index(new_docs, base)
+    with pytest.raises(ValueError, match="band-hash"):
+        dd.incremental_neardup_local([1], [[0] * dd.MINHASH_PERMS], base)
+    # a re-materialize (overwrite) re-stamps and unbricks the index
+    dd.materialize_minhash_index(docs, base)
+    dd.incremental_neardup(spark, new_docs, base).count()
+
+
+def test_rg_manifest_probe_identity_and_fallback(spark, sf_dir, tmp_path):
+    """VERDICT r10 #2: the compaction-written row-group manifest must be
+    invisible to probe SEMANTICS — identical pairs (a) via the manifest
+    fast path, (b) with the manifest deleted (footer fallback), and
+    (c) after a post-compaction append whose files the manifest does
+    not cover (mixed manifest + footer dispatch)."""
+    import os
+
+    base = str(tmp_path / "mh_man")
+    docs = dd.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dd.materialize_minhash_index(docs.where(F.col("doc_id") % 2 == 0), base)
+    stats = dd.compact_minhash_index(spark, base)
+    assert stats["manifest_rows"] > 0
+    assert os.path.exists(f"{base}/bands/{dd._RG_MANIFEST}")
+    assert os.path.exists(f"{base}/signatures/{dd._RG_MANIFEST}")
+    # the sidecar is NOT part of the data listing
+    assert all(
+        not os.path.basename(p).startswith("_")
+        for p, _ in dd._list_index_files(f"{base}/signatures", None)
+    )
+
+    probe = docs.limit(12).select(
+        (F.col("doc_id") + F.lit(700_000)).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+
+    def pairs():
+        return sorted(
+            tuple(r)
+            for r in dd.incremental_neardup(
+                spark, probe, base, probe_mode="rowgroup"
+            ).collect()
+        )
+
+    with_manifest = pairs()
+    assert with_manifest, "probe must surface pairs"
+    # (b) footer fallback: delete the sidecars → same pairs
+    os.remove(f"{base}/bands/{dd._RG_MANIFEST}")
+    os.remove(f"{base}/signatures/{dd._RG_MANIFEST}")
+    assert pairs() == with_manifest
+    # (c) mixed dispatch: re-compact (manifest back), then append an
+    # uncovered slice; probes must see BOTH halves
+    dd.compact_minhash_index(spark, base)
+    dd.append_minhash_index(docs.where(F.col("doc_id") % 2 == 1), base)
+    mixed = pairs()
+    full = sorted(
+        tuple(r)
+        for r in dd.incremental_neardup(
+            spark, probe, base, probe_mode="full"
+        ).collect()
+    )
+    assert mixed == full
+    assert len(mixed) >= len(with_manifest)
+
+
+def test_ann_index_compaction_search_identity(spark, sf_dir, tmp_path):
+    """VERDICT r10 #7: ``compact_ann_index`` folds the append-
+    accumulated per-cluster files of BOTH persisted ANN layouts back to
+    ~one file per cluster while search results stay IDENTICAL and the
+    PartitionFilters pruning witness is unchanged."""
+    import numpy as np
+
+    from frizzle_spark.operators import ann_index as ai
+    from frizzle_spark.operators.similarity import _corpus, _ivf_train, _unit
+
+    trained = _ivf_train(spark, sf_dir)
+    unit, sample, x, cent, pid, pu, top_clusters = trained
+    probes = spark.createDataFrame(
+        [(int(p), [float(v) for v in vec]) for p, vec in zip(pid, pu)],
+        "probe_id long, pu array<double>",
+    )
+    # appended vectors: real unit vectors under fresh ids (spread over
+    # many clusters so appends touch many partitions)
+    rows = _corpus(spark, sf_dir).orderBy("vec_id").limit(40).collect()
+    adds = [
+        (30_000_000 + i, [float(x / r["nrm"]) for x in r["v"]])
+        for i, r in enumerate(rows)
+    ]
+
+    # ---- IVF ----
+    base = str(tmp_path / "ivf_c")
+    ai.materialize_ivf_index(spark, sf_dir, base)
+    for lo in range(0, 40, 10):  # four appends → four file generations
+        ai.append_to_ivf_index(
+            spark, base,
+            spark.createDataFrame(adds[lo:lo + 10], "vec_id long, u array<double>"),
+        )
+    before = {tuple(r) for r in ai.search_ivf_index(spark, base, probes).collect()}
+    files_before = ai._parquet_file_count(f"{base}/lists")
+    stats = ai.compact_ann_index(spark, base)
+    assert stats["table"] == "lists"
+    assert stats["files_after"] < files_before
+    after = {tuple(r) for r in ai.search_ivf_index(spark, base, probes).collect()}
+    assert after == before
+    pruned, top = ai.probed_lists_scan(spark, base, pu, 4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan, plan
+
+    # ---- IVF-PQ ----
+    base2 = str(tmp_path / "ivfpq_c")
+    meta2 = ai.materialize_ivfpq_index(spark, sf_dir, base2)
+    udf_unit = _unit(_corpus(spark, sf_dir)).unionByName(
+        spark.createDataFrame(adds, "vec_id long, u array<double>")
+    )
+    for lo in range(0, 40, 10):
+        ai.append_to_ivfpq_index(
+            spark, base2,
+            spark.createDataFrame(adds[lo:lo + 10], "vec_id long, u array<double>"),
+        )
+    before2 = {
+        tuple(r)
+        for r in ai.search_ivfpq_index(spark, base2, probes, udf_unit).collect()
+    }
+    files_before2 = ai._parquet_file_count(f"{base2}/codes")
+    stats2 = ai.compact_ann_index(spark, base2)
+    assert stats2["table"] == "codes"
+    assert stats2["files_after"] < files_before2
+    after2 = {
+        tuple(r)
+        for r in ai.search_ivfpq_index(spark, base2, probes, udf_unit).collect()
+    }
+    assert after2 == before2
+    pu_arr = np.asarray([v for _, v in adds[:5]])
+    pruned2, top2, _, _ = ai.probed_codes_scan(spark, base2, pu_arr, meta2["nprobe"])
+    plan2 = pruned2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan2, plan2

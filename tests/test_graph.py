@@ -543,3 +543,60 @@ def test_lpa_auto_switch_one_exchange_per_superstep(spark):
     probe_small = {}
     label_propagation(e, n_iter=1, _probe=probe_small)
     assert probe_small["co_partition"] is False, probe_small
+
+
+def test_lpa_until_stable_converges_and_heals_chain(spark):
+    """VERDICT r10 #5: the convergence knob.  On a path graph of 12
+    nodes, 5 fixed synchronous rounds cannot propagate the min label to
+    the far end (information travels one hop per round) — fixed-rounds
+    LPA oversplits it; until_stable runs until no label changes and the
+    far end joins.  On the planted two-clique graph the knob must agree
+    with the fixed-rounds answer (both converge) and report rounds_run
+    + a monotone changed_history through _probe."""
+    from frizzle_spark.operators.graph import label_propagation
+
+    # path: 0-1-2-...-11
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    fixed = {
+        r["node"]: r["community"]
+        for r in label_propagation(path, n_iter=2).collect()
+    }
+    assert len(set(fixed.values())) > 1, "2 rounds cannot label a 12-path"
+    probe: dict = {}
+    stable = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            path, until_stable=True, _probe=probe
+        ).collect()
+    }
+    # a path is bipartite-ish: synchronous LPA 2-cycles — the knob must
+    # DETECT the oscillation and stop early rather than burn max_rounds
+    assert len(set(stable.values())) < len(set(fixed.values()))
+    assert probe["rounds_run"] > 2
+    assert probe["stopped"] in ("fixpoint", "cycle")
+    from frizzle_spark.operators.graph import LPA_MAX_ROUNDS
+
+    assert probe["rounds_run"] < LPA_MAX_ROUNDS
+
+    # two cliques + bridge: knob and fixed rounds agree
+    edges = []
+    for base in (0, 10):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    edges.append((5, 10))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = {
+        r["node"]: r["community"] for r in label_propagation(df).collect()
+    }
+    probe2: dict = {}
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            df, until_stable=True, _probe=probe2
+        ).collect()
+    }
+    assert got == want
+    assert probe2["stopped"] in ("fixpoint", "cycle")

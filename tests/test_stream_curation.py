@@ -522,3 +522,54 @@ def test_planted_cross_and_within_slice_dups(spark, tmp_path):
     assert got[101] == ("dlq", "dup_index", 0)
     assert got[202] == ("corpus", None, None)
     assert got[206] == ("dlq", "dup_batch", 202)
+
+
+def test_compaction_delete_step_resumes(spark, ingested, tmp_path):
+    """ADVICE r10 low: a crash AFTER the manifest commit but BEFORE the
+    rmtree leaves folded batch dirs on disk that the next run's
+    foldable set excludes — without a resume sweep they are never
+    deleted and a PLAIN spark.read.parquet double-counts forever,
+    contradicting the module doc.  The next compact_curation_sinks run
+    must sweep them so the plain read is exactly correct again."""
+    import shutil
+
+    from frizzle_spark.streaming.curation_compact import (
+        _read_sink_manifest,
+        _write_sink_manifest,
+        compact_curation_sinks,
+        read_sink_current,
+    )
+
+    root, docs = ingested
+    r = str(tmp_path / "resume")
+    shutil.copytree(f"{root}/out", f"{r}/out")
+    corpus = f"{r}/out/corpus"
+    want = read_sink_current(spark, corpus).count()
+
+    # simulate the crash window: generation written AND manifest
+    # committed, positive dirs NOT deleted
+    fold = read_sink_current(spark, corpus).drop("batch_id")
+    fold.coalesce(1).write.mode("overwrite").parquet(f"{corpus}/batch_id=-1")
+    _write_sink_manifest(
+        corpus, {"folded": list(range(N_SLICES)), "live_gens": [-1]}
+    )
+    stale = [
+        d for d in os.listdir(corpus)
+        if d.startswith("batch_id=") and not d.startswith("batch_id=-")
+    ]
+    assert len(stale) == N_SLICES
+    # plain read double-counts in the crash window (the defect scenario)
+    assert spark.read.parquet(corpus).count() == 2 * want
+
+    compact_curation_sinks(spark, f"{r}/out")
+    # stale positive dirs swept; PLAIN read exactly correct again
+    left = [
+        d for d in os.listdir(corpus)
+        if d.startswith("batch_id=") and not d.startswith("batch_id=-")
+    ]
+    assert left == []
+    assert spark.read.parquet(corpus).count() == want
+    assert read_sink_current(spark, corpus).count() == want
+    # manifest unchanged in meaning: nothing new was foldable
+    m = _read_sink_manifest(corpus)
+    assert sorted(m["folded"]) == list(range(N_SLICES))
