@@ -26,7 +26,6 @@ MOVERS = (
     "q11_embedding_neardup",
     "q20_range_frame",
     "qz27_waiting_suppliers",
-    "qz16_band_join",
 )
 
 _CHILD = r"""
