@@ -573,3 +573,42 @@ def test_compaction_delete_step_resumes(spark, ingested, tmp_path):
     # manifest unchanged in meaning: nothing new was foldable
     m = _read_sink_manifest(corpus)
     assert sorted(m["folded"]) == list(range(N_SLICES))
+
+
+def test_inline_text_hint_paths_identical(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-11 corpus-write tiers: batch 0 takes the gated survivor
+    PULL (no avg_doc_bytes hint yet), batch 1+ takes the INLINE-text
+    collect (hint present); and with the byte gate forced to 0 every
+    batch takes the distributed Spark write.  All three corpus layouts
+    must read back identically and produce the same assignment."""
+    import frizzle_spark.streaming.curation as cur
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+
+    def run(tag):
+        r = str(tmp_path / tag)
+        for k in range(N_SLICES):
+            res = dedup_ingest_batch(
+                spark, _slice(docs, k), f"{r}/index", f"{r}/out", k
+            )
+            assert res["skipped"] is False
+        corpus = sorted(
+            tuple(x)
+            for x in spark.read.parquet(f"{r}/out/corpus")
+            .drop("batch_id").collect()
+        )
+        return corpus, _assignment_map(ingest_assignment(spark, f"{r}/out"))
+
+    # normal: pull on batch 0, inline on batches 1..3
+    want_corpus, want_assign = run("mixed")
+    meta = cur._read_ingest_meta(str(tmp_path / "mixed" / "out"))
+    assert meta.get("avg_doc_bytes", 0) > 0  # the hint was recorded
+
+    # byte gate 0: every batch through the distributed Spark write
+    monkeypatch.setattr(cur, "LOCAL_TEXT_MAX_BYTES", 0)
+    got_corpus, got_assign = run("spark_write")
+    assert got_assign == want_assign
+    assert got_corpus == want_corpus
