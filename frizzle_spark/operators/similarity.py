@@ -1340,13 +1340,49 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     unit = _unit(corpus)
     cand = embedding_lsh_candidates(spark, sf_dir)
+    n = _corpus_size(spark, sf_dir)
+    if n <= SCORE_BROADCAST_MAX_N:
+        # gather-GEMM re-rank (round 11): broadcast the WHOLE unit
+        # matrix once (n x dim float64 — 1 GB at the cap, the same
+        # budget the join path's two broadcast side tables spent) and
+        # score the SKINNY pair stream map-side: two vectorized
+        # searchsorted gathers + one einsum row-dot per Arrow batch.
+        # Replaces a per-pair 64-element zip_with/aggregate fold that
+        # dominated the sf1 wall (measured 62 s -> the join work alone;
+        # the arithmetic is ~2 GFLOP numpy does in seconds).  Pairs
+        # stay 16 B/row through the shuffle; vectors never move.
+        rows = unit.orderBy("vec_id").toArrow()
+        ids_arr = rows["vec_id"].to_numpy().astype(np.int64, copy=False)
+        mat = np.asarray(rows["u"].to_pylist(), dtype=np.float64)
+        bc = spark.sparkContext.broadcast((ids_arr, mat))
+
+        def score(batches):  # pragma: no cover - executed on executors
+            import pandas as pd
+
+            ids_b, m = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                i1 = np.searchsorted(ids_b, pdf["id1"].to_numpy())
+                i2 = np.searchsorted(ids_b, pdf["id2"].to_numpy())
+                sims = np.einsum("ij,ij->i", m[i1], m[i2])
+                keep = sims >= NEARDUP_THRESHOLD
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id1": pdf["id1"].to_numpy()[keep],
+                        "id2": pdf["id2"].to_numpy()[keep],
+                        "cos_sim": np.round(sims[keep], 6),
+                    }
+                )
+
+        return cand.mapInPandas(score, "id1 long, id2 long, cos_sim double")
+    # over the broadcast budget: plain pair⋈vector joins (AQE picks the
+    # strategy) + the JVM fold — unchanged posture; the side tables are
+    # too big to pin on every executor at this n
     u1 = unit.select(F.col("vec_id").alias("id1"), F.col("u").alias("u1"))
     u2 = unit.select(F.col("vec_id").alias("id2"), F.col("u").alias("u2"))
-    if _corpus_size(spark, sf_dir) <= SCORE_BROADCAST_MAX_N:
-        # vectors must not ride the re-rank join's sort (round 9 — see
-        # SCORE_BROADCAST_MAX_N): broadcast the side tables, stream the
-        # skinny candidate pairs through map-side lookups
-        u1, u2 = F.broadcast(u1), F.broadcast(u2)
     sim = V.dot(F.col("u1"), F.col("u2"))
     return (
         cand.join(u1, "id1")

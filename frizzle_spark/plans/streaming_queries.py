@@ -813,3 +813,107 @@ def qz13_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_isolated_stream(
         spark, build, f"qz13_funnel_{_stable_suffix(sf_dir)}", "update"
     )
+
+
+@query("qz13_embedding_ingest", oracle=None)
+def qz13_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous EMBEDDING curation end-to-end (round 11): the vector
+    corpus replayed as 4 slices with DETERMINISTIC planted structure —
+    exact re-keyed copies of earlier-slice vectors (cross-batch
+    near-dups), same-slice copies (within-batch dups), and copies of
+    eval-set members (contamination) — each micro-batch probed against
+    the previously-ACCEPTED vectors via the bus's persisted IVF index,
+    survivors landing in the corpus sink AND the index, drops routed to
+    the DLQ with provenance (streaming/embedding_curation.py module doc
+    has the tiers, the exactly-once protocol and the crash-window
+    argument).  The ANN twin of qz13_curation_ingest: the two entries
+    together run the text half and the embedding half of the curation
+    story the north star names.
+
+    Planted ids: originals keep vec_id; cross-batch copies are
+    1_000_000 + vec_id (vec_id % 25 == 0 of slice-0 members, replayed
+    one slice later → dup_index at cos 1.0); within-batch copies are
+    2_000_000 + vec_id (vec_id % 31 == 0 of slice-1 members, same
+    slice → dup_batch pointing at the original); eval copies are
+    3_000_000 + vec_id for the 4 lowest ids (→ contaminated, as are
+    the 4 originals when their own slice arrives — a doc matching the
+    eval set is dropped no matter who it is).
+
+    Output: one row per ingested vector — (vec_id, dest, reason,
+    dup_of, cos_sim).  Rows-only at the driver (greedy ingest is
+    order-dependent across micro-batches, not a SQL-expressible set
+    operator); pytest gates pin batch-twin identity, replay no-op,
+    redelivery bit-identity, the pairwise survivor invariant (exact
+    recompute) and forced-tier identity.
+
+    Scale shape: per-slice cost is O(slice) GEMMs + the pruned index
+    probe (young-index tier driver-side below 64 MiB, cogrouped
+    cluster-pruned scan above); within-batch scoring is quadratic only
+    in the trigger-bounded micro-batch; state lives in storage (index +
+    meta watermark), not in stream state stores."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from frizzle_spark.streaming.embedding_curation import (
+        embedding_assignment,
+        stream_embedding_ingest,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    base = tempfile.mkdtemp(prefix="qz13_emb_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    replay, index, out, ckpt = (
+        f"{base}/replay",
+        f"{base}/index",
+        f"{base}/out",
+        f"{base}/ckpt",
+    )
+    n_slices = 4
+    eval_rows = emb.orderBy("vec_id").limit(4).collect()
+    ev = np.asarray([r["embedding"] for r in eval_rows], dtype=np.float64)
+    ev /= np.linalg.norm(ev, axis=1, keepdims=True)
+    eval_ids = [int(r["vec_id"]) for r in eval_rows]
+    pinned: set[str] = set()
+    for k in range(n_slices):
+        sl = emb.where(F.col("vec_id") % n_slices == k)
+        if k >= 1:  # cross-batch copies of slice k-1 members
+            sl = sl.unionByName(
+                emb.where(
+                    (F.col("vec_id") % n_slices == k - 1)
+                    & (F.col("vec_id") % 25 == 0)
+                ).select(
+                    (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+                )
+            )
+        if k == 1:  # within-batch copies (same slice as the original)
+            sl = sl.unionByName(
+                emb.where(
+                    (F.col("vec_id") % n_slices == 1) & (F.col("vec_id") % 31 == 0)
+                ).select(
+                    (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+                )
+            )
+        if k == 2:  # eval-set copies → contaminated
+            sl = sl.unionByName(
+                emb.where(F.col("vec_id").isin(eval_ids)).select(
+                    (F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding"
+                )
+            )
+        sl.coalesce(1).write.mode("append").parquet(replay)
+        for f in sorted(os.listdir(replay)):
+            if f.startswith(("_", ".")) or f in pinned:
+                continue
+            os.utime(os.path.join(replay, f), (1_000_000_000 + k * 60,) * 2)
+            pinned.add(f)
+    stream_embedding_ingest(
+        spark, replay, index, out, ckpt, eval_vecs=ev
+    )
+    return embedding_assignment(spark, out)

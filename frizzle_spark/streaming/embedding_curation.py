@@ -1,0 +1,1043 @@
+"""Continuous EMBEDDING curation: cosine near-dup dedup + semantic
+decontamination INSIDE the ingest bus — the ANN twin of the MinHash
+curation bus (streaming/curation.py).
+
+The MinHash bus curates on lexical overlap; this bus curates on the
+embedding geometry: a stream of vector slices arrives, each micro-batch
+is scored against everything already ACCEPTED (survivors only, never
+raw history), cosine near-dups and eval-set-contaminated vectors route
+to the DLQ with provenance, survivors land in the corpus sink AND join
+a persisted IVF index (operators/ann_index.py layout — the SAME
+centroids/lists directory scheme, so ``search_ivf_index`` works on the
+bus's index unchanged).  Together the two buses are the text half and
+the embedding half of the one pipeline the north star names
+("dedup, similarity search … for LLM training data"); the reference's
+bus shape (source → transform → route → ack, frizzle.go:53-79) carries
+both.
+
+Semantics — greedy first-occurrence-wins, mirroring the MinHash bus:
+
+* a vector is ``contaminated`` iff its max cosine against the (small,
+  broadcast) eval set reaches ``eval_threshold`` — the streaming form
+  of qz11_semantic_decontaminate; the drop wins over every other rule
+  (a contaminated vector is never indexed, never a survivor, never a
+  ``dup_of`` target);
+* a vector is a ``dup_index`` drop iff its cosine against any
+  previously ACCEPTED vector reaches ``threshold`` — established by
+  probing the persisted index (tiers below);
+* within one batch, cosine near-dup components collapse to their
+  min-vec_id member that is neither contaminated nor an index dup
+  (``dup_batch`` drops point at that survivor);
+* therefore NO TWO SURVIVORS are near-dups under the probe rule — the
+  invariant the pytest gate recomputes exactly corpus-wide.
+
+Probe tiers (the sub-linear story, same posture as the MinHash bus's
+rowgroup probe):
+
+* **young index** (lists ≤ ``EMB_PROBE_LOCAL_MAX_BYTES`` on disk): the
+  whole index is read driver-side with pyarrow and the probe is one
+  blocked numpy GEMM — zero Spark jobs, the warm-batch fast path;
+* **pruned Spark probe** (the scale tier): batch vectors are routed to
+  their ``nprobe`` nearest coarse clusters against the collectable
+  centroid table, the lists scan prunes to exactly the probed
+  ``cluster=…`` partitions at file-listing time, and a mapInPandas
+  GEMM scores each list row only against the sub-batch that probes its
+  cluster (batch matrix broadcast once).  Probe I/O is
+  O(probed lists), not O(index) — flat in index size once the coarse
+  quantizer spreads the corpus;
+* probing is approximate above the young tier exactly as IVF search
+  is: a true near-dup outside the probed clusters is missed.  That is
+  the deliberate trade the MinHash estimator also makes; forcing
+  ``nprobe="all"`` makes the probe EXACT and is how the identity gate
+  pins the pruned tier against ground truth.
+
+Exactly-once under restart/replay: identical protocol to the MinHash
+bus — a committed-batch watermark in ``emb_ingest_meta.json`` (atomic
+tmp+replace), per-batch partition directories written with overwrite,
+replay of a committed batch is a no-op.  The index append sits between
+the sink write and the meta commit; the crash window is benign because
+the redelivered batch's probe EXCLUDES its own vec_ids from the index
+side, and (local tier) the per-cluster append files are named by
+batch_id so a redelivered append overwrites itself instead of
+duplicating.  ``index_meta.json``'s ``n_vectors`` is synced from the
+COMMITTED ledger at commit time, so a crash between append and commit
+cannot double-count.
+
+Scale shape (100 TB): per-batch cost is O(batch) normalize/assign
+GEMMs + the pruned probe + O(batch²) within-batch scoring — quadratic
+only in the trigger-bounded micro-batch, never in the corpus.  Vectors
+never shuffle on the local tier (they move driver⇄storage once each
+way); the index grows only by survivors; state lives entirely in
+storage (index + meta), not in stream state stores.  Small-file
+accumulation from per-batch appends is the disease
+``compact_ann_index`` (operators/ann_index.py) already cures — the
+long-run harness folds it in on a cadence like the MinHash bus's
+compaction.
+
+No reference counterpart: frizzle persists nothing (its whole state is
+in-memory channels, basic/source.go:34-53); this module is north-star
+extension surface like the rest of the ANN tier.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EMB_INGEST_META = "emb_ingest_meta.json"
+
+EMB_ASSIGNMENT_SCHEMA = (
+    "vec_id long, dest string, reason string, dup_of long, cos_sim double"
+)
+
+# Cosine at/above which two embeddings are the same document for
+# curation purposes.  0.9 on unit vectors is "near-identical" — the
+# regime embedding dedup exists for (exact re-crawls, trivial edits);
+# topical similarity lives far below it on any real model's geometry.
+EMB_DUP_THRESHOLD = 0.9
+# Streaming twin of qz11_semantic_decontaminate's τ.
+EMB_DECON_THRESHOLD = 0.45
+
+# Local-decide cap: within-batch scoring is a blocked n×n driver GEMM —
+# at 16k×64d that is ~16 GFLOP (~1 s numpy), and the collected batch is
+# ~8 MB.  Micro-batches are trigger-bounded by definition (the same
+# argument as curation.LOCAL_DECIDE_MAX_DOCS); bigger batches take the
+# distributed twin, identity-gated.
+EMB_LOCAL_MAX_VECS = 1 << 14
+# Young-index fast path: below this on-disk size the whole lists tree
+# is read driver-side (pyarrow) and probed in one numpy GEMM — zero
+# Spark jobs.  64 MiB ≈ 120k vectors at 64d float64.
+EMB_PROBE_LOCAL_MAX_BYTES = 64 << 20
+# Driver GEMM block edge: bounds any single scores matrix to
+# BLOCK² ≈ 16 MB regardless of batch/index size.
+_GEMM_BLOCK = 1 << 11
+
+
+def _read_emb_meta(out_base: str) -> dict:
+    try:
+        with open(os.path.join(out_base, EMB_INGEST_META)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_emb_meta(out_base: str, meta: dict) -> None:
+    os.makedirs(out_base, exist_ok=True)
+    path = os.path.join(out_base, EMB_INGEST_META)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
+
+
+def _lists_bytes(index_base: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(os.path.join(index_base, "lists")):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.stat(os.path.join(root, f)).st_size
+    return total
+
+
+def _read_lists_local(index_base: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, unit matrix) of the WHOLE index, read driver-side — the
+    young-index tier only (byte-gated by the caller)."""
+    import pyarrow.parquet as pq
+
+    ids, mats = [], []
+    lists_dir = os.path.join(index_base, "lists")
+    for root, _dirs, files in sorted(os.walk(lists_dir)):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            tb = pq.read_table(os.path.join(root, f), columns=["vec_id", "u"])
+            if tb.num_rows == 0:
+                continue
+            ids.append(tb["vec_id"].to_numpy())
+            mats.append(np.asarray(tb["u"].to_pylist(), dtype=np.float64))
+    if not ids:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    return np.concatenate(ids).astype(np.int64), np.vstack(mats)
+
+
+def _blocked_max_hits(
+    qu: np.ndarray,
+    iu: np.ndarray,
+    iids: np.ndarray,
+    threshold: float,
+    exclude: set[int],
+) -> dict[int, tuple[int, float]]:
+    """row index of ``qu`` → (min old vec_id at/above threshold, its
+    cosine), skipping index rows whose vec_id is in ``exclude`` (the
+    redelivery guard).  Blocked GEMM, O(BLOCK²) peak memory."""
+    hits: dict[int, tuple[int, float]] = {}
+    if not len(qu) or not len(iu):
+        return hits
+    keep = np.fromiter(
+        (int(i) not in exclude for i in iids), dtype=bool, count=len(iids)
+    )
+    iu, iids = iu[keep], iids[keep]
+    if not len(iu):
+        return hits
+    for qs in range(0, len(qu), _GEMM_BLOCK):
+        qb = qu[qs : qs + _GEMM_BLOCK]
+        for is_ in range(0, len(iu), _GEMM_BLOCK):
+            ib = iu[is_ : is_ + _GEMM_BLOCK]
+            sims = qb @ ib.T
+            qi, ii = np.nonzero(sims >= threshold)
+            for q, i in zip(qi, ii):
+                old = int(iids[is_ + i])
+                c = float(sims[q, i])
+                cur = hits.get(qs + q)
+                if cur is None or old < cur[0]:
+                    hits[qs + int(q)] = (old, c)
+    return hits
+
+
+def _within_batch_pairs(
+    u: np.ndarray, threshold: float
+) -> list[tuple[int, int, float]]:
+    """(i, j, cos) row-index pairs with cos ≥ threshold, i < j —
+    blocked upper-triangle GEMM over the batch."""
+    out: list[tuple[int, int, float]] = []
+    for as_ in range(0, len(u), _GEMM_BLOCK):
+        ab = u[as_ : as_ + _GEMM_BLOCK]
+        for bs in range(as_, len(u), _GEMM_BLOCK):
+            bb = u[bs : bs + _GEMM_BLOCK]
+            sims = ab @ bb.T
+            if as_ == bs:
+                sims = np.triu(sims, k=1)
+            i, j = np.nonzero(sims >= threshold)
+            out.extend(
+                (as_ + int(a), bs + int(b), float(sims[a, b]))
+                for a, b in zip(i, j)
+            )
+    return out
+
+
+def _probe_index_local(
+    index_base: str, u: np.ndarray, threshold: float, exclude: set[int]
+) -> dict[int, tuple[int, float]]:
+    ids, iu = _read_lists_local(index_base)
+    return _blocked_max_hits(u, iu, ids, threshold, exclude)
+
+
+def _probe_index_pruned(
+    spark: SparkSession,
+    index_base: str,
+    batch_unit: DataFrame,
+    threshold: float,
+    nprobe,
+) -> DataFrame:
+    """The scale probe, fully distributed: route each batch vector to
+    its nprobe nearest coarse clusters (broadcast-centroid GEMM,
+    map-side), COGROUP the exploded (cluster, vec_id, u) probe rows
+    with the lists scan pruned to the probed partitions, and score each
+    cluster's sub-batch against its inverted list in one blocked GEMM
+    per cogroup.  Emitted rows are true collisions only, reduced to one
+    row per batch vector by the groupBy — nothing here is O(batch ×
+    index).  Returns (vec_id, old_id, cos): min accepted old_id at or
+    above threshold and the max collision cosine.  The redelivery
+    guard (excluding the batch's own ids from the index side) is the
+    caller's anti-join."""
+    cent = _load_centroids(index_base)
+    k = len(cent)
+    eff_nprobe = k if (nprobe == "all" or nprobe is None) else min(int(nprobe), k)
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def route(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        c = bc_cent.value
+        npb = eff_nprobe
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["u"].to_list(), dtype=np.float64)
+            top = np.argsort(-(m @ c.T), axis=1)[:, :npb]
+            n = len(m)
+            yield pd.DataFrame(
+                {
+                    "cluster": top.ravel().astype(np.int32),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), npb),
+                    "u": [list(pdf["u"].iloc[i]) for i in range(n) for _ in range(npb)],
+                }
+            )
+
+    routed = batch_unit.mapInPandas(
+        route, "cluster int, vec_id long, u array<double>"
+    )
+    wanted_df = routed.select("cluster").distinct()
+    wanted = [int(r["cluster"]) for r in wanted_df.collect()]
+    lists = spark.read.parquet(os.path.join(index_base, "lists")).where(
+        F.col("cluster").isin(wanted)
+    )
+
+    def score(key, probes, idx):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        if not len(probes) or not len(idx):
+            return pd.DataFrame({"vec_id": [], "old_id": [], "cos": []})
+        qu = np.asarray(probes["u"].to_list(), dtype=np.float64)
+        qids = probes["vec_id"].to_numpy()
+        outs = []
+        for s in range(0, len(idx), _GEMM_BLOCK):
+            blk = idx.iloc[s : s + _GEMM_BLOCK]
+            iu = np.asarray(blk["u"].to_list(), dtype=np.float64)
+            iids = blk["vec_id"].to_numpy()
+            sims = qu @ iu.T
+            qi, ii = np.nonzero(sims >= threshold)
+            if len(qi):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": qids[qi],
+                            "old_id": iids[ii],
+                            "cos": sims[qi, ii],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"vec_id": [], "old_id": [], "cos": []})
+        return pd.concat(outs)
+
+    return (
+        routed.groupby("cluster")
+        .cogroup(lists.groupby("cluster"))
+        .applyInPandas(score, "vec_id long, old_id long, cos double")
+    )
+
+
+def _collect_probe_hits(
+    spark: SparkSession,
+    index_base: str,
+    batch_unit: DataFrame,
+    batch_ids_df: DataFrame,
+    threshold: float,
+    nprobe,
+) -> dict[int, tuple[int, float]]:
+    """Pruned probe → {vec_id: (min old_id, max cos)} with the
+    redelivery guard applied Spark-side.  The collect is ≤ batch rows
+    by the groupBy."""
+    hits = (
+        _probe_index_pruned(spark, index_base, batch_unit, threshold, nprobe)
+        .join(
+            batch_ids_df.select(F.col("vec_id").alias("old_id")),
+            "old_id",
+            "left_anti",
+        )
+        .groupBy("vec_id")
+        .agg(F.min("old_id").alias("old_id"), F.max("cos").alias("cos"))
+        .collect()
+    )
+    return {
+        int(r["vec_id"]): (int(r["old_id"]), float(r["cos"])) for r in hits
+    }
+
+
+def _bootstrap_index(
+    index_base: str, kept_ids: np.ndarray, kept_u: np.ndarray
+) -> None:
+    """Train the coarse quantizer on the FIRST survivor set (frozen
+    thereafter — the standard IVF posture: retrain on drift, never per
+    ingest) and write the ann_index-compatible layout: centroids
+    parquet + per-cluster lists + index_meta.json.  Driver-side pyarrow
+    throughout (the survivor matrix is already in hand)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from frizzle_spark.operators.similarity import (
+        _kmeans_unit,
+        _pinned_blas,
+        ivf_params,
+    )
+
+    k, nprobe = ivf_params(len(kept_u))
+    cent = _pinned_blas(_kmeans_unit, kept_u.copy(), k)
+    os.makedirs(os.path.join(index_base, "centroids"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(range(len(cent)), pa.int32()),
+                "centroid": pa.array(
+                    [list(map(float, c)) for c in cent],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        os.path.join(index_base, "centroids", "part-emb-0.parquet"),
+    )
+    meta = {
+        "k": int(len(cent)),
+        "nprobe": int(nprobe),
+        "n_vectors": 0,
+        "dim": int(kept_u.shape[1]),
+    }
+    with open(os.path.join(index_base, "index_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    _append_index_local(index_base, kept_ids, kept_u, batch_id=0, cent=cent)
+
+
+def _load_centroids(index_base: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    cdir = os.path.join(index_base, "centroids")
+    tabs = [
+        pq.read_table(os.path.join(cdir, f))
+        for f in sorted(os.listdir(cdir))
+        if f.endswith(".parquet")
+    ]
+    import pyarrow as pa
+
+    tb = pa.concat_tables(tabs)
+    order = np.argsort(tb["cluster"].to_numpy())
+    return np.asarray(tb["centroid"].to_pylist(), dtype=np.float64)[order]
+
+
+def _append_index_local(
+    index_base: str,
+    kept_ids: np.ndarray,
+    kept_u: np.ndarray,
+    batch_id: int,
+    cent: np.ndarray | None = None,
+) -> None:
+    """Assign survivors to their inverted lists against the FROZEN
+    centroids and append — one pyarrow file per touched cluster, NAMED
+    BY batch_id so a redelivered append overwrites itself (idempotent
+    by filename, the same unit as the per-batch sink partitions)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not len(kept_ids):
+        return
+    if cent is None:
+        cent = _load_centroids(index_base)
+    assign = (kept_u @ cent.T).argmax(axis=1)
+    for c in np.unique(assign):
+        mask = assign == c
+        target = os.path.join(index_base, "lists", f"cluster={int(c)}")
+        os.makedirs(target, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        kept_ids[mask].tolist(), pa.int64()
+                    ),
+                    "u": pa.array(
+                        [list(map(float, r)) for r in kept_u[mask]],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            os.path.join(target, f"part-embbatch-{batch_id}.parquet"),
+        )
+
+
+def _sync_index_n_vectors(index_base: str, n_vectors: int) -> None:
+    """index_meta.json's n_vectors follows the COMMITTED ledger — set
+    at commit time, so the append-then-crash window cannot leave a
+    double count (redelivery rewrites the same files AND the same
+    meta)."""
+    path = os.path.join(index_base, "index_meta.json")
+    with open(path) as fh:
+        meta = json.load(fh)
+    meta["n_vectors"] = int(n_vectors)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, path)
+
+
+def _write_emb_sinks_local(
+    rows: list, ids: np.ndarray, vecs: list, out_base: str, batch_id: int
+) -> None:
+    """Per-batch overwrite of corpus + DLQ partitions, driver-side
+    pyarrow (the whole batch is already in hand on the local tier)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vec_of = dict(zip((int(i) for i in ids), vecs))
+    kept = [r for r in rows if r[1] == "corpus"]
+    target = os.path.join(out_base, "corpus", f"batch_id={batch_id}")
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in kept], pa.int64()),
+                "embedding": pa.array(
+                    [vec_of[r[0]] for r in kept], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(target, "part-local-0.parquet"),
+    )
+    dlq = [r for r in rows if r[1] == "dlq"]
+    target = os.path.join(out_base, "dlq", f"batch_id={batch_id}")
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in dlq], pa.int64()),
+                "reason": pa.array([r[2] for r in dlq], pa.string()),
+                "dup_of": pa.array([r[3] for r in dlq], pa.int64()),
+                "cos_sim": pa.array([r[4] for r in dlq], pa.float64()),
+            }
+        ),
+        os.path.join(target, "part-local-0.parquet"),
+    )
+
+
+def embedding_ingest_batch(
+    spark: SparkSession,
+    batch_vecs: DataFrame,
+    index_base: str,
+    out_base: str,
+    batch_id: int,
+    threshold: float = EMB_DUP_THRESHOLD,
+    eval_vecs: "np.ndarray | None" = None,
+    eval_threshold: float = EMB_DECON_THRESHOLD,
+    nprobe=None,
+) -> dict:
+    """One micro-batch of the embedding curation bus (the foreachBatch
+    body, callable directly for the eager/batch twin): decon, probe,
+    within-batch collapse, route, index, commit.  Returns the batch
+    accounting dict ({"skipped": True} on the replay no-op path).
+
+    ``batch_vecs``: (vec_id long, embedding array<float>).  NULL
+    embeddings route to the DLQ as ``invalid`` (a vector row without a
+    vector is not a corpus member — the same boundary rule as
+    similarity._corpus).  ``eval_vecs``: optional (m, dim) unit matrix
+    of eval-set embeddings; ``nprobe``: None → index default,
+    ``"all"`` → exact probe (the identity-gate mode)."""
+    meta = _read_emb_meta(out_base)
+    if batch_id <= int(meta.get("committed_batch", -1)):
+        return {"skipped": True, "batch_id": batch_id}
+
+    cap = EMB_LOCAL_MAX_VECS
+    tb = batch_vecs.select("vec_id", "embedding").limit(cap + 1).toArrow()
+    if tb.num_rows > cap:
+        return _embedding_ingest_distributed(
+            spark, batch_vecs, index_base, out_base, batch_id,
+            threshold, eval_vecs, eval_threshold, nprobe, meta,
+        )
+
+    all_ids = tb["vec_id"].to_numpy().astype(np.int64, copy=False)
+    all_vecs = tb["embedding"].to_pylist()
+    valid = np.fromiter(
+        (v is not None and len(v) > 0 for v in all_vecs),
+        dtype=bool,
+        count=len(all_vecs),
+    )
+    ids = all_ids[valid]
+    vecs = [all_vecs[i] for i in np.nonzero(valid)[0]]
+    u = (
+        np.asarray(vecs, dtype=np.float64)
+        if len(vecs)
+        else np.empty((0, 0))
+    )
+    if len(u):
+        nrm = np.linalg.norm(u, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        u = u / nrm
+
+    # -- decon gate (wins over every other rule) ------------------------
+    contaminated: dict[int, float] = {}
+    if eval_vecs is not None and len(u):
+        esim = u @ np.asarray(eval_vecs, dtype=np.float64).T
+        emax = esim.max(axis=1) if esim.shape[1] else np.zeros(len(u))
+        for row in np.nonzero(emax >= eval_threshold)[0]:
+            contaminated[int(ids[row])] = float(emax[row])
+
+    # -- cross probe: batch vs ACCEPTED (tiered; redelivery-guarded) ----
+    idx_dup: dict[int, tuple[int, float]] = {}  # vec_id → (old_id, cos)
+    if meta.get("index_ready") and len(u):
+        elig_rows = np.asarray(
+            [i for i in range(len(ids)) if int(ids[i]) not in contaminated],
+            dtype=np.int64,
+        )
+        batch_set = {int(i) for i in ids}
+        if len(elig_rows):
+            if _lists_bytes(index_base) <= EMB_PROBE_LOCAL_MAX_BYTES:
+                hits = _probe_index_local(
+                    index_base, u[elig_rows], threshold, batch_set
+                )
+                for q, (old, c) in hits.items():
+                    idx_dup[int(ids[elig_rows[q]])] = (old, c)
+            else:
+                import pandas as pd
+
+                local_pdf = pd.DataFrame(
+                    {
+                        "vec_id": ids[elig_rows],
+                        "u": [list(map(float, u[r])) for r in elig_rows],
+                    }
+                )
+                batch_unit = spark.createDataFrame(local_pdf)
+                ids_df = spark.createDataFrame(
+                    pd.DataFrame({"vec_id": ids})
+                )
+                idx_dup.update(
+                    _collect_probe_hits(
+                        spark,
+                        index_base,
+                        batch_unit,
+                        ids_df,
+                        threshold,
+                        nprobe if nprobe is not None else meta.get("nprobe"),
+                    )
+                )
+
+    # -- within-batch collapse (among non-contaminated) -----------------
+    elig_mask = np.fromiter(
+        (int(i) not in contaminated for i in ids), dtype=bool, count=len(ids)
+    )
+    e_rows = np.nonzero(elig_mask)[0]
+    pairs = _within_batch_pairs(u[e_rows], threshold) if len(e_rows) else []
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    evidence: dict[int, float] = {}  # vec_id → max within-batch cos
+    for a, b, c in pairs:
+        va, vb = int(ids[e_rows[a]]), int(ids[e_rows[b]])
+        ra, rb = find(va), find(vb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+        for v in (va, vb):
+            if c > evidence.get(v, -2.0):
+                evidence[v] = c
+    cluster = {int(d): find(int(d)) for d in ids[e_rows]}
+
+    # -- survivor rule: min id among eligible (not contaminated, not
+    #    index dup) per component — greedy first-accepted-wins ----------
+    keep_of: dict[int, int] = {}
+    for d in map(int, ids):
+        if d in contaminated or d in idx_dup:
+            continue
+        c = cluster.get(d, d)
+        if d < keep_of.get(c, 1 << 62):
+            keep_of[c] = d
+
+    rows = []
+    n_kept = 0
+    kept_rows = []
+    for row, d in enumerate(map(int, all_ids)):
+        if not valid[row]:
+            rows.append((d, "dlq", "invalid", None, None))
+            continue
+        if d in contaminated:
+            rows.append((d, "dlq", "contaminated", None, contaminated[d]))
+            continue
+        c = cluster.get(d, d)
+        k = keep_of.get(c)
+        if k == d:
+            rows.append((d, "corpus", None, None, None))
+            kept_rows.append(d)
+            n_kept += 1
+        elif d in idx_dup:
+            old, cs = idx_dup[d]
+            rows.append((d, "dlq", "dup_index", old, round(cs, 6)))
+        else:
+            # k is not None: a component with no eligible member has
+            # every member contaminated or an index dup, handled above
+            rows.append(
+                (d, "dlq", "dup_batch", k, round(evidence.get(d, 1.0), 6))
+            )
+
+    # -- route (idempotent per-batch partition overwrite) ---------------
+    _write_emb_sinks_local(rows, all_ids, all_vecs, out_base, batch_id)
+
+    # -- index the survivors (redelivery-guarded window, module doc) ----
+    kept_set = set(kept_rows)
+    kmask = np.fromiter(
+        (int(i) in kept_set for i in ids), dtype=bool, count=len(ids)
+    )
+    kept_ids, kept_u = ids[kmask], u[kmask] if len(u) else u
+    if not meta.get("index_ready"):
+        if len(kept_ids):
+            _bootstrap_index(index_base, kept_ids, kept_u)
+    else:
+        _append_index_local(index_base, kept_ids, kept_u, batch_id)
+
+    # -- commit ----------------------------------------------------------
+    n_total_kept = int(meta.get("n_vecs_kept", 0)) + n_kept
+    new_meta = {
+        **meta,
+        "committed_batch": batch_id,
+        "index_ready": bool(meta.get("index_ready")) or n_kept > 0,
+        "n_vecs_in": int(meta.get("n_vecs_in", 0)) + len(all_ids),
+        "n_vecs_kept": n_total_kept,
+    }
+    if new_meta["index_ready"]:
+        if "nprobe" not in meta:
+            with open(os.path.join(index_base, "index_meta.json")) as fh:
+                new_meta["nprobe"] = json.load(fh)["nprobe"]
+        _sync_index_n_vectors(index_base, n_total_kept)
+    _write_emb_meta(out_base, new_meta)
+    return {
+        "skipped": False,
+        "batch_id": batch_id,
+        "n_in": len(all_ids),
+        "n_kept": n_kept,
+    }
+
+
+def _embedding_ingest_distributed(
+    spark: SparkSession,
+    batch_vecs: DataFrame,
+    index_base: str,
+    out_base: str,
+    batch_id: int,
+    threshold: float,
+    eval_vecs,
+    eval_threshold: float,
+    nprobe,
+    meta: dict,
+) -> dict:
+    """Over-cap twin: same semantics with Spark-side geometry.  The
+    batch normalizes in mapInPandas, the cross probe is the pruned scan
+    (its collect is ≤ batch rows by the groupBy), within-batch pairs
+    come from the packed block-GEMM grid (the q11_embedding_neardup
+    kernel shape), components from dedup_clusters_auto, and the routed
+    writes/index append are Spark jobs.  Identity with the local tier
+    is pytest-gated at a forced-low cap.
+
+    The decision work that is inherently per-component (union-find +
+    survivor rule) runs over COLLISION PAIRS ONLY — near-dup pairs, not
+    all pairs — via the distributed connected-components operator, so
+    nothing here collects O(batch²)."""
+    from frizzle_spark.operators.dedup import dedup_clusters_auto
+    from frizzle_spark.operators.similarity import _pack_blocks
+
+    valid = batch_vecs.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    invalid = batch_vecs.where(
+        F.col("embedding").isNull() | (F.size("embedding") <= 0)
+    ).select("vec_id")
+
+    def normalize(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            m = m / nrm
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "u": list(map(list, m))}
+            )
+
+    unit = valid.mapInPandas(
+        normalize, "vec_id long, u array<double>"
+    ).localCheckpoint()
+
+    # -- decon -----------------------------------------------------------
+    if eval_vecs is not None:
+        bc_eval = spark.sparkContext.broadcast(
+            np.asarray(eval_vecs, dtype=np.float64)
+        )
+
+        def decon(batches):  # pragma: no cover - executed on executors
+            import pandas as pd
+
+            ev = bc_eval.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.asarray(pdf["u"].to_list(), dtype=np.float64)
+                mx = (m @ ev.T).max(axis=1) if len(ev) else np.zeros(len(m))
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "esim": mx})
+
+        esims = unit.mapInPandas(decon, "vec_id long, esim double")
+        contaminated = esims.where(
+            F.col("esim") >= eval_threshold
+        ).localCheckpoint()
+    else:
+        contaminated = spark.createDataFrame([], "vec_id long, esim double")
+    clean = unit.join(contaminated.select("vec_id"), "vec_id", "left_anti")
+
+    # -- cross probe (fully distributed; one row per hit vector) --------
+    if meta.get("index_ready"):
+        idx_dup_df = (
+            _probe_index_pruned(
+                spark,
+                index_base,
+                clean,
+                threshold,
+                nprobe if nprobe is not None else meta.get("nprobe"),
+            )
+            .join(
+                batch_vecs.select(F.col("vec_id").alias("old_id")),
+                "old_id",
+                "left_anti",  # redelivery guard
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min("old_id").alias("idx_dup_of"),
+                F.max("cos").alias("idx_cos"),
+            )
+            .localCheckpoint()
+        )
+    else:
+        idx_dup_df = spark.createDataFrame(
+            [], "vec_id long, idx_dup_of long, idx_cos double"
+        )
+
+    # -- within-batch pairs via the packed block grid --------------------
+    n = clean.count()
+    packed = _pack_blocks(clean, max(n, 1), 1024)
+    a = packed.select(
+        F.col("blk").alias("b1"),
+        F.col("ids").alias("ids1"),
+        F.col("mat").alias("m1"),
+    )
+    b = packed.select(
+        F.col("blk").alias("b2"),
+        F.col("ids").alias("ids2"),
+        F.col("mat").alias("m2"),
+    )
+    grid = a.join(b, F.col("b1") <= F.col("b2"))
+
+    def score(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids1 = np.asarray(row.ids1, dtype=np.int64)
+                ids2 = np.asarray(row.ids2, dtype=np.int64)
+                m1 = np.asarray(row.m1, dtype=np.float64).reshape(
+                    len(ids1), -1
+                )
+                m2 = np.asarray(row.m2, dtype=np.float64).reshape(
+                    len(ids2), -1
+                )
+                sims = m1 @ m2.T
+                if row.b1 == row.b2:
+                    sims = np.triu(sims, k=1)
+                i, j = np.nonzero(sims >= threshold)
+                if not len(i):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ids1[i], ids2[j]),
+                        "id_b": np.maximum(ids1[i], ids2[j]),
+                        "cos": sims[i, j],
+                    }
+                )
+
+    pairs = grid.mapInPandas(
+        score, "id_a long, id_b long, cos double"
+    ).localCheckpoint()
+    labels = dedup_clusters_auto(
+        spark, pairs.select(F.col("id_a").alias("d1"), F.col("id_b").alias("d2"))
+    )
+    evidence = (
+        pairs.select(F.col("id_a").alias("vec_id"), "cos")
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id"), "cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("pair_cos"))
+    )
+
+    m = (
+        clean.select("vec_id")
+        .join(labels, F.col("vec_id") == F.col("doc_id"), "left_outer")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_rep", F.col("vec_id")).alias("cluster"),
+        )
+        .join(idx_dup_df, "vec_id", "left_outer")
+    )
+    keep_ids = (
+        m.where(F.col("idx_dup_of").isNull())
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("keep_id"))
+    )
+    assign = (
+        m.join(keep_ids, "cluster", "left_outer")
+        .join(evidence, "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") == F.col("keep_id"), F.lit("corpus"))
+            .otherwise(F.lit("dlq"))
+            .alias("dest"),
+            F.when(
+                F.col("vec_id") == F.col("keep_id"), F.lit(None).cast("string")
+            )
+            .when(F.col("idx_dup_of").isNotNull(), F.lit("dup_index"))
+            .otherwise(F.lit("dup_batch"))
+            .alias("reason"),
+            F.when(F.col("vec_id") == F.col("keep_id"), F.lit(None).cast("long"))
+            .otherwise(F.coalesce("idx_dup_of", "keep_id"))
+            .alias("dup_of"),
+            F.when(
+                F.col("vec_id") == F.col("keep_id"), F.lit(None).cast("double")
+            )
+            .when(F.col("idx_dup_of").isNotNull(), F.round("idx_cos", 6))
+            .otherwise(F.round(F.coalesce("pair_cos", F.lit(1.0)), 6))
+            .alias("cos_sim"),
+        )
+        .unionByName(
+            contaminated.select(
+                "vec_id",
+                F.lit("dlq").alias("dest"),
+                F.lit("contaminated").alias("reason"),
+                F.lit(None).cast("long").alias("dup_of"),
+                F.round("esim", 6).alias("cos_sim"),
+            )
+        )
+        .unionByName(
+            invalid.select(
+                "vec_id",
+                F.lit("dlq").alias("dest"),
+                F.lit("invalid").alias("reason"),
+                F.lit(None).cast("long").alias("dup_of"),
+                F.lit(None).cast("double").alias("cos_sim"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    keep_set = assign.where(F.col("dest") == "corpus").select("vec_id")
+    batch_vecs.join(keep_set, "vec_id").select(
+        "vec_id", "embedding"
+    ).write.mode("overwrite").parquet(
+        f"{out_base}/corpus/batch_id={batch_id}"
+    )
+    assign.where(F.col("dest") == "dlq").select(
+        "vec_id", "reason", "dup_of", "cos_sim"
+    ).write.mode("overwrite").parquet(f"{out_base}/dlq/batch_id={batch_id}")
+
+    kept_unit = unit.join(keep_set, "vec_id")
+    n_kept = kept_unit.count()
+    n_in = batch_vecs.count()
+    if not meta.get("index_ready"):
+        if n_kept:
+            ktb = kept_unit.toArrow()  # first batch only; cap-bounded in
+            # practice (a bus is bootstrapped once, usually small) —
+            # past bootstrap every batch takes the append path below
+            _bootstrap_index(
+                index_base,
+                ktb["vec_id"].to_numpy().astype(np.int64, copy=False),
+                np.asarray(ktb["u"].to_pylist(), dtype=np.float64),
+            )
+    else:
+        from frizzle_spark.operators.ann_index import assign_clusters
+
+        assign_clusters(spark, index_base, kept_unit).write.mode(
+            "append"
+        ).partitionBy("cluster").parquet(os.path.join(index_base, "lists"))
+
+    n_total_kept = int(meta.get("n_vecs_kept", 0)) + int(n_kept)
+    new_meta = {
+        **meta,
+        "committed_batch": batch_id,
+        "index_ready": bool(meta.get("index_ready")) or n_kept > 0,
+        "n_vecs_in": int(meta.get("n_vecs_in", 0)) + int(n_in),
+        "n_vecs_kept": n_total_kept,
+    }
+    if new_meta["index_ready"]:
+        if "nprobe" not in meta:
+            with open(os.path.join(index_base, "index_meta.json")) as fh:
+                new_meta["nprobe"] = json.load(fh)["nprobe"]
+        _sync_index_n_vectors(index_base, n_total_kept)
+    _write_emb_meta(out_base, new_meta)
+    return {
+        "skipped": False,
+        "batch_id": batch_id,
+        "n_in": int(n_in),
+        "n_kept": int(n_kept),
+    }
+
+
+def stream_embedding_ingest(
+    spark: SparkSession,
+    replay_dir: str,
+    index_base: str,
+    out_base: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    threshold: float = EMB_DUP_THRESHOLD,
+    eval_vecs: "np.ndarray | None" = None,
+    eval_threshold: float = EMB_DECON_THRESHOLD,
+) -> None:
+    """Drive the embedding bus over a file-replay stream to completion
+    (availableNow): one vector-slice file per micro-batch — the same
+    wiring as the MinHash bus's stream_dedup_ingest."""
+    from frizzle_spark.streaming.pipeline import resolve_stream_input
+
+    path, glob = resolve_stream_input(spark, replay_dir, None)
+    reader = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    sdf = reader.parquet(path)
+
+    def _body(bdf: DataFrame, bid: int) -> None:
+        embedding_ingest_batch(
+            spark,
+            bdf,
+            index_base,
+            out_base,
+            bid,
+            threshold=threshold,
+            eval_vecs=eval_vecs,
+            eval_threshold=eval_threshold,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def embedding_assignment(spark: SparkSession, out_base: str) -> DataFrame:
+    """The replay's full routing verdict, one row per ingested vector:
+    (vec_id, dest ∈ {corpus, dlq}, reason ∈ {NULL, dup_index,
+    dup_batch, contaminated, invalid}, dup_of, cos_sim)."""
+    from frizzle_spark.streaming.curation import _read_sink_or_empty
+
+    corpus_raw = _read_sink_or_empty(spark, f"{out_base}/corpus")
+    if corpus_raw is not None:
+        corpus = corpus_raw.select(
+            "vec_id",
+            F.lit("corpus").alias("dest"),
+            F.lit(None).cast("string").alias("reason"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+    else:
+        corpus = spark.createDataFrame([], EMB_ASSIGNMENT_SCHEMA)
+    dlq_raw = _read_sink_or_empty(spark, f"{out_base}/dlq")
+    if dlq_raw is not None:
+        dlq = dlq_raw.select(
+            "vec_id",
+            F.lit("dlq").alias("dest"),
+            "reason",
+            "dup_of",
+            F.col("cos_sim").cast("double"),
+        )
+    else:
+        dlq = spark.createDataFrame([], EMB_ASSIGNMENT_SCHEMA)
+    return corpus.unionByName(dlq)
