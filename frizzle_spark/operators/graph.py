@@ -268,8 +268,8 @@ def knn_edges(
     candidates (recall-gated ≥0.95 directed-edge recall vs exact on a
     clustered corpus, tests/test_graph.py)."""
     corpus = _corpus(spark, sf_dir)
-    unit = _unit(corpus)
     n = _corpus_size(spark, sf_dir)
+    unit = _unit(corpus, n)
     if exact is None:
         exact = n <= KNN_EXACT_MAX_N
     if _probe is not None:

@@ -291,9 +291,53 @@ def _lsh_planes(bits: int, tables: int, dim: int) -> np.ndarray:
     )
 
 
-def _unit(corpus: DataFrame) -> DataFrame:
-    return corpus.select(
-        "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
+# _spread sizing: one task per ~this many vectors.  Small enough that a
+# 20k-vector corpus fans out to ~20 tasks (the sf1 probe-coding pass
+# measured ~2.3 ms/vector of numpy — 45 s on the 2 tasks the single
+# local file scanned as), large enough that a 2k-vector sf0.1 corpus
+# stays on its natural splits (no exchange added where the work is
+# already sub-second — measured +0.7 s/query of pure overhead when
+# 2k rows were spread to 32 tasks).
+SPREAD_ROWS_PER_TASK = 1024
+# Below this corpus size the near-dup re-rank keeps the JVM fold over
+# broadcast side tables: the gather-GEMM tier's one driver collect +
+# matrix broadcast (~0.5 s) outweighs scoring a few-thousand-pair
+# stream.  Above it the collect amortizes against millions of pairs.
+GATHER_RERANK_MIN_N = 8192
+
+
+def _spread(df: DataFrame, n: int | None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan arrives under-split
+    for its row count.
+
+    The ANN/dedup kernels downstream are per-row Python/numpy compute
+    (mapInPandas GEMMs), and task count = input split count: a local
+    single-file corpus scans as 1-2 splits, pinning every kernel to 1-2
+    of the session's cores — the whole family's 10×-decade walls were
+    split-bound, not compute-bound (qz11_embedding_neardup_lsh 62.9 →
+    22.9 s at sf1 from this alone).  On a cluster a 100 TB corpus
+    arrives as thousands of splits and this is a NO-OP — no exchange is
+    added where the scan already fans out; locally it costs one
+    round-robin shuffle of (vec_id, u) rows (~10 MB at sf1).  ``n`` is
+    the (cached, catalog-fact) corpus row count; None disables the
+    spread — callers without a count keep the scan's own splits."""
+    if not n:
+        return df
+    p = min(
+        df.sparkSession.sparkContext.defaultParallelism,
+        max(1, n // SPREAD_ROWS_PER_TASK),
+    )
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
+def _unit(corpus: DataFrame, n: int | None = None) -> DataFrame:
+    return _spread(
+        corpus.select(
+            "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
+        ),
+        n,
     )
 
 
@@ -439,7 +483,7 @@ def ann_lsh_candidates(
     bits, tables, hamming = lsh_params(n)
     planes = _lsh_planes(bits, tables, DIM)
     bc_planes = spark.sparkContext.broadcast(planes)
-    coded = _lsh_codes(_unit(corpus), bc_planes)
+    coded = _lsh_codes(_unit(corpus, n), bc_planes)
 
     probe_rows = (
         corpus.orderBy("vec_id").limit(N_PROBES).select("vec_id", "v", "nrm").collect()
@@ -745,7 +789,7 @@ def _ivf_train(spark: SparkSession, sf_dir: str):
     corpus = _corpus(spark, sf_dir)
     n = _corpus_size(spark, sf_dir)
     k, nprobe = ivf_params(n)
-    unit = _unit(corpus)
+    unit = _unit(corpus, n)
     sample = (
         corpus.orderBy("vec_id")
         .limit(max(IVF_TRAIN_SAMPLE, N_PROBES))
@@ -901,7 +945,7 @@ def qz12_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     A = pu * scale  # (P, D): probe folded into the quantizer
     b = pu @ lo  # (P,)
     bc = spark.sparkContext.broadcast((A, b, np.asarray(pid, dtype=np.int64)))
-    unit = _unit(_corpus(spark, sf_dir))
+    unit = _unit(_corpus(spark, sf_dir), _corpus_size(spark, sf_dir))
 
     def encode_and_scan(batches):  # pragma: no cover - executed on executors
         import pandas as pd
@@ -1288,8 +1332,9 @@ def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB (the map-side GEMM is cheaper to recompute than an
     # n×tables×budget-row cache is to hold); cf. the measured
     # no-persist finding in operators/dedup._shingles.
-    coded = _lsh_codes(_unit(corpus), bc_planes)
-    probe = _lsh_probe_codes(_unit(corpus), bc_planes, budget=bits + 1)
+    su = _unit(corpus, n)  # ONE spread check, shared by both code passes
+    coded = _lsh_codes(su, bc_planes)
+    probe = _lsh_probe_codes(su, bc_planes, budget=bits + 1)
     # Query-directed variant sets are ASYMMETRIC (each vector flips its
     # own low-margin bits), so a pair may collide in only one probe
     # direction — canonicalize with least/greatest instead of the
@@ -1341,7 +1386,7 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = _unit(corpus)
     cand = embedding_lsh_candidates(spark, sf_dir)
     n = _corpus_size(spark, sf_dir)
-    if n <= SCORE_BROADCAST_MAX_N:
+    if GATHER_RERANK_MIN_N < n <= SCORE_BROADCAST_MAX_N:
         # gather-GEMM re-rank (round 11): broadcast the WHOLE unit
         # matrix once (n x dim float64 — 1 GB at the cap, the same
         # budget the join path's two broadcast side tables spent) and
@@ -1378,11 +1423,14 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
         return cand.mapInPandas(score, "id1 long, id2 long, cos_sim double")
+    # tiny corpora (≤ GATHER_RERANK_MIN_N): the collect+broadcast costs
+    # more than it saves — broadcast the side tables and fold JVM-side;
     # over the broadcast budget: plain pair⋈vector joins (AQE picks the
-    # strategy) + the JVM fold — unchanged posture; the side tables are
-    # too big to pin on every executor at this n
+    # strategy) — the side tables are too big to pin on every executor
     u1 = unit.select(F.col("vec_id").alias("id1"), F.col("u").alias("u1"))
     u2 = unit.select(F.col("vec_id").alias("id2"), F.col("u").alias("u2"))
+    if n <= GATHER_RERANK_MIN_N:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
     sim = V.dot(F.col("u1"), F.col("u2"))
     return (
         cand.join(u1, "id1")
@@ -1428,7 +1476,9 @@ def qz11_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_ids = [int(r["vec_id"]) for r in eval_rows]
     bc_eval = spark.sparkContext.broadcast(E)
-    unit = _unit(corpus).where(~F.col("vec_id").isin(eval_ids))
+    unit = _unit(corpus, _corpus_size(spark, sf_dir)).where(
+        ~F.col("vec_id").isin(eval_ids)
+    )
 
     def maxsim(batches):  # pragma: no cover - executed on executors
         import pandas as pd

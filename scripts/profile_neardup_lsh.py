@@ -4,8 +4,11 @@ so the re-rank cost is the difference.  Run:
 
     python scripts/profile_neardup_lsh.py /root/testdata/sf1.0
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from frizzle_spark.session import get_spark
 from frizzle_spark.operators import similarity as S
