@@ -457,7 +457,9 @@ def _parquet_file_count(root: str) -> int:
     )
 
 
-def compact_ann_index(spark: SparkSession, base_path: str) -> dict:
+def compact_ann_index(
+    spark: SparkSession, base_path: str, retrain: bool = False
+) -> dict:
     """Small-file compaction for a persisted IVF or IVF-PQ index (round
     11, VERDICT r10 #7 — the same disease ``compact_minhash_index``
     cures for the MinHash layout): every streaming append
@@ -471,18 +473,83 @@ def compact_ann_index(spark: SparkSession, base_path: str) -> dict:
     PartitionFilters pruning witness are pytest-gated.
 
     Works on both layouts (detects ``lists`` = IVF, ``codes`` =
-    IVF-PQ); quantizer tables and ``index_meta.json`` are untouched.
-    Returns {"table", "rows", "files_before", "files_after"}."""
+    IVF-PQ); by default quantizer tables and ``index_meta.json`` are
+    untouched.  Returns {"table", "rows", "files_before",
+    "files_after"} (plus {"k", "nprobe"} after a retrain).
+
+    ``retrain=True`` (raw-vector ``lists`` layout only) additionally
+    RE-TRAINS the coarse quantizer before folding — the "retrain on
+    drift" half of the standard IVF posture, placed at its natural
+    point: compaction already rewrites every row, so re-assigning
+    clusters on the way through is free I/O-wise.  A streaming bus
+    bootstraps its quantizer on the FIRST batch (k ≈ √batch) and the
+    frozen k goes stale as the index grows 100× — lists get fat and
+    pruned-probe compute degrades toward a full scan.  Retraining uses
+    the same bounded-sample deterministic k-means as the session tier
+    (k from ``ivf_params`` at the CURRENT corpus size), rewrites
+    centroids + meta k/nprobe under the same two-phase protocol, and
+    keeps probe-at-nprobe="all" results identical (a threshold probe
+    is quantizer-independent when nothing prunes — the pytest gate).
+    Not supported for ``codes`` (IVF-PQ): codes are residual-encoded
+    against the coarse centroids, so a retrain would require re-encoding
+    from raw vectors the index deliberately does not store — raise."""
+    import json as _json
     import os as _os
     import shutil
 
     table = "lists" if _os.path.isdir(_os.path.join(base_path, "lists")) else "codes"
     root = _os.path.join(base_path, table)
+    if retrain and table != "lists":
+        raise ValueError(
+            "retrain=True requires the raw-vector 'lists' layout; the "
+            "IVF-PQ 'codes' layout stores residual codes, not vectors — "
+            "rebuild with materialize_ivfpq_index instead"
+        )
     if not _os.path.isdir(root):  # k=0 empty index: nothing to fold
         return {"table": table, "rows": 0, "files_before": 0, "files_after": 0}
     files_before = _parquet_file_count(root)
     df = spark.read.parquet(root)
     n = int(df.count())
+    new_meta_kn = None
+    if retrain and n:
+        from frizzle_spark.operators.similarity import (
+            IVF_TRAIN_SAMPLE,
+            _kmeans_unit,
+            _pinned_blas,
+            ivf_params,
+        )
+
+        k, nprobe = ivf_params(n)
+        sample = (
+            df.orderBy("vec_id")
+            .limit(IVF_TRAIN_SAMPLE)
+            .select("u")
+            .collect()
+        )
+        x = np.asarray([r["u"] for r in sample])
+        cent = _pinned_blas(_kmeans_unit, x, k)
+        bc_cent = spark.sparkContext.broadcast(cent)
+
+        def reassign(batches):  # pragma: no cover - executed on executors
+            import pandas as pd
+
+            c = bc_cent.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                u = np.stack(pdf["u"].map(np.asarray))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cluster": (u @ c.T).argmax(axis=1).astype(np.int32),
+                        "u": pdf["u"],
+                    }
+                )
+
+        df = df.select("vec_id", "u").mapInPandas(
+            reassign, "vec_id long, cluster int, u array<double>"
+        )
+        new_meta_kn = (int(len(cent)), int(nprobe), cent)
     tmp = root + "_compact_tmp"
     (
         df.repartition("cluster")
@@ -499,9 +566,32 @@ def compact_ann_index(spark: SparkSession, base_path: str) -> dict:
     _os.rename(root, old)
     _os.rename(tmp, root)
     shutil.rmtree(old, ignore_errors=True)
-    return {
+    out = {
         "table": table,
         "rows": n,
         "files_before": files_before,
         "files_after": _parquet_file_count(root),
     }
+    if new_meta_kn is not None:
+        # publish the new quantizer AFTER the lists swap — this order
+        # makes the crash window DETECTABLE: re-clustered lists carry
+        # cluster ids ≥ the stale meta's k, which pruned probes check
+        # and refuse loudly (streaming/embedding_curation.py guard;
+        # the reverse order would leave new centroids routing into old
+        # partitions — a silent-miss window nothing could detect).
+        # Recovery = re-run this compaction (idempotent).
+        k, nprobe, cent = new_meta_kn
+        cent_rows = [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)]
+        spark.createDataFrame(
+            cent_rows, "cluster int, centroid array<double>"
+        ).write.mode("overwrite").parquet(_os.path.join(base_path, "centroids"))
+        meta_path = _os.path.join(base_path, "index_meta.json")
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+        meta["k"], meta["nprobe"] = k, nprobe
+        tmp_m = meta_path + ".tmp"
+        with open(tmp_m, "w") as fh:
+            _json.dump(meta, fh)
+        _os.replace(tmp_m, meta_path)
+        out["k"], out["nprobe"] = k, nprobe
+    return out

@@ -82,7 +82,10 @@ def main() -> None:
             from frizzle_spark.operators.ann_index import compact_ann_index
 
             t1 = time.perf_counter()
-            compact_ann_index(spark, index)
+            # retrain at the fold: k tracks √n as the index grows, so
+            # the pruned probe's per-list work stays bounded instead of
+            # fattening against the batch-0 bootstrap quantizer
+            compact_ann_index(spark, index, retrain=True)
             compact_s = round(time.perf_counter() - t1, 3)
         # pool only the survivors (dup targets must be accepted vectors)
         kept = res["n_kept"]

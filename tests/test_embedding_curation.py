@@ -342,3 +342,56 @@ def test_stream_twin_matches_batch_twin(spark, bases, tmp_path):
         spark, replay, ib2, ob2, str(tmp_path / "ckpt")
     )
     assert _assignment_rows(spark, ob2) == want
+
+
+def test_retrain_compaction_identity_and_guard(spark, bases, tmp_path):
+    # grow an index across batches with a batch-0 quantizer, then
+    # retrain-compact: nprobe="all" decisions must be identical, meta k
+    # must track the grown corpus, and the interrupted-retrain crash
+    # window must be refused loudly
+    import shutil
+
+    from frizzle_spark.operators.ann_index import compact_ann_index
+
+    index, out = bases
+    base = _mk_vecs(600, seed=11)
+    batches = [(range(k * 200, (k + 1) * 200), base[k * 200 : (k + 1) * 200])
+               for k in range(3)]
+    _ingest(spark, bases, batches)
+    k_before = json.load(open(os.path.join(index, "index_meta.json")))["k"]
+
+    res = compact_ann_index(spark, index, retrain=True)
+    assert res["k"] >= k_before  # k tracks the grown corpus
+    assert res["files_after"] <= res["files_before"]
+
+    # probe the retrained index exactly as batch 3 would, nprobe=all:
+    # a noisy copy of an accepted vector must still resolve to it
+    probe_batch = ([9000, 9001], [_noisy(base[17]), _mk_vecs(1, seed=77)[0]])
+    EC.embedding_ingest_batch(
+        spark, _df(spark, *probe_batch), index, out, 3, nprobe="all"
+    )
+    rows = dict(
+        (vid, (dest, reason, dup_of))
+        for vid, dest, reason, dup_of in _assignment_rows(spark, out)
+    )
+    assert rows[9000] == ("dlq", "dup_index", 17)
+    assert rows[9001][0] == "corpus"
+
+    # crash-window guard: a lists partition beyond the centroid table
+    k_now = json.load(open(os.path.join(index, "index_meta.json")))["k"]
+    src = None
+    for d in os.listdir(os.path.join(index, "lists")):
+        if d.startswith("cluster="):
+            src = d
+            break
+    shutil.copytree(
+        os.path.join(index, "lists", src),
+        os.path.join(index, "lists", f"cluster={k_now + 5}"),
+    )
+    import pandas as pd
+
+    batch_unit = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "u": [list(map(float, base[0]))]})
+    )
+    with pytest.raises(RuntimeError, match="interrupted"):
+        EC._probe_index_pruned(spark, index, batch_unit, 0.9, 2)
