@@ -35,21 +35,34 @@ Probe tiers (the sub-linear story, same posture as the MinHash bus's
 rowgroup probe):
 
 * **young index** (lists ≤ ``EMB_PROBE_LOCAL_MAX_BYTES`` on disk): the
-  whole index is read driver-side with pyarrow and the probe is one
-  blocked numpy GEMM — zero Spark jobs, the warm-batch fast path;
-* **pruned Spark probe** (the scale tier): batch vectors are routed to
-  their ``nprobe`` nearest coarse clusters against the collectable
-  centroid table, the lists scan prunes to exactly the probed
-  ``cluster=…`` partitions at file-listing time, and a mapInPandas
-  GEMM scores each list row only against the sub-batch that probes its
-  cluster (batch matrix broadcast once).  Probe I/O is
-  O(probed lists), not O(index) — flat in index size once the coarse
-  quantizer spreads the corpus;
+  index matrix lives in the manifest-validated ``_YOUNG_CACHE`` (one
+  os.walk per batch for coherence; extended in place on append — the
+  uncached version re-opened every append file per batch and its wall
+  grew 1.3 → 9.5 s over 28 batches) and the probe is one blocked numpy
+  GEMM — zero Spark jobs, the warm-batch fast path;
+* **broadcast pruned probe** (the steady-state scale tier, cap-bounded
+  batches): batch vectors route to their ``nprobe`` nearest coarse
+  clusters against the collectable centroid table, the lists scan
+  prunes to exactly the probed ``cluster=…`` partitions at
+  file-listing time, and a mapInPandas over the scan GEMMs each Arrow
+  batch against only the sub-batch probing its cluster (batch matrix
+  broadcast once, ≤ cap×dim ≈ 8 MB).  THE INDEX SIDE NEVER SHUFFLES —
+  zero exchanges before the ≤-batch-rows aggregation (a cogroup first
+  cut re-shuffled the index every micro-batch);
+* **cogrouped pruned probe** (``_probe_index_pruned``, over-cap
+  batches only): when the batch itself is too big to broadcast, both
+  sides shuffle by cluster and score in ``applyInPandas`` cogroups —
+  the bulk-load path, not the per-trigger path;
 * probing is approximate above the young tier exactly as IVF search
   is: a true near-dup outside the probed clusters is missed.  That is
   the deliberate trade the MinHash estimator also makes; forcing
   ``nprobe="all"`` makes the probe EXACT and is how the identity gate
-  pins the pruned tier against ground truth.
+  pins both pruned tiers against ground truth.  Long-run index health
+  is ``compact_ann_index(retrain=True)`` on a cadence: the fold
+  rewrites every row anyway, so the coarse quantizer retrains to the
+  CURRENT corpus size (k tracks √n instead of freezing at the
+  bootstrap batch), with a loud guard for the interrupted-retrain
+  window (probe refuses lists partitions ≥ k).
 
 Exactly-once under restart/replay: identical protocol to the MinHash
 bus — a committed-batch watermark in ``emb_ingest_meta.json`` (atomic
