@@ -333,11 +333,44 @@ def _spread(df: DataFrame, n: int | None) -> DataFrame:
 
 
 def _unit(corpus: DataFrame, n: int | None = None) -> DataFrame:
-    return _spread(
-        corpus.select(
+    """(vec_id, u) unit-normalized vectors.
+
+    With ``n`` (every hot ANN/dedup path): ONE Arrow kernel computes
+    norm + division in numpy on the spread frame.  The JVM
+    higher-order-function form below — an ``aggregate`` fold for the
+    norm plus a ``transform`` map for the division — measured 5.95 s
+    for 20k×64 at sf1 (~300 µs/row for 128 scalar ops: HOFs allocate
+    per element and never vectorize), and every _unit consumer paid it
+    per branch.  The kernel pass is ~0.3 s for the same frame.  numpy's
+    pairwise summation differs from the JVM's sequential fold at
+    ~1e-16 relative — invisible at the round-6 publication precision
+    every consumer applies (same argument as the q11 score kernel).
+    Division semantics match the JVM exactly (x/0 → ±inf, 0/0 → nan —
+    no special-casing), and _corpus has already dropped null vectors.
+
+    Without ``n`` (cold/neutral callers that feed JVM-side joins):
+    the original codegen form, no Python roundtrip."""
+    if n is None:
+        return corpus.select(
             "vec_id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u")
-        ),
-        n,
+        )
+
+    def kern(batches):  # pragma: no cover - executed on executors
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].map(np.asarray))
+            nrm = np.sqrt((m * m).sum(axis=1, keepdims=True))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = m / nrm
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "u": list(map(list, u))}
+            )
+
+    return _spread(corpus.select("vec_id", "v"), n).mapInPandas(
+        kern, "vec_id long, u array<double>"
     )
 
 
@@ -519,7 +552,7 @@ def ann_lsh_candidates(
         .distinct()
     )
     return (
-        _unit(corpus)
+        _unit(corpus, n)
         .join(F.broadcast(pairs), "vec_id")
         .join(F.broadcast(probes_df), "probe_id")
     )
@@ -626,11 +659,10 @@ def q11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-diagonal when approximate recall is acceptable.
     """
     corpus = _corpus(spark, sf_dir)
-    unit = corpus.select(
-        "vec_id",
-        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
-    )
     n = _corpus_size(spark, sf_dir)
+    # Arrow-kernel normalize (see _unit): the JVM HOF form this used
+    # cost ~6 s alone at sf1 before the grid even started
+    unit = _unit(corpus, n)
     packed = _pack_blocks(unit, n, NEARDUP_CHUNK_ROWS)
     a = packed.select(
         F.col("blk").alias("b1"), F.col("ids").alias("ids1"), F.col("mat").alias("m1")
@@ -1383,9 +1415,9 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal.
     """
     corpus = _corpus(spark, sf_dir)
-    unit = _unit(corpus)
-    cand = embedding_lsh_candidates(spark, sf_dir)
     n = _corpus_size(spark, sf_dir)
+    unit = _unit(corpus, n)
+    cand = embedding_lsh_candidates(spark, sf_dir)
     if GATHER_RERANK_MIN_N < n <= SCORE_BROADCAST_MAX_N:
         # gather-GEMM re-rank (round 11): broadcast the WHOLE unit
         # matrix once (n x dim float64 — 1 GB at the cap, the same

@@ -354,6 +354,8 @@ def qz13_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=_DOCS_RAW_SCHEMA,
         glob_filter="documents.parquet",
         to_envelope=to_envelope,
+        # single-file corpus + regex-heavy transforms: see spread_to
+        spread_to=spark.sparkContext.defaultParallelism,
     )
     base = tempfile.mkdtemp(prefix="qz13_docs_")
     import atexit

@@ -149,6 +149,17 @@ class FileReplaySource:
     to_envelope: Callable[[DataFrame], DataFrame] | None = None
     glob_filter: str | None = None  # file streams need a DIRECTORY path
     allow_empty: bool = False  # replay over zero files is a config bug
+    # Micro-batch fan-out: a file-stream batch inherits the FILE list's
+    # partitioning and ignores spark.sql.files.maxPartitionBytes
+    # (measured: a 50 MB single-file replay plans 2 partitions under a
+    # 4 MB conf), so a single-file corpus pins every downstream
+    # transform to 1-2 cores.  spread_to adds ONE round-robin exchange
+    # of the batch ahead of the transforms — set it when the replay
+    # files are few and the per-row work is real (the streaming twin of
+    # operators/similarity._spread); leave None when the source already
+    # arrives as many files (a real crawl at 100 TB) or the transforms
+    # are trivial.
+    spread_to: int | None = None
 
     def load(self, spark: SparkSession) -> DataFrame:
         reader = spark.readStream.schema(self.schema).format(self.fmt)
@@ -164,6 +175,8 @@ class FileReplaySource:
         if glob:
             reader = reader.option("pathGlobFilter", glob)
         df = reader.load(path)
+        if self.spread_to:
+            df = df.repartition(self.spread_to)
         return self.to_envelope(df) if self.to_envelope else df
 
 
