@@ -880,8 +880,11 @@ def qz13_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_slices = 4
     eval_rows = emb.orderBy("vec_id").limit(4).collect()
-    ev = np.asarray([r["embedding"] for r in eval_rows], dtype=np.float64)
-    ev /= np.linalg.norm(ev, axis=1, keepdims=True)
+    if eval_rows:
+        ev = np.asarray([r["embedding"] for r in eval_rows], dtype=np.float64)
+        ev /= np.linalg.norm(ev, axis=1, keepdims=True)
+    else:  # empty corpus: no eval set, no decon gate — still total
+        ev = None
     eval_ids = [int(r["vec_id"]) for r in eval_rows]
     pinned: set[str] = set()
     for k in range(n_slices):
