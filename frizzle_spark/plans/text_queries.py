@@ -1079,7 +1079,12 @@ def qz14_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥{_COLLOCATION_MIN_PAIR} times: (a, b, c_ab, pmi).  Counts are
     exact integers in both engines, so the query is fully
     oracle-backed."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from frizzle_spark.operators.dedup import _docs_spread
+
+    # the windowed-pair HOF below is the family's priciest per-row
+    # expression and the corpus scans as ONE effective split locally
+    # (single row group) — spread like the shingle family
+    docs = _docs_spread(spark, sf_dir).where(F.col("text").isNotNull())
     toks = docs.select(T.words(F.lower(F.col("text"))).alias("ws"))
     pair_expr = F.expr(
         "flatten(transform(sequence(1, size(ws) - 1), i -> "

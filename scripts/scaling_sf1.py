@@ -174,7 +174,7 @@ def build_sf1(spark, base: str, n_reps: int = 10, src: str = SF01) -> None:
             "source",
             F.length(mutated).alias("n_chars"),
         )
-        .write.mode("overwrite")
+        .repartition(16).write.mode("overwrite")
         .parquet(f"{base}/documents.parquet")
     )
 
@@ -203,7 +203,7 @@ def build_sf1(spark, base: str, n_reps: int = 10, src: str = SF01) -> None:
 
     emb.mapInPandas(
         perturb, "vec_id long, embedding array<float>, label int"
-    ).write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
+    ).repartition(16).write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
 
     ev = spark.read.parquet(f"{src}/events.parquet")
     (
@@ -216,7 +216,7 @@ def build_sf1(spark, base: str, n_reps: int = 10, src: str = SF01) -> None:
             "value",
             "props",
         )
-        .write.mode("overwrite")
+        .repartition(16).write.mode("overwrite")
         .parquet(f"{base}/events.parquet")
     )
     # Star schema: 10× replication with REFERENTIALLY-CONSISTENT key
@@ -238,7 +238,7 @@ def build_sf1(spark, base: str, n_reps: int = 10, src: str = SF01) -> None:
             else F.col(c)
             for c in df.columns
         ]
-        df.crossJoin(reps).select(*cols).write.mode("overwrite").parquet(dst)
+        df.crossJoin(reps).select(*cols).repartition(16).write.mode("overwrite").parquet(dst)
 
     replicate("customer", {"c_custkey": C_OFF})
     replicate("supplier", {"s_suppkey": S_OFF})
