@@ -105,6 +105,7 @@ def probed_lists_scan(
 ) -> tuple[DataFrame, "np.ndarray"]:
     """(pruned lists scan, per-probe cluster matrix).  Exposed so the
     pruning pytest gate can inspect the scan before the join."""
+    check_quantizer_epoch(base_path)  # interrupted-retrain refusal (r12)
     cent_rows = (
         spark.read.parquet(os.path.join(base_path, "centroids"))
         .orderBy("cluster")
@@ -446,6 +447,40 @@ def append_to_ivf_index(spark: SparkSession, base_path: str, vecs: DataFrame) ->
     os.replace(tmp, meta_path)
 
 
+_EPOCH_MARKER = "_quantizer_epoch"  # underscore name: invisible to scans
+
+
+def check_quantizer_epoch(base_path: str) -> None:
+    """Deterministic interrupted-retrain detection (r12, ADVICE low).
+
+    ``compact_ann_index(retrain=True)`` stamps a fresh epoch uuid into
+    the rewritten lists tree (``lists/_quantizer_epoch``, carried
+    through the directory swap) and then into ``index_meta.json``
+    (``quantizer_epoch``) when the new centroids publish.  A crash
+    between the two leaves the stamps DIFFERENT, so probes refuse
+    loudly instead of routing re-clustered lists with stale centroids.
+    The pre-existing partition-id-≥-k guard only fires
+    probabilistically (a retrain that leaves the high partitions empty
+    slips past it); the epoch compare is exact.  Pre-r12 indexes have
+    neither stamp — both absent is consistent (legacy)."""
+    lists_marker = os.path.join(base_path, "lists", _EPOCH_MARKER)
+    lists_epoch = None
+    if os.path.isfile(lists_marker):
+        with open(lists_marker) as fh:
+            lists_epoch = fh.read().strip() or None
+    meta_epoch = None
+    meta_path = os.path.join(base_path, "index_meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            meta_epoch = json.load(fh).get("quantizer_epoch")
+    if lists_epoch != meta_epoch:
+        raise RuntimeError(
+            f"index at {base_path}: lists quantizer epoch {lists_epoch!r} "
+            f"!= meta quantizer epoch {meta_epoch!r} — an interrupted "
+            "compact_ann_index(retrain=True); re-run it to heal"
+        )
+
+
 def _parquet_file_count(root: str) -> int:
     import os as _os
 
@@ -557,6 +592,23 @@ def compact_ann_index(
         .partitionBy("cluster")
         .parquet(tmp)
     )
+    if new_meta_kn is not None:
+        # epoch stamp rides the new lists tree THROUGH the swap; its
+        # twin lands in index_meta.json only after the centroids
+        # publish, so the crash window between swap and publish is
+        # exactly a stamp mismatch — check_quantizer_epoch
+        import uuid
+
+        epoch = uuid.uuid4().hex
+        with open(_os.path.join(tmp, _EPOCH_MARKER), "w") as fh:
+            fh.write(epoch)
+    elif _os.path.isfile(_os.path.join(root, _EPOCH_MARKER)):
+        # plain (no-retrain) compaction must carry an existing stamp
+        # through the swap, or the epoch guard would fire spuriously
+        shutil.copyfile(
+            _os.path.join(root, _EPOCH_MARKER),
+            _os.path.join(tmp, _EPOCH_MARKER),
+        )
     n2 = int(spark.read.parquet(tmp).count())
     if n2 != n:  # verify before the swap — never publish a short fold
         shutil.rmtree(tmp, ignore_errors=True)
@@ -589,6 +641,7 @@ def compact_ann_index(
         with open(meta_path) as fh:
             meta = _json.load(fh)
         meta["k"], meta["nprobe"] = k, nprobe
+        meta["quantizer_epoch"] = epoch  # closes the detectable window
         tmp_m = meta_path + ".tmp"
         with open(tmp_m, "w") as fh:
             _json.dump(meta, fh)

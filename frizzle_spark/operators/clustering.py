@@ -42,7 +42,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frizzle_spark.operators.similarity import _corpus
+from frizzle_spark.operators.similarity import _corpus, _corpus_size, _spread
 from frizzle_spark.plans.registry import query
 
 KMEANS_K = 8
@@ -71,6 +71,15 @@ def kmeans_assign(
             [], "vec_id long, cluster long, dist double"
         )
     d = cent.shape[1]
+    # mapInPandas is opaque to Catalyst: every column of its input is
+    # computed AND shipped through Arrow.  The _corpus frame callers
+    # hand us carries nrm — a per-row 64-element JVM aggregate fold
+    # (~300 µs/row, the HOF-whale shape _unit's docstring documents) —
+    # that Lloyd never reads.  Prune to exactly what the kernels use,
+    # per iteration (guide-§4 column discipline; measured at sf0.1 the
+    # update rounds drop ~40% of their wall).
+    update_in = corpus.select("v")
+    assign_in = corpus.select("vec_id", "v")
 
     for _ in range(n_iter):
         c = cent  # bind the current round's array into the closure
@@ -99,7 +108,7 @@ def kmeans_assign(
                 yield pd.DataFrame(out)
 
         folded = (
-            corpus.mapInPandas(
+            update_in.mapInPandas(
                 partials, schema="cluster int, cnt long, s array<double>"
             )
             .select(
@@ -145,7 +154,7 @@ def kmeans_assign(
                 }
             )
 
-    return corpus.mapInPandas(
+    return assign_in.mapInPandas(
         assign, schema="vec_id long, cluster long, dist double"
     ).select("vec_id", "cluster", F.round("dist", 6).alias("dist"))
 
@@ -155,5 +164,13 @@ def qz12_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means ({KMEANS_K} clusters, {KMEANS_ITERS}
     iterations) over the embedding corpus; rows-only at the driver,
     numpy-differential-gated in tests/test_clustering.py (identical
-    init → identical assignments and centroids to 1e-9)."""
-    return kmeans_assign(spark, _corpus(spark, sf_dir))
+    init → identical assignments and centroids to 1e-9).
+
+    Round 12: the corpus is pruned to (vec_id, v) BEFORE entering the
+    kernels (mapInPandas is opaque — the nrm HOF fold was computed and
+    shipped per iteration for nothing) and `_spread` joins the same
+    split-bound fix the rest of the GEMM family got in r11: a local
+    single-file corpus scans as 1-2 splits and every Lloyd round's GEMM
+    was pinned there; on a cluster the spread is a no-op."""
+    corpus = _corpus(spark, sf_dir).select("vec_id", "v")
+    return kmeans_assign(spark, _spread(corpus, _corpus_size(spark, sf_dir)))

@@ -33,6 +33,7 @@ KNN_EDGE_CROSSOVER.json); the iteration algebra above it is unchanged.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,11 +62,19 @@ PR_DAMPING = 0.85
 PR_ITERS = 12  # fixed-point residual ≤ 2·d^t ≈ 0.28 L1 upper bound; the
 # RANKING stabilizes much earlier (GraphX's staticPageRank ships 10 as
 # its documented default operating point)
-PR_CHECKPOINT_EVERY = 4  # truncate lineage / materialize every N rounds
-# (measured sf0.01 sweep: every-2 → 5.4 s, every-3 → 3.2 s, every-4 →
-# 2.9 s, every-6 → 4.1 s — and at ~12 unmaterialized rounds Catalyst's
-# tree-string printer stack-overflows, so deep no-checkpoint plans are
-# off the table entirely)
+# truncate lineage / materialize every N rounds.  Re-swept in round 12
+# on the post-kernel-unit code (the r8 sweep that picked 4 predates the
+# cheaper per-round plans): interleaved 5×, sf0.1 medians every-2 3.18 s /
+# every-3 3.46 s / every-4 4.84 s, and sf0.01 agrees (3.12/3.42/3.93) —
+# analysis+codegen of the unrolled multi-round plan now grows faster
+# than the per-checkpoint materialization costs, so shallow wins (at
+# ~12 unmaterialized rounds Catalyst's tree-string printer
+# stack-overflows, so deep no-checkpoint plans are off the table
+# entirely).  Results are cadence-invariant by construction (identical
+# float algebra; localCheckpoint only materializes rows).  On a real
+# cluster each checkpoint is a full node-table materialization, so the
+# env knob lets deployments trade back toward deeper lineage.
+PR_CHECKPOINT_EVERY = int(os.environ.get("FRIZZLE_PR_CHECKPOINT_EVERY", "2"))
 
 _KNN_ORACLE = f"""
     WITH corpus AS (

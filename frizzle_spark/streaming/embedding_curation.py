@@ -293,7 +293,14 @@ def _guard_lists_within_k(index_base: str, k: int) -> None:
     """Retrain-compaction crash guard (operators/ann_index.py): lists
     re-clustered to a NEW quantizer but the centroid table not yet
     republished leaves partition ids ≥ k — pruning against the stale
-    router would silently miss dups, so refuse loudly instead."""
+    router would silently miss dups, so refuse loudly instead.  r12:
+    additionally compares the retrain EPOCH stamps (lists marker vs
+    index_meta.json) — the partition-id check alone is probabilistic
+    (a retrain that leaves the high partitions empty slips past it);
+    the epoch compare is exact (ADVICE low)."""
+    from frizzle_spark.operators.ann_index import check_quantizer_epoch
+
+    check_quantizer_epoch(index_base)
     lists_root = os.path.join(index_base, "lists")
     if os.path.isdir(lists_root):
         for d in os.listdir(lists_root):
@@ -391,10 +398,15 @@ def _probe_index_pruned_broadcast(
     lists = spark.read.parquet(os.path.join(index_base, "lists")).where(
         F.col("cluster").isin(wanted)
     )
+    # struct-min keeps (old_id, cos) FROM THE SAME HIT — the local
+    # tier's _blocked_max_hits semantics (min old_id, that hit's
+    # cosine); independent min/max could pair the min id with another
+    # hit's cosine (r12, ADVICE low)
     hits = (
         lists.mapInPandas(score, "vec_id long, old_id long, cos double")
         .groupBy("vec_id")
-        .agg(F.min("old_id").alias("old_id"), F.max("cos").alias("cos"))
+        .agg(F.min(F.struct("old_id", "cos")).alias("h"))
+        .select("vec_id", F.col("h.old_id").alias("old_id"), F.col("h.cos").alias("cos"))
         .collect()
     )
     row_of = {int(v): i for i, v in enumerate(vec_ids)}
@@ -417,9 +429,10 @@ def _probe_index_pruned(
     with the lists scan pruned to the probed partitions, and score each
     cluster's sub-batch against its inverted list in one blocked GEMM
     per cogroup.  Emitted rows are true collisions only, reduced to one
-    row per batch vector by the groupBy — nothing here is O(batch ×
-    index).  Returns (vec_id, old_id, cos): min accepted old_id at or
-    above threshold and the max collision cosine.  The redelivery
+    row per batch vector by the caller's struct-min groupBy — nothing
+    here is O(batch × index).  Returns raw (vec_id, old_id, cos) hit
+    rows; the caller keeps the min-old_id hit WITH its own cosine
+    (local-tier provenance semantics).  The redelivery
     guard (excluding the batch's own ids from the index side) is the
     caller's anti-join."""
     cent = _load_centroids(index_base)
@@ -589,6 +602,18 @@ def _append_index_local(
         )
 
 
+def _index_nprobe(index_base: str) -> int:
+    """The index's CURRENT nprobe, read from index_meta.json at probe
+    time (r12, ADVICE medium): ``compact_ann_index(retrain=True)``
+    grows k and nprobe as the index grows, so a bus that cached the
+    bootstrap nprobe would silently probe an ever-smaller fraction of
+    the retrained index — cross-batch dup recall decaying exactly when
+    the retrain exists to preserve it.  One small JSON read per batch;
+    the file is already opened at every commit."""
+    with open(os.path.join(index_base, "index_meta.json")) as fh:
+        return int(json.load(fh)["nprobe"])
+
+
 def _sync_index_n_vectors(index_base: str, n_vectors: int) -> None:
     """index_meta.json's n_vectors follows the COMMITTED ledger — set
     at commit time, so the append-then-crash window cannot leave a
@@ -728,7 +753,7 @@ def embedding_ingest_batch(
                     ids[elig_rows],
                     u[elig_rows],
                     threshold,
-                    nprobe if nprobe is not None else meta.get("nprobe"),
+                    nprobe if nprobe is not None else _index_nprobe(index_base),
                     batch_set,
                 )
             for q, (old, c) in hits.items():
@@ -823,9 +848,12 @@ def embedding_ingest_batch(
         "n_vecs_kept": n_total_kept,
     }
     if new_meta["index_ready"]:
-        if "nprobe" not in meta:
-            with open(os.path.join(index_base, "index_meta.json")) as fh:
-                new_meta["nprobe"] = json.load(fh)["nprobe"]
+        # nprobe is deliberately NOT cached into the bus meta (r12,
+        # ADVICE medium): probes read the index's current value each
+        # batch (_index_nprobe), so a retrain-compact's larger k/nprobe
+        # takes effect immediately instead of probing an ever-smaller
+        # fraction of the grown index with the bootstrap value
+        new_meta.pop("nprobe", None)  # drop any stale pre-r12 cache
         _sync_index_n_vectors(index_base, n_total_kept)
     _write_emb_meta(out_base, new_meta)
     return {
@@ -921,7 +949,7 @@ def _embedding_ingest_distributed(
                 index_base,
                 clean,
                 threshold,
-                nprobe if nprobe is not None else meta.get("nprobe"),
+                nprobe if nprobe is not None else _index_nprobe(index_base),
             )
             .join(
                 batch_vecs.select(F.col("vec_id").alias("old_id")),
@@ -929,9 +957,13 @@ def _embedding_ingest_distributed(
                 "left_anti",  # redelivery guard
             )
             .groupBy("vec_id")
-            .agg(
-                F.min("old_id").alias("idx_dup_of"),
-                F.max("cos").alias("idx_cos"),
+            # struct-min: (old_id, cos) from the SAME hit — matches the
+            # local tier's provenance semantics (r12, ADVICE low)
+            .agg(F.min(F.struct("old_id", "cos")).alias("h"))
+            .select(
+                "vec_id",
+                F.col("h.old_id").alias("idx_dup_of"),
+                F.col("h.cos").alias("idx_cos"),
             )
             .localCheckpoint()
         )
@@ -1080,9 +1112,46 @@ def _embedding_ingest_distributed(
     else:
         from frizzle_spark.operators.ann_index import assign_clusters
 
+        # Deterministic per-batch publication (r12, ADVICE low): a bare
+        # mode("append") writes UUID part names, so a crash between the
+        # append and the meta commit followed by redelivery would
+        # duplicate survivor rows in the lists forever.  Instead the
+        # assignment lands in a per-batch staging dir (overwrite), any
+        # leftover files of THIS batch are removed from the lists, and
+        # the staged parts are published under batch-keyed names — the
+        # same idempotence-by-filename unit as the local tier's
+        # part-embbatch-<id> files and the per-batch sink partitions.
+        import shutil
+
+        lists_root = os.path.join(index_base, "lists")
+        stage_root = os.path.join(index_base, "_append_stage")
+        stage = os.path.join(stage_root, f"batch={batch_id}")
         assign_clusters(spark, index_base, kept_unit).write.mode(
-            "append"
-        ).partitionBy("cluster").parquet(os.path.join(index_base, "lists"))
+            "overwrite"
+        ).partitionBy("cluster").parquet(stage)
+        if os.path.isdir(lists_root):  # redelivery: drop this batch's files
+            for d in os.listdir(lists_root):
+                dd = os.path.join(lists_root, d)
+                if not d.startswith("cluster=") or not os.path.isdir(dd):
+                    continue
+                for f in os.listdir(dd):
+                    if f.startswith(f"part-embbatch-{batch_id}-"):
+                        os.remove(os.path.join(dd, f))
+        for d in sorted(os.listdir(stage)):
+            src = os.path.join(stage, d)
+            if not d.startswith("cluster=") or not os.path.isdir(src):
+                continue
+            dst = os.path.join(lists_root, d)
+            os.makedirs(dst, exist_ok=True)
+            parts = sorted(
+                f for f in os.listdir(src) if f.endswith(".parquet")
+            )
+            for i, f in enumerate(parts):
+                os.replace(
+                    os.path.join(src, f),
+                    os.path.join(dst, f"part-embbatch-{batch_id}-{i}.parquet"),
+                )
+        shutil.rmtree(stage_root, ignore_errors=True)
 
     n_total_kept = int(meta.get("n_vecs_kept", 0)) + int(n_kept)
     new_meta = {
@@ -1093,9 +1162,12 @@ def _embedding_ingest_distributed(
         "n_vecs_kept": n_total_kept,
     }
     if new_meta["index_ready"]:
-        if "nprobe" not in meta:
-            with open(os.path.join(index_base, "index_meta.json")) as fh:
-                new_meta["nprobe"] = json.load(fh)["nprobe"]
+        # nprobe is deliberately NOT cached into the bus meta (r12,
+        # ADVICE medium): probes read the index's current value each
+        # batch (_index_nprobe), so a retrain-compact's larger k/nprobe
+        # takes effect immediately instead of probing an ever-smaller
+        # fraction of the grown index with the bootstrap value
+        new_meta.pop("nprobe", None)  # drop any stale pre-r12 cache
         _sync_index_n_vectors(index_base, n_total_kept)
     _write_emb_meta(out_base, new_meta)
     return {

@@ -87,10 +87,28 @@ def main() -> None:
             # fattening against the batch-0 bootstrap quantizer
             compact_ann_index(spark, index, retrain=True)
             compact_s = round(time.perf_counter() - t1, 3)
-        # pool only the survivors (dup targets must be accepted vectors)
-        kept = res["n_kept"]
+        # pool only the survivors (dup targets must be accepted
+        # vectors): intersect with the batch's ACTUAL kept set from the
+        # corpus sink partition — blindly pooling all fresh vectors let
+        # a dropped vector serve as a planted-dup target no accepted
+        # index row matches, slightly understating the recorded probe
+        # recall (r12, ADVICE low; also guards the skipped-replay shape)
+        kept = 0 if res.get("skipped") else res.get("n_kept", 0)
+        kept_ids: set[int] = set()
+        cdir = os.path.join(out, "corpus", f"batch_id={b}")
+        if os.path.isdir(cdir):
+            import pyarrow.parquet as _pq
+
+            for f in sorted(os.listdir(cdir)):
+                if f.endswith(".parquet"):
+                    kept_ids.update(
+                        _pq.read_table(
+                            os.path.join(cdir, f), columns=["vec_id"]
+                        )["vec_id"].to_pylist()
+                    )
         for i, vid in enumerate(ids[:n_new]):
-            accepted_pool.append((vid, vecs[i]))
+            if vid in kept_ids:
+                accepted_pool.append((vid, vecs[i]))
         walls.append(
             {
                 "batch": b,
