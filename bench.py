@@ -14,6 +14,59 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _env_snapshot() -> dict:
+    """Machine-state evidence (round 12, VERDICT r11 #1): the r11
+    driver-run record sat 16-23% above the same-code builder runs and
+    nothing IN the record could attribute the delta (uniform per-query
+    inflation + halved stream rps said "contended machine", but that
+    was inference from other artifacts).  Each record now carries
+    loadavg + available memory at start/end plus per-query loadavg, so
+    the next driver-vs-builder drift is attributable from the record
+    alone: an idle machine shows load ≈ 0 at start and MemAvailable in
+    the tens of GB."""
+    snap: dict = {}
+    try:
+        snap["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith(("MemAvailable", "MemTotal")):
+                    k, v = line.split(":")
+                    snap[k.strip()] = int(v.strip().split()[0]) // 1024  # MiB
+    except OSError:
+        pass
+    snap["pid"] = os.getpid()
+    return snap
+
+
+# Entries whose sf0.1 wall is FIXED OVERHEAD (Structured Streaming
+# micro-batch machinery, state-store open/commit, stream planning — or a
+# multi-micro-batch bus replay), not data volume: their round-over-round
+# deltas say nothing about data scaling (round 12, VERDICT r11 #8).  The
+# decade records (SCALE_SF1*.json, BENCH_LOCAL_sf*.json) carry their
+# data-scaling story; comparisons of THIS record should read these names
+# with that in mind.  Derived from the registry modules: everything that
+# runs through _run_isolated_stream, run_bus_pipeline, or a
+# stream_*_ingest replay.
+OVERHEAD_BOUND = sorted(
+    [
+        "q13_stream",
+        "q16_stream_static",
+        "qz16_interval_join",
+        "qz13_stream_dedup",
+        "qz13_stream_counts",
+        "qz13_stream_funnel",
+        "qz13_stream_cusum",
+        "qz13_stream_attribution",
+        "qz13_docs_pipeline",
+        "qz13_curation_ingest",
+        "qz13_embedding_ingest",
+    ]
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # the 8g session default is sized for the driver's sf0.01/sf0.1
@@ -30,6 +83,7 @@ def main() -> None:
     from frizzle_spark.plans.registry import REGISTRY
     from frizzle_spark.session import get_spark
 
+    env_start = _env_snapshot()
     spark = get_spark("frizzle_spark-bench")
     # warm the JVM + parquet footers + the Python worker pool once so
     # per-query numbers measure the plan, not first-touch JIT / daemon
@@ -80,6 +134,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    query_load1: dict[str, float] = {}  # 1-min loadavg at each query's end
     # Per-query isolation: one raising query builder must never abort the
     # whole run — rounds 3 and 4 both lost their entire bench artifact to
     # a single broken query (VERDICT r4 "What's wrong" #2).  Failures are
@@ -115,6 +170,10 @@ def main() -> None:
             continue
         all_runs[name] = runs
         timings[name] = min(runs)
+        try:
+            query_load1[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
         print(f"# {name}: min {timings[name]:.3f}s of {runs} ({n} rows)", file=sys.stderr)
 
     # approximate-tier quality, tracked round-over-round alongside speed:
@@ -262,6 +321,14 @@ def main() -> None:
         # cold first-invocation walls (one-time scratch-index builds);
         # the per-query numbers below are uniformly warm-index
         "index_build": index_build,
+        # machine-state evidence (see _env_snapshot): an idle machine
+        # shows load ~0 at start; a contended record indicts itself
+        "env": {"start": env_start, "end": _env_snapshot()},
+        "query_load1": query_load1,
+        # names whose sf0.1 wall is fixed streaming/replay overhead, not
+        # data volume (see OVERHEAD_BOUND) — read decade records for
+        # their scaling story
+        "overhead_bound": [n for n in OVERHEAD_BOUND if n in timings],
         "queries": timings,
         "runs": all_runs,
     }
@@ -304,6 +371,12 @@ def main() -> None:
         "stream_rows_per_sec": stream_rps,
         "stream_rps_runs": stream_rps_runs,
         "slowest": [[k, v] for k, v in slowest],
+        # which of the slowest are fixed-overhead streaming entries —
+        # their walls say nothing about data scaling (VERDICT r11 #8)
+        "overhead_bound": [k for k, _ in slowest if k in OVERHEAD_BOUND],
+        # idle-machine evidence so driver-vs-builder drift is
+        # attributable from this archived line alone (VERDICT r11 #1)
+        "env": {"start": env_start, "end": _env_snapshot()},
         "recall": recall,
         "recall_clustered": recall_clustered,
         "candidate_fraction": candidate_fraction,

@@ -436,19 +436,41 @@ def qz13_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{base}/ckpt",
     )
     n_slices = 4
-    pinned: set[str] = set()
+    # ONE pass builds every slice (r12): the old per-slice
+    # filter+coalesce(1) loop re-scanned the corpus n_slices times (4
+    # jobs, ~0.8 s of the bench entry); hash-partitioning on the slice
+    # key writes each slice to its own partitionBy directory in one
+    # shuffle, and the parts are then published flat with pinned
+    # strictly-increasing mtimes so the file-stream's modTime order can
+    # never tie on a fast filesystem.  Slice contents are identical
+    # (same doc_id % n_slices membership); within-batch decisions are
+    # order-independent, so the assignment is unchanged.
+    stage = f"{base}/replay_stage"
+    (
+        docs.withColumn("slice", (F.col("doc_id") % n_slices).cast("int"))
+        .repartition("slice")
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    os.makedirs(replay, exist_ok=True)
     for k in range(n_slices):
-        docs.where(F.col("doc_id") % n_slices == k).coalesce(1).write.mode(
-            "append"
-        ).parquet(replay)
-        # one file per slice, replayed in slice order: pin strictly
-        # increasing mtimes so the file-stream's modTime order can
-        # never tie on a fast filesystem
-        for f in sorted(os.listdir(replay)):
-            if f.startswith(("_", ".")) or f in pinned:
-                continue
-            os.utime(os.path.join(replay, f), (1_000_000_000 + k * 60,) * 2)
-            pinned.add(f)
+        sdir = os.path.join(stage, f"slice={k}")
+        parts = (
+            sorted(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+            if os.path.isdir(sdir)
+            else []
+        )
+        for i, f in enumerate(parts):
+            dst = os.path.join(replay, f"slice-{k}-{i}.parquet")
+            os.replace(os.path.join(sdir, f), dst)
+            os.utime(dst, (1_000_000_000 + k * 60 + i,) * 2)
+    shutil.rmtree(stage, ignore_errors=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(replay)):
+        # empty corpus: partitionBy wrote no files at all — publish one
+        # schema-only file so the replay stream has an input (the
+        # zero-file resolver refuses loudly by design)
+        docs.limit(0).coalesce(1).write.mode("append").parquet(replay)
     stream_dedup_ingest(
         spark,
         replay,
@@ -886,38 +908,66 @@ def qz13_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # empty corpus: no eval set, no decon gate — still total
         ev = None
     eval_ids = [int(r["vec_id"]) for r in eval_rows]
-    pinned: set[str] = set()
+    # ONE pass builds every slice (r12, same move as the MinHash twin):
+    # the old per-slice filter+union+coalesce(1) loop re-scanned the
+    # corpus 4 times; here each planted family computes its slice as a
+    # column (copies derive slice from the ORIGINAL vec_id before
+    # re-keying, preserving the loop's membership exactly), one shuffle
+    # writes all partitionBy directories, and the parts publish flat
+    # with pinned strictly-increasing mtimes.  Slice contents — and
+    # therefore every greedy cross-batch decision — are unchanged.
+    sl_of = (F.col("vec_id") % n_slices).cast("int")
+    branches = [
+        emb.select("vec_id", "embedding", sl_of.alias("slice")),
+        # cross-batch copies: slice k-1 members (k = 1..3) replay one
+        # slice later under vec_id + 1_000_000
+        emb.where(
+            (F.col("vec_id") % 25 == 0) & (sl_of <= n_slices - 2)
+        ).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "embedding",
+            (sl_of + 1).cast("int").alias("slice"),
+        ),
+        # within-batch copies: same slice as the original (slice 1)
+        emb.where((sl_of == 1) & (F.col("vec_id") % 31 == 0)).select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            "embedding",
+            F.lit(1).cast("int").alias("slice"),
+        ),
+        # eval-set copies → contaminated (slice 2)
+        emb.where(F.col("vec_id").isin(eval_ids)).select(
+            (F.col("vec_id") + 3_000_000).alias("vec_id"),
+            "embedding",
+            F.lit(2).cast("int").alias("slice"),
+        ),
+    ]
+    all_rows = branches[0]
+    for b in branches[1:]:
+        all_rows = all_rows.unionByName(b)
+    stage = f"{base}/replay_stage"
+    (
+        all_rows.repartition("slice")
+        .write.partitionBy("slice")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    os.makedirs(replay, exist_ok=True)
     for k in range(n_slices):
-        sl = emb.where(F.col("vec_id") % n_slices == k)
-        if k >= 1:  # cross-batch copies of slice k-1 members
-            sl = sl.unionByName(
-                emb.where(
-                    (F.col("vec_id") % n_slices == k - 1)
-                    & (F.col("vec_id") % 25 == 0)
-                ).select(
-                    (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-                )
-            )
-        if k == 1:  # within-batch copies (same slice as the original)
-            sl = sl.unionByName(
-                emb.where(
-                    (F.col("vec_id") % n_slices == 1) & (F.col("vec_id") % 31 == 0)
-                ).select(
-                    (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
-                )
-            )
-        if k == 2:  # eval-set copies → contaminated
-            sl = sl.unionByName(
-                emb.where(F.col("vec_id").isin(eval_ids)).select(
-                    (F.col("vec_id") + 3_000_000).alias("vec_id"), "embedding"
-                )
-            )
-        sl.coalesce(1).write.mode("append").parquet(replay)
-        for f in sorted(os.listdir(replay)):
-            if f.startswith(("_", ".")) or f in pinned:
-                continue
-            os.utime(os.path.join(replay, f), (1_000_000_000 + k * 60,) * 2)
-            pinned.add(f)
+        sdir = os.path.join(stage, f"slice={k}")
+        parts = (
+            sorted(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+            if os.path.isdir(sdir)
+            else []
+        )
+        for i, f in enumerate(parts):
+            dst = os.path.join(replay, f"slice-{k}-{i}.parquet")
+            os.replace(os.path.join(sdir, f), dst)
+            os.utime(dst, (1_000_000_000 + k * 60 + i,) * 2)
+    shutil.rmtree(stage, ignore_errors=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(replay)):
+        # empty corpus: publish one schema-only file (see the MinHash
+        # twin above — the zero-file resolver refuses loudly by design)
+        emb.limit(0).coalesce(1).write.mode("append").parquet(replay)
     stream_embedding_ingest(
         spark, replay, index, out, ckpt, eval_vecs=ev
     )
