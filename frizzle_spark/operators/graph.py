@@ -76,6 +76,17 @@ PR_ITERS = 12  # fixed-point residual ≤ 2·d^t ≈ 0.28 L1 upper bound; the
 # env knob lets deployments trade back toward deeper lineage.
 PR_CHECKPOINT_EVERY = int(os.environ.get("FRIZZLE_PR_CHECKPOINT_EVERY", "2"))
 
+# Driver-local power-iteration tier (r12): below this edge count the
+# whole fixed-iteration recurrence runs as ONE bounded collect + numpy
+# vectors instead of ~n_iter/cadence multi-join Spark jobs — the same
+# AUTO fast-tier pattern as dedup's union-find cap.  1M edges collect to
+# ~16 MB of longs (well under maxResultSize) and the rank/deg vectors
+# are 8 B/node; the distributed supersteps remain the over-cap path, so
+# the 100 TB posture is unchanged.  Identity between tiers is
+# pytest-gated (same conservation-law algebra, <1e-12, and rounded-
+# output equality on the registry graph).
+PR_LOCAL_EDGE_CAP = int(os.environ.get("FRIZZLE_PR_LOCAL_EDGE_CAP", "1000000"))
+
 _KNN_ORACLE = f"""
     WITH corpus AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -480,6 +491,66 @@ def _static_plan(spark: SparkSession):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def _pagerank_local(
+    spark: SparkSession,
+    e: DataFrame,
+    damping: float,
+    n_iter: int,
+    teleport: DataFrame | None,
+) -> DataFrame:
+    """Under-cap tier: the IDENTICAL fixed-iteration recurrence as the
+    distributed supersteps — same conservation-law dangling fold
+    (dangling = 1 − Σc), same teleport restriction/renormalization,
+    same (1−d)·w + d·(c + dangling·w) update — run on collected numpy
+    vectors.  One bounded collect (≤ PR_LOCAL_EDGE_CAP edges of two
+    keys), zero per-round jobs.  Float sums associate in a different
+    order than Spark's partial aggregates, so agreement is ~1e-15/round
+    (the same bound the numpy differential gate already pins for the
+    distributed path); both registry consumers round to 9dp, far above
+    that noise floor, and tier identity of the ROUNDED output is
+    pytest-gated on the real registry graph."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rows = e.collect()
+    node_t = e.schema[0].dataType
+    schema = StructType(
+        [StructField("node", node_t, True), StructField("rank", DoubleType(), True)]
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    src = np.asarray([r[0] for r in rows])
+    dst = np.asarray([r[1] for r in rows])
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = nodes.size
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    w = np.full(n, 1.0 / n)
+    if teleport is not None:
+        seed_rows = teleport.select("node").distinct().collect()
+        seed_vals = np.asarray([r[0] for r in seed_rows]) if seed_rows else None
+        pos = np.array([], dtype=np.int64)
+        if seed_vals is not None and seed_vals.size:
+            cand = np.searchsorted(nodes, seed_vals)
+            in_graph = (cand < n) & (nodes[np.minimum(cand, n - 1)] == seed_vals)
+            pos = np.unique(cand[in_graph])
+        if pos.size == 0:
+            # same degenerate contract as the distributed path: PPR with
+            # no in-graph seed yields an empty result, not a raise
+            return spark.createDataFrame([], schema)
+        w = np.zeros(n)
+        w[pos] = 1.0 / pos.size
+    r = w.copy()
+    for _ in range(n_iter):
+        c = np.bincount(di, weights=r[si] / deg[si], minlength=n)
+        dangling = 1.0 - c.sum()
+        r = (1.0 - damping) * w + damping * (c + dangling * w)
+    return spark.createDataFrame(
+        list(zip(nodes.tolist(), (float(x) for x in r))), schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = PR_DAMPING,
@@ -551,6 +622,15 @@ def pagerank(
     # already-materialized edges take one extra shuffle into the
     # src-hashed layout, amortized over every superstep.
     e = edges.select("src", "dst").localCheckpoint()
+    # AUTO fast tier (r12): with no explicit superstep-mode request and
+    # no plan probe, an under-cap edge list runs the identical
+    # recurrence driver-local in one bounded collect (see
+    # _pagerank_local) — ~n_iter/cadence Spark jobs become one.  An
+    # explicit co_partition (the identity gates, the e2e scripts) or a
+    # _probe (the superstep plan gates) always takes the distributed
+    # path, so the over-cap machinery stays exercised.
+    if co_partition is None and _probe is None and e.count() <= PR_LOCAL_EDGE_CAP:
+        return _pagerank_local(spark, e, damping, n_iter, teleport)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -45,10 +45,13 @@ def _numpy_pagerank(edges, n_iter=PR_ITERS, d=PR_DAMPING, seeds=None):
 
 
 def test_pagerank_matches_numpy_on_knn_graph(spark, sf_dir):
+    # co_partition=False pins the DISTRIBUTED supersteps (the AUTO path
+    # takes the r12 driver-local tier at this scale; its identity with
+    # the distributed path is gated separately below)
     e = knn_edges(spark, sf_dir)
     pairs = [(r["src"], r["dst"]) for r in e.select("src", "dst").collect()]
     want = _numpy_pagerank(pairs)
-    got = {r["node"]: r["rank"] for r in pagerank(e).collect()}
+    got = {r["node"]: r["rank"] for r in pagerank(e, co_partition=False).collect()}
     assert set(got) == set(want)
     worst = max(abs(got[v] - want[v]) for v in want)
     assert worst < 1e-12, f"max |spark - numpy| = {worst:.3e}"
@@ -76,12 +79,49 @@ def test_ppr_matches_numpy_on_knn_graph(spark, sf_dir):
         [(int(s),) for s in sorted(seeds)], "node long"
     )
     got = {
-        r["node"]: r["rank"] for r in pagerank(e, teleport=seed_df).collect()
+        r["node"]: r["rank"]
+        for r in pagerank(e, teleport=seed_df, co_partition=False).collect()
     }
     assert set(got) == set(want)
     worst = max(abs(got[v] - want[v]) for v in want)
     assert worst < 1e-12, f"max |spark - numpy| = {worst:.3e}"
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_local_tier_identity(spark, sf_dir):
+    """The r12 driver-local power-iteration tier (AUTO under
+    PR_LOCAL_EDGE_CAP) must match the distributed supersteps on the
+    real kNN graph: same node set, <1e-12 numerically, and EXACTLY
+    equal after the 9dp rounding both registry consumers apply — the
+    same standard as the union-find/fixpoint cluster tier gates."""
+    from pyspark.sql import functions as F
+
+    from frizzle_spark.operators.graph import PPR_SEED_LABEL, _pagerank_local
+    from frizzle_spark.sources.tables import load_table
+
+    e = knn_edges(spark, sf_dir).select("src", "dst").localCheckpoint()
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label") == PPR_SEED_LABEL)
+        .select(F.col("vec_id").alias("node"))
+    )
+    for tele in (None, seeds):
+        local = {
+            r["node"]: r["rank"]
+            for r in _pagerank_local(
+                spark, e, PR_DAMPING, PR_ITERS, tele
+            ).collect()
+        }
+        dist = {
+            r["node"]: r["rank"]
+            for r in pagerank(e, teleport=tele, co_partition=False).collect()
+        }
+        assert set(local) == set(dist)
+        worst = max(abs(local[v] - dist[v]) for v in dist)
+        assert worst < 1e-12, f"max |local - distributed| = {worst:.3e}"
+        assert {v: round(x, 9) for v, x in local.items()} == {
+            v: round(x, 9) for v, x in dist.items()
+        }
 
 
 def test_ppr_seeds_outrank_far_periphery(spark):
