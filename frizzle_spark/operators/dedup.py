@@ -74,28 +74,69 @@ def q11_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_ARRAY_SQL = (
+    "transform(sequence(0, size(ws) - 3),"
+    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+)
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """Per-doc DISTINCT word-3-gram set as an array: (doc_id, toks, n),
+    for docs with ≥3 words.  Entirely ROW-LOCAL — regex split, 3-gram
+    transform, ``array_distinct`` — zero exchanges: a shingle set is a
+    per-document fact, so deduplicating inside the row is equivalent to
+    the global ``DISTINCT (doc_id, shingle)`` (doc_ids differ across
+    rows) without shuffling the exploded table (r12, guide §2.1)."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= NGRAM_N)
+        .select(
+            "doc_id",
+            F.array_distinct(F.expr(_SHINGLE_ARRAY_SQL)).alias("toks"),
+        )
+        # coalesce makes n NON-NULLABLE so downstream constraint
+        # inference (``jac >= τ`` ⇒ ``isnotnull(n1)``) constant-folds
+        # instead of substituting the whole interpreted shingling
+        # expression into the scan filter via the project chain — the
+        # same per-row re-evaluation trap as the explode_outer note in
+        # shingles_of (measured: 9.1 → 2.0 s on qz11_containment).
+        # toks is never null here, so the value is unchanged.
+        .withColumn("n", F.coalesce(F.size("toks"), F.lit(0)))
+    )
+
+
 def shingles_of(docs: DataFrame, distinct: bool = True) -> DataFrame:
     """Word 3-gram shingles per (doc_id, text) frame — distinct by
     default (set semantics, what exact-Jaccard intersection counting
     needs).  Pass ``distinct=False`` when feeding ``minhash_signatures``
     ONLY: MIN over a multiset equals MIN over its set, so the dedup
     shuffle is pure waste there (one full exchange per signature pass —
-    measured as a chunk of the curation bus's per-batch overhead)."""
+    measured as a chunk of the curation bus's per-batch overhead).
+
+    r12: the distinct form explodes ``shingle_sets`` — per-doc
+    ``array_distinct`` instead of a global ``.distinct()``, same rows,
+    one fewer full exchange per consumer (guide §2.1).  The explode is
+    ``explode_outer`` everywhere ``toks`` is unpacked: plain explode
+    triggers InferFiltersFromGenerate, which pushes
+    ``size(array_distinct(transform(...))) > 0`` — the ENTIRE
+    interpreted shingling expression — into the scan filter and
+    re-evaluates it per row (measured 9.4 s vs 0.8 s at sf0.1 for the
+    bare pipeline).  After the ``size(ws) >= NGRAM_N`` guard the array
+    is never null/empty, so outer ≡ inner here."""
+    if distinct:
+        return shingle_sets(docs).select(
+            "doc_id", F.explode_outer("toks").alias("shingle")
+        )
     ws = F.split(F.trim(F.col("text")), r"\s+")
-    out = (
+    return (
         docs.select("doc_id", ws.alias("ws"))
         .where(F.size("ws") >= NGRAM_N)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(ws) - 3),"
-                    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
-                )
-            ).alias("shingle"),
+            F.explode(F.expr(_SHINGLE_ARRAY_SQL)).alias("shingle"),
         )
     )
-    return out.distinct() if distinct else out
 
 
 # sf_dir → documents row count (catalog fact, same caching argument as
@@ -115,11 +156,14 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _DOCS_N_CACHE:
         _DOCS_N_CACHE[sf_dir] = docs.count()
     n = _DOCS_N_CACHE[sf_dir]
-    p = min(
-        spark.sparkContext.defaultParallelism,
-        max(1, n // 4096),  # shingling is ~10× cheaper/row than the
-        # vector kernels — bigger chunks before a shuffle pays
-    )
+    # r12: ≥64 docs/partition (was 4096).  The family's global
+    # ``.distinct()`` became a row-local ``array_distinct`` (see
+    # shingles_of), so the pair join + intersection aggregate now RIDE
+    # the scan parallelism instead of a shuffle's — with the old
+    # sizing a 5k-doc corpus ran the whole join on 1-2 tasks (measured:
+    # q11_ngram_jaccard 20 s; spread to 32 it is ~1 s).  On a cluster
+    # the corpus arrives well-split and this branch still no-ops.
+    p = min(spark.sparkContext.defaultParallelism, max(1, n // 64))
     if docs.rdd.getNumPartitions() < p:
         return docs.repartition(p)
     return docs
@@ -203,23 +247,31 @@ def q11_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Inverted-index shape: explode shingles → self-join by shingle →
     count intersections per pair → Jaccard from per-doc set sizes.
     """
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    sets = shingle_sets(_docs_spread(spark, sf_dir))
+    # Set sizes ride the exploded rows (+8 B/row on the shingle
+    # exchange) instead of a separate sizes aggregate re-joined twice —
+    # the r12 restructure deletes two joins AND the two extra
+    # re-executions of the shingling subplan their branches carried
+    # (guide §2.1/§3.1; before-plan had 8 documents scans, after 2).
+    a = sets.select(
+        F.col("doc_id").alias("d1"),
+        F.col("n").alias("n1"),
+        F.explode_outer("toks").alias("shingle"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("d2"),
+        F.col("n").alias("n2"),
+        F.explode_outer("toks").alias("shingle"),
+    )
     inter = (
         a.join(b, ["shingle"])
         .where(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
+        .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn("jac_raw", jac)
+        inter.withColumn("jac_raw", jac)
         .where(F.col("jac_raw") >= JACCARD_THRESHOLD)
         .select("d1", "d2", F.round("jac_raw", 6).alias("jaccard"))
     )
@@ -392,7 +444,14 @@ def qz11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check (hash family not reproducible in DuckDB); pytest
     gates recall against q11_ngram_jaccard.
     """
-    sigs = minhash_signatures(_shingles(spark, sf_dir))
+    # Materialize the 65-long-per-doc signature frame (r12): it feeds
+    # four branches (both banding join sides + the two re-rank joins) and
+    # broadcast exchanges defeat subplan reuse — the before-plan
+    # re-shingled documents 8×.  Same localCheckpoint shape the
+    # incremental probe paths already use.  Bounded: 520 B × n_docs.
+    sigs = minhash_signatures(_shingles(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     with_sig = sig_array(sigs)
     cand = minhash_candidates(spark, sf_dir, _sigs=sigs)
     sa = with_sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
@@ -478,7 +537,12 @@ def qz11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingles(spark, sf_dir)
     hashed = sh.select("doc_id", F.xxhash64(F.col("shingle")).alias("h64"))
-    fps = simhash_fingerprints(hashed)
+    # Materialize the 2-long-per-doc fingerprint table (r12): the
+    # banding self-join broadcasts one side, and a broadcast exchange
+    # never subplan-matches the streamed side — without this the whole
+    # shingle+vote pipeline executed once PER JOIN SIDE (4 documents
+    # scans in the before-plan, 1 after).  Bounded: 16 B × n_docs.
+    fps = simhash_fingerprints(hashed).localCheckpoint(eager=True)
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF)).alias(f"c{j}")
@@ -2135,7 +2199,16 @@ def jaccard_join_pairs(sh: DataFrame) -> DataFrame:
     sf0.1 — the remaining floor is the df-ranking shuffle, which any
     global token order must pay; the packed subplan feeds both the
     prefix and the verify branch, so Catalyst reuses its exchange)."""
-    packed = packed_token_sets(sh)
+    # Materialize the packed per-doc token table ONCE (r12): it feeds
+    # three branches (the prefix explode + both verify sides), every
+    # downstream join broadcasts, and broadcast exchanges defeat
+    # subplan reuse — the before-plan executed the whole
+    # df-rank+collect_list pipeline 4× (16 documents scans).  Bounded:
+    # the packed arrays are the doc's distinct shingles (~2× text
+    # bytes), i.e. the signature-table materialization every real
+    # PPJoin build performs; at 100 TB this is a storage-backed table,
+    # here an executor-local checkpoint.
+    packed = packed_token_sets(sh).localCheckpoint(eager=True)
     cand = ppjoin_candidates(sh, _packed=packed)
     arrs = packed.select(
         "doc_id",
@@ -2517,19 +2590,26 @@ def qz11_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle containment ≥ 0.8: (contained, container,
     containment) — the quote-inclusion/doc-inside-doc signal Jaccard's
     symmetric denominator suppresses.  Fully oracle-backed."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("contained"), "shingle")
-    b = sh.select(F.col("doc_id").alias("container"), "shingle")
+    sets = shingle_sets(_docs_spread(spark, sf_dir))
+    # n rides the contained side's exploded rows (r12): the sizes
+    # aggregate + its re-join — and the extra shingling pass that
+    # branch re-executed — are gone (guide §2.1; see q11_ngram_jaccard).
+    a = sets.select(
+        F.col("doc_id").alias("contained"),
+        "n",
+        F.explode_outer("toks").alias("shingle"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("container"), F.explode_outer("toks").alias("shingle")
+    )
     inter = (
         a.join(b, ["shingle"])
         .where(F.col("contained") != F.col("container"))
-        .groupBy("contained", "container")
+        .groupBy("contained", "container", "n")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    s = sizes.select(F.col("doc_id").alias("contained"), "n")
     return (
-        inter.join(s, "contained")
+        inter
         .where(
             CONTAINMENT_THRESHOLD_DEN * F.col("c")
             >= CONTAINMENT_THRESHOLD_NUM * F.col("n")
