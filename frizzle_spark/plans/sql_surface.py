@@ -821,7 +821,13 @@ def qz22_leakage_safe_split(
     docs = load_table(spark, sf_dir, "documents")
 
     def _minhash_pairs() -> DataFrame:
-        sigs = minhash_signatures(_shingles(spark, sf_dir))
+        # localCheckpoint (r12): sigs feed four branches (both banding
+        # sides + the two re-rank joins) and broadcast exchanges defeat
+        # subplan reuse — same fix as qz11_minhash_lsh; this is the
+        # scratch-index build the bench records under index_build.
+        sigs = minhash_signatures(_shingles(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
         cand = minhash_candidates(spark, sf_dir, _sigs=sigs)
         sa = sig_array(sigs)
         agree = F.aggregate(

@@ -162,9 +162,6 @@ def _decide_local(
     id_tb = batch.select(*cols).limit(cap + 1).toArrow()
     if id_tb.num_rows > cap:
         return None
-    sig_tb = sigs.limit(cap + 1).toArrow()
-    if sig_tb.num_rows > cap:  # pathological: more signatures than docs
-        return None
 
     doc_ids = id_tb["doc_id"].to_pylist()
     tlen_of = dict(zip(doc_ids, id_tb["_tlen"].to_pylist()))
@@ -177,17 +174,35 @@ def _decide_local(
         dict(zip(doc_ids, id_tb["text"].to_pylist())) if text_inline else None
     )
 
-    if sig_tb.num_rows:
-        sids = sig_tb["doc_id"].to_numpy().astype(np.int64, copy=False)
-        mat = np.column_stack(
-            [
-                sig_tb[f"h{k}"].to_numpy(zero_copy_only=False)
-                for k in range(MINHASH_PERMS)
-            ]
-        ).astype(np.int64, copy=False)
+    # Signatures: when the batch TEXT already rode the id collect, the
+    # bit-identical numpy twin (minhash_signatures_np, differential-
+    # gated) computes them driver-side — the Spark aggregation job the
+    # warm micro-batch used to pay disappears (r12, VERDICT r11 #6).
+    # FRIZZLE_CURATION_PY_SIGS=0 pins the Spark frame for the identity
+    # gates and as an operational kill-switch.
+    if text_of is not None and os.environ.get(
+        "FRIZZLE_CURATION_PY_SIGS", "1"
+    ) != "0":
+        from frizzle_spark.operators.dedup import minhash_signatures_np
+
+        sids, mat = minhash_signatures_np(
+            doc_ids, [text_of[d] for d in doc_ids]
+        )
     else:
-        sids = np.empty(0, dtype=np.int64)
-        mat = np.empty((0, MINHASH_PERMS), dtype=np.int64)
+        sig_tb = sigs.limit(cap + 1).toArrow()
+        if sig_tb.num_rows > cap:  # pathological: more sigs than docs
+            return None
+        if sig_tb.num_rows:
+            sids = sig_tb["doc_id"].to_numpy().astype(np.int64, copy=False)
+            mat = np.column_stack(
+                [
+                    sig_tb[f"h{k}"].to_numpy(zero_copy_only=False)
+                    for k in range(MINHASH_PERMS)
+                ]
+            ).astype(np.int64, copy=False)
+        else:
+            sids = np.empty(0, dtype=np.int64)
+            mat = np.empty((0, MINHASH_PERMS), dtype=np.int64)
 
     # cross probe: new-vs-index near-dup pairs (bounded by true
     # collisions; a storm over the cap falls back to distributed).

@@ -332,6 +332,93 @@ def test_band_hash_numpy_twin_bit_identity(spark, sf_dir):
             )
 
 
+def test_xxh64_np_primitives_match_spark(spark):
+    """The numpy XXH64 primitives (operators/xxh64_np.py) must match
+    Spark's xxhash64 expression BIT-FOR-BIT — strings across unicode /
+    length boundaries (0..>32 bytes, multi-byte UTF-8, Java-\\s edge
+    whitespace), longs, and the chained int→long fold the MinHash
+    permutations use.  A single differing bit would silently change
+    every signature the driver-side twin produces."""
+    import numpy as np
+
+    from frizzle_spark.operators.xxh64_np import (
+        hash_bytes_np,
+        hash_int_np,
+        hash_long_np,
+    )
+
+    strs = [
+        "", "a", "ab", "abc", "abcd", "abcdefg", "abcdefgh", "abcdefghi",
+        "0123456789abcde", "0123456789abcdef", "0123456789abcdefg",
+        "0123456789abcdefghijklm", "0123456789abcdefghijklmn",
+        "0123456789abcdefghijklmnopqrstu", "0123456789abcdefghijklmnopqrstuv",
+        "x" * 33, "y" * 100, "héllo wörld", "漢字テスト", "🎉🎊", "a b",
+        "tab\there", "mixed 漢 ascii 字 end",
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    want = [r["h"] for r in df.select(F.xxhash64("s").alias("h")).collect()]
+    got = hash_bytes_np([s.encode("utf-8") for s in strs]).view(np.int64)
+    assert [int(x) for x in got] == want
+
+    longs = [0, 1, -1, 42, 2**62, -(2**62), 123456789123456789]
+    ldf = spark.createDataFrame([(x,) for x in longs], "v long")
+    lwant = [r["h"] for r in ldf.select(F.xxhash64("v").alias("h")).collect()]
+    lgot = hash_long_np(np.array(longs, dtype=np.int64).view(np.uint64), 42)
+    assert [int(x) for x in lgot.view(np.int64)] == lwant
+
+    # the exact two-column fold minhash_signatures uses
+    for k in (0, 1, 7, 63):
+        cwant = [
+            r["h"]
+            for r in ldf.select(F.xxhash64(F.lit(k), "v").alias("h")).collect()
+        ]
+        seed = hash_int_np(k, 42)
+        cgot = hash_long_np(
+            np.array(longs, dtype=np.int64).view(np.uint64), seed
+        )
+        assert [int(x) for x in cgot.view(np.int64)] == cwant
+
+
+def test_minhash_signatures_np_twin_bit_identity(spark, sf_dir):
+    """minhash_signatures_np must reproduce the full Spark signature
+    frame BIT-FOR-BIT over the real corpus plus crafted edge docs
+    (ASCII-vs-unicode whitespace, empty split fields, <3-token docs,
+    None text) — the driver-decide tier routes on these values."""
+    import numpy as np
+
+    docs = dd.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    extra = [
+        (10_000_001, "one two"),                  # <3 tokens → no row
+        (10_000_002, None),                       # null text → no row
+        (10_000_003, "  lead and trail  "),
+        (10_000_004, "tab\tsep\nnewline\x0bvt\fff\rcr words"),
+        (10_000_005, "nbsp is not java ws"),  #   must NOT split
+        (10_000_006, "a b c"),
+        (10_000_007, "exactly three words"),
+        (10_000_008, "unicode 漢字 mixed 🎉 tokens here"),
+    ]
+    all_rows = [(r["doc_id"], r["text"]) for r in rows] + extra
+    adf = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want_tb = dd.minhash_signatures(
+        dd.shingles_of(adf, distinct=False)
+    ).toArrow()
+    want = {
+        int(d): [
+            int(want_tb[f"h{k}"][i].as_py())
+            for k in range(dd.MINHASH_PERMS)
+        ]
+        for i, d in enumerate(want_tb["doc_id"].to_pylist())
+    }
+    sids, mat = dd.minhash_signatures_np(
+        [d for d, _ in all_rows], [t for _, t in all_rows]
+    )
+    got = {int(d): [int(x) for x in mat[i]] for i, d in enumerate(sids)}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == want[d], f"doc {d} signature mismatch"
+
+
 def test_local_index_append_probe_identical(spark, sf_dir, tmp_path):
     """An index slice appended by the driver-side pyarrow writer must be
     INDISTINGUISHABLE to the probe from the same slice appended by the
