@@ -29,6 +29,21 @@ def _env_snapshot() -> dict:
         snap["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         pass
+    # Hypervisor steal evidence (round 12): the r12 drift hunt found
+    # 11.8% CPU steal under full load on an "idle-looking" machine —
+    # loadavg counts only OUR runnable tasks, so host contention is
+    # invisible to every other field here.  Cumulative (ticks) at
+    # start/end lets any two records be compared as steal %% of the
+    # run; per-query deltas (query_steal_pct) localize the bursts that
+    # made the same code read 158 s on a quiet host and 221 s on a
+    # contended one with no plan change at all.
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        snap["cpu_ticks_total"] = sum(int(v) for v in parts)
+        snap["cpu_ticks_steal"] = int(parts[7]) if len(parts) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        pass
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
@@ -135,6 +150,15 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     query_load1: dict[str, float] = {}  # 1-min loadavg at each query's end
+    query_steal_pct: dict[str, float] = {}  # host steal % during each query
+
+    def _cpu_ticks() -> tuple[int, int]:
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            return sum(int(v) for v in parts), int(parts[7])
+        except (OSError, ValueError, IndexError):
+            return 0, 0
     # Per-query isolation: one raising query builder must never abort the
     # whole run — rounds 3 and 4 both lost their entire bench artifact to
     # a single broken query (VERDICT r4 "What's wrong" #2).  Failures are
@@ -152,6 +176,7 @@ def main() -> None:
     # collect is what a limit consumer does and pins the row budget).
     for name, spec in sorted(REGISTRY.items()):
         runs = []
+        tick0, steal0 = _cpu_ticks()
         try:
             for _ in range(n_runs):
                 t0 = time.perf_counter()
@@ -174,6 +199,11 @@ def main() -> None:
             query_load1[name] = round(os.getloadavg()[0], 2)
         except OSError:
             pass
+        tick1, steal1 = _cpu_ticks()
+        if tick1 > tick0:
+            query_steal_pct[name] = round(
+                100.0 * (steal1 - steal0) / (tick1 - tick0), 2
+            )
         print(f"# {name}: min {timings[name]:.3f}s of {runs} ({n} rows)", file=sys.stderr)
 
     # approximate-tier quality, tracked round-over-round alongside speed:
@@ -325,6 +355,11 @@ def main() -> None:
         # shows load ~0 at start; a contended record indicts itself
         "env": {"start": env_start, "end": _env_snapshot()},
         "query_load1": query_load1,
+        # host steal % per query (see _env_snapshot): burst windows of
+        # hypervisor contention are the ONLY signal that distinguishes
+        # "this query regressed" from "the host was stolen from" —
+        # loadavg cannot see them
+        "query_steal_pct": query_steal_pct,
         # names whose sf0.1 wall is fixed streaming/replay overhead, not
         # data volume (see OVERHEAD_BOUND) — read decade records for
         # their scaling story

@@ -62,6 +62,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Spark 4.1's checkpoint-file checksums (default on) spin up a
+        # ChecksumCheckpointFileManager thread pool per checkpoint
+        # instance and never reap it: measured +64 JVM threads across 3
+        # streaming-query runs (scripts/r12_thread_probe.py), monotonic
+        # across a long session — a 200-query bench session accumulates
+        # hundreds of dead-weight threads.  Our streaming checkpoints
+        # are per-query /tmp scratch (corruption detection buys
+        # nothing); production can re-enable via env.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("FRIZZLE_CKPT_CHECKSUM", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
