@@ -151,6 +151,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     query_load1: dict[str, float] = {}  # 1-min loadavg at each query's end
     query_steal_pct: dict[str, float] = {}  # host steal % during each query
+    query_gc_ms: dict[str, int] = {}  # JVM GC time during each query
 
     def _cpu_ticks() -> tuple[int, int]:
         try:
@@ -159,6 +160,21 @@ def main() -> None:
             return sum(int(v) for v in parts), int(parts[7])
         except (OSError, ValueError, IndexError):
             return 0, 0
+
+    # Cumulative JVM GC milliseconds (driver == executor in local mode, so
+    # this is the whole engine).  The r12 drift hunt found late-session
+    # windows where a query runs 4-6x slow with ZERO host steal — per-query
+    # GC deltas are the signal that separates "JVM session decay" (heap
+    # pressure, full-GC pauses) from host contention in the same record.
+    def _gc_ms() -> int:
+        try:
+            beans = (
+                spark.sparkContext._jvm.java.lang.management.ManagementFactory
+                .getGarbageCollectorMXBeans()
+            )
+            return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+        except Exception:
+            return -1
     # Per-query isolation: one raising query builder must never abort the
     # whole run — rounds 3 and 4 both lost their entire bench artifact to
     # a single broken query (VERDICT r4 "What's wrong" #2).  Failures are
@@ -177,6 +193,7 @@ def main() -> None:
     for name, spec in sorted(REGISTRY.items()):
         runs = []
         tick0, steal0 = _cpu_ticks()
+        gc0 = _gc_ms()
         try:
             for _ in range(n_runs):
                 t0 = time.perf_counter()
@@ -204,6 +221,9 @@ def main() -> None:
             query_steal_pct[name] = round(
                 100.0 * (steal1 - steal0) / (tick1 - tick0), 2
             )
+        gc1 = _gc_ms()
+        if gc0 >= 0 and gc1 >= gc0:
+            query_gc_ms[name] = gc1 - gc0
         print(f"# {name}: min {timings[name]:.3f}s of {runs} ({n} rows)", file=sys.stderr)
 
     # approximate-tier quality, tracked round-over-round alongside speed:
@@ -360,6 +380,10 @@ def main() -> None:
         # "this query regressed" from "the host was stolen from" —
         # loadavg cannot see them
         "query_steal_pct": query_steal_pct,
+        # JVM GC ms per query (see _gc_ms): a late-session slow window
+        # with ~0 steal and high gc_ms is engine heap pressure; with ~0
+        # of both it is genuinely the query's plan
+        "query_gc_ms": query_gc_ms,
         # names whose sf0.1 wall is fixed streaming/replay overhead, not
         # data volume (see OVERHEAD_BOUND) — read decade records for
         # their scaling story
