@@ -37,6 +37,8 @@ default off so the oracle stays exact).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -140,8 +142,97 @@ def shingles_of(docs: DataFrame, distinct: bool = True) -> DataFrame:
 
 
 # sf_dir → documents row count (catalog fact, same caching argument as
-# similarity._CORPUS_N_CACHE): drives only the scan-spread sizing below.
+# similarity._CORPUS_N_CACHE): drives only scan-spread and cap-gate
+# sizing decisions, never results.
 _DOCS_N_CACHE: dict[str, int] = {}
+
+
+def _docs_n(spark: SparkSession, sf_dir: str) -> int:
+    """documents row count — a catalog fact cached per (process, sf_dir)."""
+    if sf_dir not in _DOCS_N_CACHE:
+        _DOCS_N_CACHE[sf_dir] = load_table(spark, sf_dir, "documents").count()
+    return _DOCS_N_CACHE[sf_dir]
+
+
+# sf_dir → total uncompressed bytes of documents.text, read from parquet
+# FOOTERS (driver-side metadata, zero Spark jobs) — another catalog fact,
+# feeding only the materialization cap gates below.
+_DOCS_TEXT_BYTES_CACHE: dict[str, int] = {}
+
+
+def _docs_text_bytes(sf_dir: str) -> int:
+    """Total uncompressed bytes of documents.text from parquet footer
+    statistics; -1 when the footers are unreachable (remote FS, exotic
+    layout) — callers then fall back to a row-count bound."""
+    if sf_dir not in _DOCS_TEXT_BYTES_CACHE:
+        total = -1
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            path = os.path.join(sf_dir, "documents.parquet")
+            files = (
+                [path]
+                if os.path.isfile(path)
+                else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            )
+            if files:
+                total = 0
+                for f in files:
+                    md = pq.read_metadata(f)
+                    for rg in range(md.num_row_groups):
+                        row_group = md.row_group(rg)
+                        for ci in range(row_group.num_columns):
+                            col = row_group.column(ci)
+                            if col.path_in_schema == "text":
+                                total += col.total_uncompressed_size
+        except Exception:
+            total = -1
+        _DOCS_TEXT_BYTES_CACHE[sf_dir] = total
+    return _DOCS_TEXT_BYTES_CACHE[sf_dir]
+
+
+# Cap for EXECUTOR-LOCAL materializations of fan-out derived tables
+# (r13, VERDICT r12 #5).  The r12 localCheckpoints (signatures,
+# fingerprints, packed token arrays, per-doc counts) buy the right plan
+# shape — the derived table computes once instead of per broadcast
+# branch — but localCheckpoint pins executor block-manager storage and
+# truncates lineage, so past executor loss the job cannot recover and
+# past memory+disk it dies.  Under the cap (est. bytes) the cheap
+# executor-local form stays; over it the SAME materialization goes
+# through a parquet scratch round-trip — storage-backed, recoverable,
+# and exactly what the jaccard_join comment always said 100 TB needs.
+# 4 GiB default ≈ a few % of one executor's storage at bench/cluster
+# scale; env-overridable for real deployments (and pinned to 0 in the
+# fallback-path tests).
+LOCAL_MAT_CAP_BYTES = int(
+    os.environ.get("FRIZZLE_LOCAL_MAT_CAP_BYTES", str(4 * 1024**3))
+)
+
+
+def materialize_fanout(df: DataFrame, est_bytes: int) -> DataFrame:
+    """Materialize a derived table that fans out across broadcast-join
+    branches: ``localCheckpoint`` under ``LOCAL_MAT_CAP_BYTES``, parquet
+    scratch over it (same rows either way — the gates in
+    tests/test_dedup_similarity.py pin identity across the cap)."""
+    if est_bytes <= LOCAL_MAT_CAP_BYTES:
+        return df.localCheckpoint(eager=True)
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="frizzle_mat_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    df.write.mode("overwrite").parquet(scratch)
+    return df.sparkSession.read.parquet(scratch)
+
+
+# Fixed-width row-size estimates for the cap gates: a MinHash signature
+# row is doc_id + 64 hash longs; a SimHash fingerprint row is doc_id +
+# one long (+ tungsten overhead).
+SIG_ROW_BYTES = 8 + 64 * 8 + 16
+FP_ROW_BYTES = 24
 
 
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,9 +244,7 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the dedup family recomputes shingles per branch by design).
     On a cluster the corpus arrives as many splits → no-op."""
     docs = load_table(spark, sf_dir, "documents")
-    if sf_dir not in _DOCS_N_CACHE:
-        _DOCS_N_CACHE[sf_dir] = docs.count()
-    n = _DOCS_N_CACHE[sf_dir]
+    n = _docs_n(spark, sf_dir)
     # r12: ≥64 docs/partition (was 4096).  The family's global
     # ``.distinct()`` became a row-local ``array_distinct`` (see
     # shingles_of), so the pair join + intersection aggregate now RIDE
@@ -512,10 +601,11 @@ def qz11_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the 65-long-per-doc signature frame (r12): it feeds
     # four branches (both banding join sides + the two re-rank joins) and
     # broadcast exchanges defeat subplan reuse — the before-plan
-    # re-shingled documents 8×.  Same localCheckpoint shape the
-    # incremental probe paths already use.  Bounded: 520 B × n_docs.
-    sigs = minhash_signatures(_shingles(spark, sf_dir)).localCheckpoint(
-        eager=True
+    # re-shingled documents 8×.  r13: cap-gated (VERDICT r12 #5) —
+    # executor-local under LOCAL_MAT_CAP_BYTES, parquet scratch over it.
+    sigs = materialize_fanout(
+        minhash_signatures(_shingles(spark, sf_dir)),
+        _docs_n(spark, sf_dir) * SIG_ROW_BYTES,
     )
     with_sig = sig_array(sigs)
     cand = minhash_candidates(spark, sf_dir, _sigs=sigs)
@@ -606,8 +696,11 @@ def qz11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banding self-join broadcasts one side, and a broadcast exchange
     # never subplan-matches the streamed side — without this the whole
     # shingle+vote pipeline executed once PER JOIN SIDE (4 documents
-    # scans in the before-plan, 1 after).  Bounded: 16 B × n_docs.
-    fps = simhash_fingerprints(hashed).localCheckpoint(eager=True)
+    # scans in the before-plan, 1 after).  r13: cap-gated (VERDICT r12
+    # #5) — executor-local under the cap, parquet scratch over it.
+    fps = materialize_fanout(
+        simhash_fingerprints(hashed), _docs_n(spark, sf_dir) * FP_ROW_BYTES
+    )
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF)).alias(f"c{j}")
@@ -2249,10 +2342,12 @@ def qz11_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate count, not C(n,2).  Fully oracle-backed (qz prefix only
     because the 50 driver slots are taken).
     """
-    return jaccard_join_pairs(_shingles(spark, sf_dir))
+    tb = _docs_text_bytes(sf_dir)
+    est = 4 * tb if tb > 0 else _docs_n(spark, sf_dir) * 4096
+    return jaccard_join_pairs(_shingles(spark, sf_dir), est_bytes=est)
 
 
-def jaccard_join_pairs(sh: DataFrame) -> DataFrame:
+def jaccard_join_pairs(sh: DataFrame, est_bytes: int = 0) -> DataFrame:
     """The full PPJoin over any (doc_id, shingle) set table: candidates
     from the prefix join, exact verification of only those pairs.
 
@@ -2271,9 +2366,13 @@ def jaccard_join_pairs(sh: DataFrame) -> DataFrame:
     # df-rank+collect_list pipeline 4× (16 documents scans).  Bounded:
     # the packed arrays are the doc's distinct shingles (~2× text
     # bytes), i.e. the signature-table materialization every real
-    # PPJoin build performs; at 100 TB this is a storage-backed table,
-    # here an executor-local checkpoint.
-    packed = packed_token_sets(sh).localCheckpoint(eager=True)
+    # PPJoin build performs.  r13 (VERDICT r12 #5): the registry caller
+    # passes est_bytes (4× corpus text bytes from parquet footers) so
+    # the 100 TB case really does go through a storage-backed table —
+    # executor-local checkpoint under LOCAL_MAT_CAP_BYTES, parquet
+    # scratch over it (est_bytes=0 keeps the under-cap form for direct
+    # library callers).
+    packed = materialize_fanout(packed_token_sets(sh), est_bytes)
     cand = ppjoin_candidates(sh, _packed=packed)
     arrs = packed.select(
         "doc_id",

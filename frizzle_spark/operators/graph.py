@@ -512,15 +512,19 @@ def _pagerank_local(
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    rows = e.collect()
+    # Arrow collect (r13, ADVICE r12): a cap-full edge list as PySpark
+    # Row objects costs ~100+ B/edge of Python objects (~100× the
+    # "16 MB of longs" the cap comment promises); toArrow() lands the
+    # two columns as numpy-convertible buffers at the documented bound.
+    tb = e.toArrow()
     node_t = e.schema[0].dataType
     schema = StructType(
         [StructField("node", node_t, True), StructField("rank", DoubleType(), True)]
     )
-    if not rows:
+    if tb.num_rows == 0:
         return spark.createDataFrame([], schema)
-    src = np.asarray([r[0] for r in rows])
-    dst = np.asarray([r[1] for r in rows])
+    src = np.asarray(tb.column(0).to_numpy())  # ChunkedArray: copy allowed
+    dst = np.asarray(tb.column(1).to_numpy())
     nodes = np.unique(np.concatenate([src, dst]))
     n = nodes.size
     si = np.searchsorted(nodes, src)
@@ -629,7 +633,14 @@ def pagerank(
     # explicit co_partition (the identity gates, the e2e scripts) or a
     # _probe (the superstep plan gates) always takes the distributed
     # path, so the over-cap machinery stays exercised.
-    if co_partition is None and _probe is None and e.count() <= PR_LOCAL_EDGE_CAP:
+    # Bounded gate probe (r13, ADVICE r12): limit(cap+1).count() instead
+    # of a full count, so the gate's cost on the OVER-cap (distributed)
+    # path is bounded by the cap rather than the edge-list size.
+    if (
+        co_partition is None
+        and _probe is None
+        and e.limit(PR_LOCAL_EDGE_CAP + 1).count() <= PR_LOCAL_EDGE_CAP
+    ):
         return _pagerank_local(spark, e, damping, n_iter, teleport)
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -1408,7 +1408,9 @@ def qz12_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_lsh_candidates(
+    spark: SparkSession, sf_dir: str, _su: DataFrame | None = None
+) -> DataFrame:
     """Distinct (id1, id2) bucket-collision candidates of the LSH-blocked
     near-dup — exposed so the bench reports the scanned pair fraction
     (|candidates| / C(n,2)) beside the operator's recall.
@@ -1446,7 +1448,11 @@ def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB (the map-side GEMM is cheaper to recompute than an
     # n×tables×budget-row cache is to hold); cf. the measured
     # no-persist finding in operators/dedup._shingles.
-    su = _unit(corpus, n)  # ONE spread check, shared by both code passes
+    # r13: the REGISTRY caller passes a materialized ``_su`` so the
+    # normalize kernel runs once across all four of its consumers (the
+    # two code passes here + the re-rank sides); standalone callers
+    # (the bench's candidate_fraction probe) keep the recompute shape.
+    su = _su if _su is not None else _unit(corpus, n)
     coded = _lsh_codes(su, bc_planes)
     probe = _lsh_probe_codes(su, bc_planes, budget=bits + 1)
     # Query-directed variant sets are ASYMMETRIC (each vector flips its
@@ -1498,8 +1504,17 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _corpus(spark, sf_dir)
     n = _corpus_size(spark, sf_dir)
-    unit = _unit(corpus, n)
-    cand = embedding_lsh_candidates(spark, sf_dir)
+    # r13 (VERDICT r12 #8): materialize the unit-vector table ONCE —
+    # it feeds FOUR branches (the coded/probe GEMM passes inside the
+    # candidate join + both re-rank join sides), every one behind a
+    # broadcast or opaque-kernel boundary that defeats subplan reuse,
+    # so the normalize kernel (and its corpus scan) executed 4× per
+    # run.  Cap-gated like the dedup family: executor-local under
+    # LOCAL_MAT_CAP_BYTES, parquet scratch over it.
+    from frizzle_spark.operators.dedup import materialize_fanout
+
+    unit = materialize_fanout(_unit(corpus, n), n * (24 + DIM * 8))
+    cand = embedding_lsh_candidates(spark, sf_dir, _su=unit)
     if GATHER_RERANK_MIN_N < n <= SCORE_BROADCAST_MAX_N:
         # gather-GEMM re-rank (round 11): broadcast the WHOLE unit
         # matrix once (n x dim float64 — 1 GB at the cap, the same
@@ -1510,9 +1525,22 @@ def qz11_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dominated the sf1 wall (measured 62 s -> the join work alone;
         # the arithmetic is ~2 GFLOP numpy does in seconds).  Pairs
         # stay 16 B/row through the shuffle; vectors never move.
-        rows = unit.orderBy("vec_id").toArrow()
-        ids_arr = rows["vec_id"].to_numpy().astype(np.int64, copy=False)
-        mat = np.asarray(rows["u"].to_pylist(), dtype=np.float64)
+        # r13 (VERDICT r12 #8): collect UNSORTED and argsort driver-side
+        # — the old orderBy("vec_id") paid a full range-partition
+        # exchange + sort just to feed searchsorted, and the to_pylist
+        # round-trip materialized n×dim Python floats; both were the
+        # variance sources in this query's 2.7-4.2 s spread.  Arrow
+        # list flatten + one numpy argsort produce the identical
+        # (sorted ids, aligned matrix) pair.
+        rows = unit.toArrow()
+        ids_raw = rows["vec_id"].to_numpy().astype(np.int64, copy=False)
+        u_col = rows["u"].combine_chunks()
+        mat_raw = u_col.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids_raw), -1
+        ).astype(np.float64, copy=False)
+        order = np.argsort(ids_raw, kind="stable")
+        ids_arr = ids_raw[order]
+        mat = mat_raw[order]
         bc = spark.sparkContext.broadcast((ids_arr, mat))
 
         def score(batches):  # pragma: no cover - executed on executors

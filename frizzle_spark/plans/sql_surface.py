@@ -301,7 +301,8 @@ def qz22_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def budget_slice(
-    counts: DataFrame, budget: int, materialize: bool = False
+    counts: DataFrame, budget: int, materialize: bool = False,
+    est_bytes: int = 0,
 ) -> DataFrame:
     """The distributed token-budget prefix sum over a (doc_id, n_tokens)
     table — shared by the whitespace-proxy and true-BPE modes (round 8).
@@ -332,9 +333,15 @@ def budget_slice(
     # before-plan.  The table is 4 narrow columns × n_docs (the
     # tokenized TEXT never persists), stored distributed on the
     # executors — the same "materialize the skinny derived table, not
-    # the corpus" shape a 100 TB slice job would use.
+    # the corpus" shape a 100 TB slice job would use.  r13: cap-gated
+    # (VERDICT r12 #5) via the shared materialize_fanout — executor-
+    # local under LOCAL_MAT_CAP_BYTES, parquet scratch over it;
+    # ``est_bytes`` comes from the caller (row count × ~100 B of key +
+    # bucket + two numerics).
     if materialize:
-        t = t.localCheckpoint(eager=True)
+        from frizzle_spark.operators.dedup import materialize_fanout
+
+        t = materialize_fanout(t, est_bytes)
     # bucket offsets: running total of all PRECEDING buckets.  The
     # unpartitioned window is safe here and only here — its input is the
     # per-bucket aggregate, bounded at 16^4 rows by construction.
@@ -386,9 +393,13 @@ def qz22_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-keyed count shuffle on top of the same two narrow
     prefix-sum shuffles — still zero global sorts."""
     from frizzle_spark.operators.bpe import bpe_token_counts
+    from frizzle_spark.operators.dedup import _docs_n
 
     return budget_slice(
-        bpe_token_counts(spark, sf_dir), BPE_TOKEN_BUDGET, materialize=True
+        bpe_token_counts(spark, sf_dir),
+        BPE_TOKEN_BUDGET,
+        materialize=True,
+        est_bytes=_docs_n(spark, sf_dir) * 100,
     )
 
 
@@ -821,12 +832,21 @@ def qz22_leakage_safe_split(
     docs = load_table(spark, sf_dir, "documents")
 
     def _minhash_pairs() -> DataFrame:
-        # localCheckpoint (r12): sigs feed four branches (both banding
+        # Materialize (r12): sigs feed four branches (both banding
         # sides + the two re-rank joins) and broadcast exchanges defeat
         # subplan reuse — same fix as qz11_minhash_lsh; this is the
         # scratch-index build the bench records under index_build.
-        sigs = minhash_signatures(_shingles(spark, sf_dir)).localCheckpoint(
-            eager=True
+        # r13: cap-gated (VERDICT r12 #5) — executor-local under
+        # LOCAL_MAT_CAP_BYTES, parquet scratch over it.
+        from frizzle_spark.operators.dedup import (
+            SIG_ROW_BYTES,
+            _docs_n,
+            materialize_fanout,
+        )
+
+        sigs = materialize_fanout(
+            minhash_signatures(_shingles(spark, sf_dir)),
+            _docs_n(spark, sf_dir) * SIG_ROW_BYTES,
         )
         cand = minhash_candidates(spark, sf_dir, _sigs=sigs)
         sa = sig_array(sigs)

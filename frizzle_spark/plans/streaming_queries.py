@@ -461,6 +461,17 @@ def qz13_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             if os.path.isdir(sdir)
             else []
         )
+        # One file per slice is LOAD-BEARING (ADVICE r12): the replay
+        # reads with maxFilesPerTrigger=1, so a slice split across
+        # files would silently split one micro-batch into several and
+        # change the within-batch planted-dup semantics.  repartition
+        # ("slice") guarantees one part per slice value today; if a
+        # session ever sets spark.sql.files.maxRecordsPerFile (or a
+        # writer change splits parts), fail loudly instead.
+        assert len(parts) <= 1, (
+            f"slice {k} wrote {len(parts)} parquet parts; the replay "
+            "contract requires exactly one file per slice"
+        )
         for i, f in enumerate(parts):
             dst = os.path.join(replay, f"slice-{k}-{i}.parquet")
             os.replace(os.path.join(sdir, f), dst)
@@ -958,6 +969,17 @@ def qz13_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             sorted(f for f in os.listdir(sdir) if f.endswith(".parquet"))
             if os.path.isdir(sdir)
             else []
+        )
+        # One file per slice is LOAD-BEARING (ADVICE r12): the replay
+        # reads with maxFilesPerTrigger=1, so a slice split across
+        # files would silently split one micro-batch into several and
+        # change the within-batch planted-dup semantics.  repartition
+        # ("slice") guarantees one part per slice value today; if a
+        # session ever sets spark.sql.files.maxRecordsPerFile (or a
+        # writer change splits parts), fail loudly instead.
+        assert len(parts) <= 1, (
+            f"slice {k} wrote {len(parts)} parquet parts; the replay "
+            "contract requires exactly one file per slice"
         )
         for i, f in enumerate(parts):
             dst = os.path.join(replay, f"slice-{k}-{i}.parquet")

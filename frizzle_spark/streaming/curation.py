@@ -180,9 +180,20 @@ def _decide_local(
     # warm micro-batch used to pay disappears (r12, VERDICT r11 #6).
     # FRIZZLE_CURATION_PY_SIGS=0 pins the Spark frame for the identity
     # gates and as an operational kill-switch.
-    if text_of is not None and os.environ.get(
-        "FRIZZLE_CURATION_PY_SIGS", "1"
-    ) != "0":
+    # Duplicate doc_ids within one micro-batch (ADVICE r12): the Spark
+    # frame groupBys to ONE signature row per doc_id (over the union of
+    # the duplicates' shingles), while the positional numpy twin would
+    # emit duplicate sids rows (with texts collapsed by the dict) —
+    # downstream banding could then pair a doc with itself and the index
+    # append would insert duplicate signature rows.  The twin's
+    # bit-identity gate can't see this (its corpus has unique ids), so
+    # the rule is: unique ids → twin; any duplicate → the Spark frame,
+    # which is definitionally identical in every case.
+    if (
+        text_of is not None
+        and os.environ.get("FRIZZLE_CURATION_PY_SIGS", "1") != "0"
+        and len(set(doc_ids)) == len(doc_ids)
+    ):
         from frizzle_spark.operators.dedup import minhash_signatures_np
 
         sids, mat = minhash_signatures_np(
