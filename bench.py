@@ -47,6 +47,12 @@ def _env_snapshot() -> dict:
             parts = fh.readline().split()[1:]
         snap["cpu_ticks_total"] = sum(int(v) for v in parts)
         snap["cpu_ticks_steal"] = int(parts[7]) if len(parts) > 7 else 0
+        # iowait (r13): the 24-28 s qz13_curation_ingest window in the
+        # run-C record had load1 1.26, 0 ms GC, 3% steal — every CPU
+        # field said idle while the wall burned: the engine was queued
+        # on the HOST's disk (checkpoint fsyncs).  iowait is the field
+        # that sees it.
+        snap["cpu_ticks_iowait"] = int(parts[4]) if len(parts) > 4 else 0
     except (OSError, ValueError, IndexError):
         pass
     try:
@@ -186,14 +192,15 @@ def main() -> None:
     query_steal_pct: dict[str, float] = {}  # host steal % during each query
     query_gc_ms: dict[str, int] = {}  # JVM GC time during each query
     query_jit_ms: dict[str, int] = {}  # JIT compile time during each query
+    query_iowait_pct: dict[str, float] = {}  # host iowait % during each query
 
-    def _cpu_ticks() -> tuple[int, int]:
+    def _cpu_ticks() -> tuple[int, int, int]:
         try:
             with open("/proc/stat") as fh:
                 parts = fh.readline().split()[1:]
-            return sum(int(v) for v in parts), int(parts[7])
+            return sum(int(v) for v in parts), int(parts[7]), int(parts[4])
         except (OSError, ValueError, IndexError):
-            return 0, 0
+            return 0, 0, 0
 
     # Cumulative JVM GC milliseconds (driver == executor in local mode, so
     # this is the whole engine).  The r12 drift hunt found late-session
@@ -235,7 +242,7 @@ def main() -> None:
 
     for name, spec in sorted(REGISTRY.items()):
         runs = []
-        tick0, steal0 = _cpu_ticks()
+        tick0, steal0, iow0 = _cpu_ticks()
         gc0 = _gc_ms()
         jit0 = _jit_ms()
         try:
@@ -260,10 +267,13 @@ def main() -> None:
             query_load1[name] = round(os.getloadavg()[0], 2)
         except OSError:
             pass
-        tick1, steal1 = _cpu_ticks()
+        tick1, steal1, iow1 = _cpu_ticks()
         if tick1 > tick0:
             query_steal_pct[name] = round(
                 100.0 * (steal1 - steal0) / (tick1 - tick0), 2
+            )
+            query_iowait_pct[name] = round(
+                100.0 * (iow1 - iow0) / (tick1 - tick0), 2
             )
         gc1 = _gc_ms()
         if gc0 >= 0 and gc1 >= gc0:
@@ -434,6 +444,10 @@ def main() -> None:
         # JIT compile ms per query (see _jvm_probe): a slow window with
         # ~0 steal, ~0 gc and a jit_ms burst is code-cache churn
         "query_jit_ms": query_jit_ms,
+        # host iowait % per query (see _env_snapshot): a slow window
+        # with ~0 of everything else and high iowait is the host's disk
+        # queue (checkpoint fsyncs are the engine's only sync writes)
+        "query_iowait_pct": query_iowait_pct,
         # names whose sf0.1 wall is fixed streaming/replay overhead, not
         # data volume (see OVERHEAD_BOUND) — read decade records for
         # their scaling story

@@ -204,12 +204,19 @@ def _run_isolated_stream(
     )
     for k, v in (confs or {}).items():
         child.conf.set(k, v)
+    from frizzle_spark.streaming.pipeline import scratch_ckpt_dir
+
     q = (
         build(child)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
+        # explicit tmpfs checkpoint (r13): without it Spark creates a
+        # temp checkpoint under java.io.tmpdir and every micro-batch's
+        # offset/commit/state fsyncs queue on the host disk — see
+        # scratch_ckpt_dir (the 24 s curation window evidence)
+        .option("checkpointLocation", scratch_ckpt_dir(f"{name}_ckpt_"))
         .start()
     )
     # awaitTermination(timeout) returns False while the query is STILL
@@ -429,12 +436,13 @@ def qz13_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ckpt); bench min-of-n across scale factors would otherwise
     # accumulate unbounded /tmp — same pattern as qz11_incremental_neardup
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    replay, index, out, ckpt = (
-        f"{base}/replay",
-        f"{base}/index",
-        f"{base}/out",
-        f"{base}/ckpt",
-    )
+    # checkpoint on tmpfs (r13): the per-batch offset/commit/state
+    # fsyncs must not block on the host disk queue — see
+    # streaming.pipeline.scratch_ckpt_dir; data scratch stays on disk
+    replay, index, out = f"{base}/replay", f"{base}/index", f"{base}/out"
+    from frizzle_spark.streaming.pipeline import scratch_ckpt_dir
+
+    ckpt = scratch_ckpt_dir("qz13_ckpt_")
     n_slices = 4
     # ONE pass builds every slice (r12): the old per-slice
     # filter+coalesce(1) loop re-scanned the corpus n_slices times (4
@@ -905,12 +913,13 @@ def qz13_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="qz13_emb_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    replay, index, out, ckpt = (
-        f"{base}/replay",
-        f"{base}/index",
-        f"{base}/out",
-        f"{base}/ckpt",
-    )
+    # checkpoint on tmpfs (r13): the per-batch offset/commit/state
+    # fsyncs must not block on the host disk queue — see
+    # streaming.pipeline.scratch_ckpt_dir; data scratch stays on disk
+    replay, index, out = f"{base}/replay", f"{base}/index", f"{base}/out"
+    from frizzle_spark.streaming.pipeline import scratch_ckpt_dir
+
+    ckpt = scratch_ckpt_dir("qz13_ckpt_")
     n_slices = 4
     eval_rows = emb.orderBy("vec_id").limit(4).collect()
     if eval_rows:

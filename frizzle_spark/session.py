@@ -75,6 +75,22 @@ def get_spark(
             os.environ.get("FRIZZLE_CKPT_CHECKSUM", "false"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # JIT code-cache headroom (r13, VERDICT r12 #2): a 200-query
+        # codegen-heavy session compiles ~40k nmethods and fills the
+        # 240 MB default ReservedCodeCacheSize's 118 MB profiled
+        # segment mid-session (measured at ~74% by query 70); once it
+        # saturates, the sweeper flushes hot-path methods and every
+        # later query pays steady recompilation (bench evidence:
+        # 2-7 s/query query_jit_ms in late windows at ~0 steal / ~0 gc,
+        # in-bench walls ~2x the same query's fresh-session standalone).
+        # 512 MB keeps the profiled segment unsaturated for the whole
+        # registry; on a multi-tenant driver size it to the query mix.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "FRIZZLE_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
