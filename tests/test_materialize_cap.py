@@ -79,6 +79,26 @@ def test_embedding_neardup_lsh_gather_path_identity(spark, sf_dir, monkeypatch):
     assert gather == base
 
 
+def test_dedup_clusters_long_fixpoint_stats_reset(spark):
+    """A deep fixpoint must survive its own plan statistics: each
+    round's joins MULTIPLY the localCheckpoint-preserved size estimate,
+    and past ~15 rounds the BigInt sizeInBytes exceeds BigInteger's bit
+    cap ("BigInteger would overflow supported range" — reproduced on a
+    260k-pair graph in the r13 over-cap proof).  The round-8 parquet
+    stats reset fixes it; this chain needs ~13 doubling rounds, crossing
+    the reset, and must still produce the exact component labels."""
+    from pyspark.sql import functions as F
+
+    p = (
+        spark.range(5999)
+        .select(F.col("id").alias("d1"), (F.col("id") + 1).alias("d2"))
+        .localCheckpoint()
+    )
+    rows = dd.dedup_clusters(p).collect()
+    assert len(rows) == 6000
+    assert all(r["cluster_rep"] == 0 for r in rows)
+
+
 def test_registry_callers_pass_positive_estimates(spark, sf_dir):
     """The cap can only gate if the registry paths hand it real sizes."""
     n = dd._docs_n(spark, sf_dir)
