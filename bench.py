@@ -240,6 +240,61 @@ def main() -> None:
         except Exception:
             return -1
 
+    # Slow-window thread dumps (r13, VERDICT r12 #2): each full session
+    # has ONE window where a query runs 3-10x its typical wall with ~0
+    # steal, ~0 iowait, modest GC and no JIT burst — every counter says
+    # idle while load1 ~1-2 says the burn is near-single-threaded.  The
+    # only probe that can NAME single-threaded work is a thread dump
+    # taken inside the window (guide §7.3), so a watchdog arms per run
+    # and jcmd-dumps the driver JVM once elapsed exceeds the trigger.
+    # Pure instrumentation: dumps go to side files, one "slow_dumps"
+    # map is added to the full record, nothing else changes.
+    import subprocess
+    import threading
+
+    def _driver_jvm_pid() -> int | None:
+        try:
+            out = subprocess.run(
+                ["pgrep", "-P", str(os.getpid()), "java"],
+                capture_output=True,
+                text=True,
+            ).stdout.split()
+            return int(out[0]) if out else None
+        except Exception:
+            return None
+
+    jvm_pid = _driver_jvm_pid()
+    slow_trigger_s = float(os.environ.get("SPARK_GRAFT_SLOW_DUMP_S", "10"))
+    slow_dumps: dict[str, str] = {}
+
+    def _watchdog(name: str, t_start: float, done: threading.Event) -> None:
+        typical = timings.get(name)  # min of prior runs this session
+        thresh = max(slow_trigger_s, 4 * typical) if typical else slow_trigger_s
+        while not done.wait(0.25):
+            if time.perf_counter() - t_start < thresh:
+                continue
+            path = f"/tmp/bench_slow_dump_{name}.txt"
+            try:
+                for shot in range(2):
+                    dump = subprocess.run(
+                        ["jcmd", str(jvm_pid), "Thread.print"],
+                        capture_output=True,
+                        text=True,
+                        timeout=30,
+                    ).stdout
+                    with open(path, "a") as fh:
+                        fh.write(
+                            f"# {name} shot {shot} at +"
+                            f"{time.perf_counter() - t_start:.1f}s "
+                            f"load={os.getloadavg()}\n{dump}\n"
+                        )
+                    time.sleep(1.0)
+                slow_dumps[name] = path
+                print(f"# {name}: SLOW window, dumped {path}", file=sys.stderr)
+            except Exception as ex:  # instrumentation must never fail a run
+                print(f"# {name}: slow-dump failed: {ex}", file=sys.stderr)
+            return
+
     for name, spec in sorted(REGISTRY.items()):
         runs = []
         tick0, steal0, iow0 = _cpu_ticks()
@@ -248,12 +303,22 @@ def main() -> None:
         try:
             for _ in range(n_runs):
                 t0 = time.perf_counter()
-                df = spec.fn(spark, sf_dir)
-                if "limit" in name:
-                    n = len(df.collect())
-                else:
-                    df.write.format("noop").mode("overwrite").save()
-                    n = None
+                done_evt = threading.Event()
+                if jvm_pid:
+                    threading.Thread(
+                        target=_watchdog,
+                        args=(name, t0, done_evt),
+                        daemon=True,
+                    ).start()
+                try:
+                    df = spec.fn(spark, sf_dir)
+                    if "limit" in name:
+                        n = len(df.collect())
+                    else:
+                        df.write.format("noop").mode("overwrite").save()
+                        n = None
+                finally:
+                    done_evt.set()
                 runs.append(round(time.perf_counter() - t0, 3))
             if n is None:
                 n = df.count()  # row count for the log line, untimed
@@ -452,6 +517,10 @@ def main() -> None:
         # data volume (see OVERHEAD_BOUND) — read decade records for
         # their scaling story
         "overhead_bound": [n for n in OVERHEAD_BOUND if n in timings],
+        # thread dumps captured inside slow windows (see _watchdog):
+        # the VERDICT r12 #2 zero-evidence decay hunter — empty on a
+        # healthy run
+        "slow_dumps": slow_dumps,
         "queries": timings,
         "runs": all_runs,
     }

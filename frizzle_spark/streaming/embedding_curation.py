@@ -40,7 +40,15 @@ rowgroup probe):
   uncached version re-opened every append file per batch and its wall
   grew 1.3 → 9.5 s over 28 batches) and the probe is one blocked numpy
   GEMM — zero Spark jobs, the warm-batch fast path;
-* **broadcast pruned probe** (the steady-state scale tier, cap-bounded
+* **cached pruned probe** (r13, the steady-state tier past the young
+  cap): same ``nprobe`` centroid routing, but the probed clusters'
+  (ids, matrix) blocks live in a per-cluster LRU driver cache
+  (``_CLUSTER_CACHE``, byte budget ``EMB_CLUSTER_CACHE_MAX_BYTES``)
+  coherence-checked by per-cluster manifest signature and extended in
+  place on append — zero Spark jobs per batch, identical hits to the
+  broadcast tier (pytest-gated).  A working set over the budget falls
+  back to:
+* **broadcast pruned probe** (the Spark scale tier, cap-bounded
   batches): batch vectors route to their ``nprobe`` nearest coarse
   clusters against the collectable centroid table, the lists scan
   prunes to exactly the probed ``cluster=…`` partitions at
@@ -234,6 +242,151 @@ def _young_cache_extend(
     c["sig"] = _lists_manifest(index_base)
 
 
+# Per-cluster probe-block cache (r13, VERDICT r12 #9): past the young
+# tier's byte cap the steady-state probe was a Spark job per micro-batch
+# (_probe_index_pruned_broadcast) — measured on the long bus
+# (EMB_LONGBUS.json at r12), per-batch wall climbed 0.55 s → 4.4 s once
+# the index outgrew the 64 MiB cap, paying job launch + a pruned
+# partition scan every batch for index bytes that had NOT changed since
+# the previous batch.  This tier keeps the PROBED clusters' (ids, unit
+# matrix) blocks in driver memory under an LRU byte budget, coherence-
+# checked per cluster by the same (file, size) manifest signature the
+# young cache uses (appends, compaction, retrain and out-of-process
+# writers all invalidate correctly); the appending batch extends its
+# own touched blocks in place.  Result identity with the broadcast tier
+# is exact — same centroid routing, same exclude masking, same
+# min-old_id hit semantics — and pytest-gated.  A batch whose probed
+# working set exceeds the budget falls back to the broadcast tier for
+# that batch, so the 100 TB posture is unchanged: the index side never
+# shuffles, and the driver holds at most the budget.
+EMB_CLUSTER_CACHE_MAX_BYTES = int(
+    os.environ.get("FRIZZLE_EMB_CLUSTER_CACHE_BYTES", str(256 << 20))
+)
+# index_base → OrderedDict[cluster → {"sig", "ids", "mat", "bytes"}]
+_CLUSTER_CACHE: dict[str, dict] = {}
+
+
+def _cluster_manifest(index_base: str, c: int) -> tuple:
+    """Sorted (file, size) signature of one cluster's list directory —
+    one listdir, no file reads."""
+    d = os.path.join(index_base, "lists", f"cluster={c}")
+    sig = []
+    try:
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                sig.append((f, os.stat(os.path.join(d, f)).st_size))
+    except OSError:
+        pass
+    return tuple(sorted(sig))
+
+
+def _read_cluster_local(index_base: str, c: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, unit matrix) of ONE cluster's inverted list, read
+    driver-side via Arrow (flatten, not to_pylist — the matrix arrives
+    as one contiguous buffer)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(index_base, "lists", f"cluster={c}")
+    ids, mats = [], []
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            tb = pq.read_table(os.path.join(d, f), columns=["vec_id", "u"])
+            if tb.num_rows == 0:
+                continue
+            ids.append(tb["vec_id"].to_numpy())
+            u_col = tb["u"].combine_chunks()
+            mats.append(
+                u_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(tb.num_rows, -1)
+                .astype(np.float64, copy=False)
+            )
+    if not ids:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0))
+    return np.concatenate(ids).astype(np.int64), np.vstack(mats)
+
+
+def _cluster_blocks(index_base: str, wanted: list[int]) -> dict | None:
+    """{cluster: block} for every wanted cluster, loading cold/stale
+    blocks driver-side, or None when the probed working set cannot fit
+    the byte budget (the caller then takes the broadcast tier).  The
+    pre-load gate estimates cold blocks at 2× their parquet bytes so a
+    giant working set is refused BEFORE anything is read."""
+    from collections import OrderedDict
+
+    budget = EMB_CLUSTER_CACHE_MAX_BYTES
+    cache = _CLUSTER_CACHE.setdefault(index_base, OrderedDict())
+    plan, est = [], 0
+    for c in wanted:
+        sig = _cluster_manifest(index_base, c)
+        blk = cache.get(c)
+        if blk is not None and blk["sig"] == sig:
+            est += blk["bytes"]
+            plan.append((c, sig, blk))
+        else:
+            est += 2 * sum(s for _, s in sig)
+            plan.append((c, sig, None))
+    if est > budget:
+        return None
+    blocks: dict[int, dict] = {}
+    for c, sig, blk in plan:
+        if blk is None:
+            ids, mat = _read_cluster_local(index_base, c)
+            blk = {
+                "sig": sig,
+                "ids": ids,
+                "mat": mat,
+                "bytes": ids.nbytes + mat.nbytes,
+            }
+            cache[c] = blk
+        cache.move_to_end(c)
+        blocks[c] = blk
+    used = sum(b["bytes"] for b in cache.values())
+    if used > budget:
+        # LRU-evict blocks outside the probed set until within budget
+        for c_old in [k for k in cache if k not in blocks]:
+            used -= cache.pop(c_old)["bytes"]
+            if used <= budget:
+                break
+    return blocks
+
+
+def _cluster_cache_extend(
+    index_base: str,
+    kept_ids: np.ndarray,
+    kept_u: np.ndarray,
+    assign: np.ndarray | None,
+) -> None:
+    """Fold a just-appended survivor block into the touched clusters'
+    cached blocks (and refresh their signatures to the post-append
+    manifests) so the next batch's probe re-reads nothing.  No-op for
+    clusters not currently cached."""
+    cache = _CLUSTER_CACHE.get(index_base)
+    if not cache or assign is None or not len(kept_ids):
+        return
+    for c in np.unique(assign):
+        blk = cache.get(int(c))
+        if blk is None:
+            continue
+        mask = assign == c
+        nid = kept_ids[mask].astype(np.int64)
+        nu = kept_u[mask]
+        if len(blk["ids"]):
+            # same-process redelivery re-appends the identical block
+            # (same filenames, same content): keep the block a SET
+            fresh = ~np.isin(nid, blk["ids"])
+            nid, nu = nid[fresh], nu[fresh]
+            if len(nid):
+                blk["ids"] = np.concatenate([blk["ids"], nid])
+                blk["mat"] = np.vstack([blk["mat"], nu])
+        elif len(nid):
+            blk["ids"], blk["mat"] = nid, nu.copy()
+        blk["bytes"] = blk["ids"].nbytes + blk["mat"].nbytes
+        blk["sig"] = _cluster_manifest(index_base, int(c))
+
+
 def _blocked_max_hits(
     qu: np.ndarray,
     iu: np.ndarray,
@@ -319,6 +472,63 @@ def _probe_index_local(
     return _blocked_max_hits(u, iu, ids, threshold, exclude)
 
 
+def _routing_by_cluster(
+    u: np.ndarray, cent: np.ndarray, eff_nprobe: int
+) -> dict[int, np.ndarray]:
+    """cluster → probing row indices, the EXACT routing expression the
+    broadcast tier uses (shared so the cached tier can never drift)."""
+    k = len(cent)
+    if eff_nprobe >= k:
+        return {c: np.arange(len(u)) for c in range(k)}
+    top = np.argsort(-(u @ cent.T), axis=1)[:, :eff_nprobe]
+    by_cluster: dict[int, list] = {}
+    for row, clusters in enumerate(top):
+        for c in clusters:
+            by_cluster.setdefault(int(c), []).append(row)
+    return {c: np.asarray(rows) for c, rows in by_cluster.items()}
+
+
+def _probe_index_pruned_cached(
+    index_base: str,
+    u: np.ndarray,
+    threshold: float,
+    nprobe,
+    exclude: set[int],
+) -> dict[int, tuple[int, float]] | None:
+    """Driver-side twin of ``_probe_index_pruned_broadcast`` over the
+    per-cluster block cache: same centroid routing, same exclude
+    masking, same min-old_id hit — zero Spark jobs.  Returns None when
+    the probed working set exceeds the cache budget (the caller falls
+    back to the broadcast tier for that batch)."""
+    cent = _load_centroids(index_base)
+    k = len(cent)
+    _guard_lists_within_k(index_base, k)
+    eff_nprobe = (
+        k if (nprobe == "all" or nprobe is None) else min(int(nprobe), k)
+    )
+    by_cluster = _routing_by_cluster(u, cent, eff_nprobe)
+    blocks = _cluster_blocks(index_base, sorted(by_cluster))
+    if blocks is None:
+        return None
+    hits: dict[int, tuple[int, float]] = {}
+    for c, rows in by_cluster.items():
+        blk = blocks[c]
+        if not len(blk["ids"]):
+            continue
+        sub = _blocked_max_hits(
+            u[rows], blk["mat"], blk["ids"], threshold, exclude
+        )
+        # merge across probed clusters: min old_id wins, WITH its own
+        # cosine — an index vector lives in exactly one cluster, so the
+        # same old_id can never arrive twice for one probe row
+        for q, (old, cs) in sub.items():
+            r = int(rows[q])
+            cur = hits.get(r)
+            if cur is None or old < cur[0]:
+                hits[r] = (old, cs)
+    return hits
+
+
 def _probe_index_pruned_broadcast(
     spark: SparkSession,
     index_base: str,
@@ -345,17 +555,7 @@ def _probe_index_pruned_broadcast(
     eff_nprobe = (
         k if (nprobe == "all" or nprobe is None) else min(int(nprobe), k)
     )
-    if eff_nprobe >= k:
-        by_cluster = {c: np.arange(len(u)) for c in range(k)}
-    else:
-        top = np.argsort(-(u @ cent.T), axis=1)[:, :eff_nprobe]
-        by_cluster = {}
-        for row, clusters in enumerate(top):
-            for c in clusters:
-                by_cluster.setdefault(int(c), []).append(row)
-        by_cluster = {
-            c: np.asarray(rows) for c, rows in by_cluster.items()
-        }
+    by_cluster = _routing_by_cluster(u, cent, eff_nprobe)
     wanted = sorted(by_cluster)
     # the redelivery guard rides the broadcast: excluded ids (the
     # batch's own, ≤ cap) are masked off the index side BEFORE the
@@ -569,16 +769,18 @@ def _append_index_local(
     kept_u: np.ndarray,
     batch_id: int,
     cent: np.ndarray | None = None,
-) -> None:
+) -> np.ndarray | None:
     """Assign survivors to their inverted lists against the FROZEN
     centroids and append — one pyarrow file per touched cluster, NAMED
     BY batch_id so a redelivered append overwrites itself (idempotent
-    by filename, the same unit as the per-batch sink partitions)."""
+    by filename, the same unit as the per-batch sink partitions).
+    Returns the per-survivor cluster assignment (None on an empty
+    append) so the caller can extend the cluster-block cache."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if not len(kept_ids):
-        return
+        return None
     if cent is None:
         cent = _load_centroids(index_base)
     assign = (kept_u @ cent.T).argmax(axis=1)
@@ -600,6 +802,7 @@ def _append_index_local(
             ),
             os.path.join(target, f"part-embbatch-{batch_id}.parquet"),
         )
+    return assign
 
 
 def _index_nprobe(index_base: str) -> int:
@@ -747,15 +950,26 @@ def embedding_ingest_batch(
                     index_base, u[elig_rows], threshold, batch_set
                 )
             else:
-                hits = _probe_index_pruned_broadcast(
-                    spark,
-                    index_base,
-                    ids[elig_rows],
-                    u[elig_rows],
-                    threshold,
-                    nprobe if nprobe is not None else _index_nprobe(index_base),
-                    batch_set,
+                np_eff = (
+                    nprobe if nprobe is not None else _index_nprobe(index_base)
                 )
+                # cluster-block cache first (zero Spark jobs, identical
+                # result — r13, VERDICT r12 #9); the broadcast-tier
+                # Spark job only when the probed working set outgrows
+                # the driver cache budget
+                hits = _probe_index_pruned_cached(
+                    index_base, u[elig_rows], threshold, np_eff, batch_set
+                )
+                if hits is None:
+                    hits = _probe_index_pruned_broadcast(
+                        spark,
+                        index_base,
+                        ids[elig_rows],
+                        u[elig_rows],
+                        threshold,
+                        np_eff,
+                        batch_set,
+                    )
             for q, (old, c) in hits.items():
                 idx_dup[int(ids[elig_rows[q]])] = (old, c)
 
@@ -835,8 +1049,9 @@ def embedding_ingest_batch(
         if len(kept_ids):
             _bootstrap_index(index_base, kept_ids, kept_u)
     else:
-        _append_index_local(index_base, kept_ids, kept_u, batch_id)
+        assign = _append_index_local(index_base, kept_ids, kept_u, batch_id)
         _young_cache_extend(index_base, kept_ids, kept_u)
+        _cluster_cache_extend(index_base, kept_ids, kept_u, assign)
 
     # -- commit ----------------------------------------------------------
     n_total_kept = int(meta.get("n_vecs_kept", 0)) + n_kept

@@ -247,6 +247,93 @@ def test_forced_pruned_probe_identity(spark, bases, tmp_path, monkeypatch):
     assert _assignment_rows(spark, ob2) == want
 
 
+def _hits_equal(a: dict, b: dict) -> None:
+    """Hit-dict identity: same probe rows, same min old_id, cosines to
+    float-dot tolerance (BLAS summation order may differ across tiers
+    for the SAME vector pair, so bitwise cos equality is not owed)."""
+    assert set(a) == set(b)
+    for q in a:
+        assert a[q][0] == b[q][0]
+        assert abs(a[q][1] - b[q][1]) < 1e-9
+
+
+def test_cluster_cached_probe_identity_and_fallback(
+    spark, bases, monkeypatch
+):
+    # r13 (VERDICT r12 #9): the per-cluster cached tier must produce the
+    # broadcast tier's exact hits (routing, exclude mask, min-old_id),
+    # cold and warm, and refuse (None) when the budget cannot hold the
+    # probed working set
+    monkeypatch.setattr(EC, "EMB_PROBE_LOCAL_MAX_BYTES", 0)
+    base = _mk_vecs(80)
+    _ingest(spark, bases, [(range(60), base[:60])])
+    index = bases[0]
+    probe_ids = np.asarray([500, 501, 502], dtype=np.int64)
+    probes = np.vstack(
+        [_noisy(base[5]), _noisy(base[17]), _mk_vecs(1, seed=42)[0]]
+    )
+    for npb in (2, "all"):
+        EC._CLUSTER_CACHE.clear()
+        cold = EC._probe_index_pruned_cached(index, probes, 0.9, npb, set())
+        warm = EC._probe_index_pruned_cached(index, probes, 0.9, npb, set())
+        bc = EC._probe_index_pruned_broadcast(
+            spark, index, probe_ids, probes, 0.9, npb, set()
+        )
+        assert cold is not None and cold  # planted dups actually hit
+        _hits_equal(cold, warm)
+        _hits_equal(cold, bc)
+    # exclude masking identical across tiers
+    EC._CLUSTER_CACHE.clear()
+    got = EC._probe_index_pruned_cached(index, probes, 0.9, 2, {5})
+    bc = EC._probe_index_pruned_broadcast(
+        spark, index, probe_ids, probes, 0.9, 2, {5}
+    )
+    assert got is not None
+    _hits_equal(got, bc)
+    assert all(old != 5 for old, _ in got.values())
+    # budget 0: the pre-load gate refuses before reading anything
+    monkeypatch.setattr(EC, "EMB_CLUSTER_CACHE_MAX_BYTES", 0)
+    EC._CLUSTER_CACHE.clear()
+    assert EC._probe_index_pruned_cached(index, probes, 0.9, 2, set()) is None
+    # ...and the ingest path still works end-to-end via the fallback
+    ib2, ob2 = bases[0] + "_fb", bases[1] + "_fb"
+    _ingest(
+        spark,
+        (ib2, ob2),
+        [(range(30), base[:30]), ([900], [_noisy(base[7])])],
+    )
+    rows = dict(
+        (vid, (dest, reason, dup_of))
+        for vid, dest, reason, dup_of in _assignment_rows(spark, ob2)
+    )
+    assert rows[900] == ("dlq", "dup_index", 7)
+
+
+def test_cluster_cache_extend_matches_cold_reload(spark, bases, monkeypatch):
+    # the appending batch extends warm blocks in place; a cold re-read
+    # of the post-append files must yield the identical probe result
+    monkeypatch.setattr(EC, "EMB_PROBE_LOCAL_MAX_BYTES", 0)
+    base = _mk_vecs(90)
+    _ingest(spark, bases, [(range(40), base[:40])])
+    index = bases[0]
+    EC._CLUSTER_CACHE.clear()
+    # warm the cache over every cluster, then append batch 1 (extends)
+    EC._probe_index_pruned_cached(
+        index, np.vstack([_noisy(base[i]) for i in range(6)]), 0.9, "all", set()
+    )
+    _ingest(
+        spark,
+        bases,
+        [(range(40), base[:40]), (range(40, 80), base[40:80])],
+    )
+    p2 = np.vstack([_noisy(base[40 + i]) for i in range(6)])
+    warm = EC._probe_index_pruned_cached(index, p2, 0.9, "all", set())
+    EC._CLUSTER_CACHE.clear()
+    cold = EC._probe_index_pruned_cached(index, p2, 0.9, "all", set())
+    assert warm is not None and len(warm) == 6
+    _hits_equal(warm, cold)
+
+
 def test_pruned_probe_default_nprobe_catches_planted(
     spark, bases, monkeypatch
 ):
