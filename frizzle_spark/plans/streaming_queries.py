@@ -225,6 +225,21 @@ def _run_isolated_stream(
     if not q.awaitTermination(timeout):
         q.stop()
         raise TimeoutError(f"{name}: stream did not drain in {timeout}s")
+    if os.environ.get("FRIZZLE_STREAM_PROGRESS") == "1":
+        # floor diagnostics (r13, VERDICT r12 #7): per-micro-batch phase
+        # durations straight from the engine, so "overhead_bound" walls
+        # are attributable to planning / state commit / addBatch instead
+        # of guessed at.  stderr-only; no behavior change.
+        import json as _json
+        import sys as _sys
+
+        for p in q.recentProgress:
+            d = p.get("durationMs", {}) if isinstance(p, dict) else {}
+            print(
+                f"# stream-progress {name} batch={p.get('batchId')} "
+                f"{_json.dumps(d)}",
+                file=_sys.stderr,
+            )
     return child.table(name)
 
 
