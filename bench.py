@@ -275,6 +275,8 @@ def main() -> None:
                 continue
             path = f"/tmp/bench_slow_dump_{name}.txt"
             try:
+                import faulthandler
+
                 for shot in range(2):
                     dump = subprocess.run(
                         ["jcmd", str(jvm_pid), "Thread.print"],
@@ -288,6 +290,13 @@ def main() -> None:
                             f"{time.perf_counter() - t_start:.1f}s "
                             f"load={os.getloadavg()}\n{dump}\n"
                         )
+                        # the JVM main thread is just the Py4J gateway:
+                        # driver-side PYTHON work (numpy decides, py4j
+                        # callbacks) is invisible to jcmd, and a slow
+                        # window at load1 ~1 is exactly one busy Python
+                        # thread — dump this process's stacks too
+                        fh.write(f"# {name} python threads shot {shot}\n")
+                        faulthandler.dump_traceback(file=fh)
                     time.sleep(1.0)
                 slow_dumps[name] = path
                 print(f"# {name}: SLOW window, dumped {path}", file=sys.stderr)
